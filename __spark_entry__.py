@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pickup-order query at sf0.001 (smoke).
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+north-star extensions); each takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents keyed the same.
+Column names/aliases match between both sides (driver hashes values with
+columns sorted by name).
 """
 
 from __future__ import annotations
@@ -13,26 +14,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_streams_repartition_spark.sources.tables import load_tables
+from kafka_streams_repartition_spark.operators import pickup_order as po
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    return po.pickup_order_summary(t)
+
+
+def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_tables(spark, sf_dir))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pickup_order_summary": _q(po.pickup_order_summary),
+        "pickup_order_nested": _q(po.pickup_order_nested),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pickup_order_summary": po.PICKUP_ORDER_SUMMARY_ORACLE,
+        "pickup_order_nested": po.PICKUP_ORDER_NESTED_ORACLE,
+    }
