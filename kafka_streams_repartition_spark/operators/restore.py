@@ -1,0 +1,127 @@
+"""State migration: the reference's restore tool + v2 merge seeder.
+
+Reference flow (SURVEY §2.5 P1, §2.6 M1/M2): drain the v1 store's
+changelog topic to a local RocksDB until lag==0 (``Restore.java:54-88``),
+replay the snapshot into an 8-partition restore topic
+(``Restore.java:92-114``), then the v2 app folds each replayed
+``ProductStatsV1`` into its live ``ProductStatsV2`` store via
+``ProductStatsV2.merge`` (``ProductStatsV2.java:48-59``: add orders and
+quantity, fold the list-of-struct into the map, concatenate orderIds).
+
+Spark-first: the changelog drain is a batch latest-per-key read
+(``sources.ktable.latest_per_key``) — no lag loop needed, a batch read
+is already "until current end offsets". The repartition 4→8 is a
+non-event: partitioning is a shuffle decision, not a data layout the
+job must migrate. The merge itself is a full-outer join + coalesced
+sums + per-store re-aggregation — all declarative, so at 100 TB it is
+one co-partitioned shuffle on sku.
+
+The merge-correctness contract (tested, and oracle-checked through
+``restore_merge``): merging V1 stats over prefix P with V2 stats over
+suffix S equals V2 stats over P ∪ S.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Constant split point for the oracle-checked migration query
+# (lineitem l_shipdate spans 1995-01..2001-11 in the driver testdata).
+SPLIT_DATE = "1998-01-01"
+
+
+def merge_v1_into_v2(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """``ProductStatsV2.merge`` as a declarative plan.
+
+    v1: product_stats_v1_typed output (array<struct> per-store)
+    v2: product_stats_v2_typed output (map per-store)
+    returns a v2-shaped DataFrame.
+    """
+    # Per-store entries from both sides, re-aggregated: the fold loop at
+    # ProductStatsV2.java:52-56 becomes union + groupBy.
+    v1_entries = v1.select(
+        "sku", F.explode("quantity_by_store").alias("e")
+    ).select(
+        "sku",
+        F.col("e.store_id").cast("string").alias("store_id"),
+        F.col("e.quantity").alias("qty"),
+    )
+    v2_entries = v2.select(
+        "sku", F.explode(F.map_entries("quantity_by_store")).alias("e")
+    ).select("sku", F.col("e.key").alias("store_id"), F.col("e.value").alias("qty"))
+    merged_stores = (
+        v1_entries.unionByName(v2_entries)
+        .groupBy("sku", "store_id")
+        .agg(F.sum("qty").alias("qty"))
+        .groupBy("sku")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("store_id", "qty")))
+            ).alias("quantity_by_store")
+        )
+    )
+
+    v1_flat = v1.select(
+        "sku",
+        F.col("orders").alias("v1_orders"),
+        F.col("quantity").alias("v1_quantity"),
+        F.col("order_ids").alias("v1_order_ids"),
+    )
+    v2_flat = v2.select(
+        "sku",
+        F.col("orders").alias("v2_orders"),
+        F.col("quantity").alias("v2_quantity"),
+        F.col("order_ids").alias("v2_order_ids"),
+    )
+    topline = v1_flat.join(v2_flat, "sku", "full_outer").select(
+        "sku",
+        (
+            F.coalesce(F.col("v1_orders"), F.lit(0))
+            + F.coalesce(F.col("v2_orders"), F.lit(0))
+        ).alias("orders"),
+        (
+            F.coalesce(F.col("v1_quantity"), F.lit(0.0))
+            + F.coalesce(F.col("v2_quantity"), F.lit(0.0))
+        ).alias("quantity"),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("v1_order_ids"), F.array().cast("array<bigint>")),
+                    F.coalesce(F.col("v2_order_ids"), F.array().cast("array<bigint>")),
+                )
+            )
+        ).alias("order_ids"),
+    )
+    return topline.join(merged_stores, "sku", "inner").select(
+        "sku", "orders", "quantity", "quantity_by_store", "order_ids"
+    )
+
+
+def restore_merge(t: dict[str, DataFrame]) -> DataFrame:
+    """Oracle-checked migration query: V1 over shipdate < SPLIT_DATE
+    merged into V2 over shipdate >= SPLIT_DATE; the oracle computes V2
+    over the full range — equality IS merge correctness."""
+    from .product_stats import (
+        order_ids_to_string,
+        product_stats_v1_typed,
+        product_stats_v2_typed,
+        stores_map_to_string,
+    )
+
+    li = t["lineitem"]
+    v1 = product_stats_v1_typed(li.filter(F.col("l_shipdate") < F.lit(SPLIT_DATE)))
+    v2 = product_stats_v2_typed(li.filter(F.col("l_shipdate") >= F.lit(SPLIT_DATE)))
+    merged = merge_v1_into_v2(v1, v2)
+    return merged.select(
+        "sku",
+        F.col("orders").cast("long").alias("orders"),
+        F.round("quantity", 2).alias("quantity"),
+        stores_map_to_string(F.col("quantity_by_store")).alias("quantity_by_store"),
+        order_ids_to_string(F.col("order_ids")).alias("order_ids"),
+    )
+
+
+from .product_stats import _ORACLE_BODY  # noqa: E402
+
+RESTORE_MERGE_ORACLE = _ORACLE_BODY.format(extra_filter="")

@@ -1,0 +1,212 @@
+"""Event-stream operators over the ``events`` table.
+
+``ktable_latest_event`` is the reference's latest-wins materialization
+(KTable source S2/S3 and the restore tool's reduce A3,
+``restore/.../Streams.java:125-132``).
+
+The windowed aggregations realize the reference's ``WindowType`` enum
+{TUMBLING, HOPPING, SLIDING, SESSION} (``OptionsUtilTest.java:15``) —
+declared but never used in any reference topology; here they are
+first-class. All window boundaries are computed on epoch-milliseconds
+BIGINTs so the DuckDB oracle hashes identically (timestamp rendering
+never enters the comparison).
+
+Scale notes: tumbling/hopping are single-shuffle groupBys on
+(window, key) — AQE coalesces the tail. Hopping materializes
+size/hop copies of each row (here 2×) *after* column pruning, which is
+the standard Spark formulation and is linear, not quadratic. Session
+and sliding use per-user window functions: one shuffle on user_id, sort
+within partition; skewed users would need salting (README §scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.ktable import latest_per_key
+
+HOUR_MS = 3_600_000
+HALF_HOUR_MS = 1_800_000
+SESSION_GAP_MS = 1_800_000
+SLIDE_RANGE_MS = 600_000
+
+
+def _with_ms(events: DataFrame) -> DataFrame:
+    return events.withColumn("ms", F.unix_millis("ts"))
+
+
+def ktable_latest_event(t: dict[str, DataFrame]) -> DataFrame:
+    """Latest event per user — dedup-to-latest (S2/A3 semantics).
+
+    Ordering is (epoch_ms, event_id): ms precision on both engines so
+    sub-millisecond timestamp noise can't flip the winner.
+    """
+    ev = _with_ms(t["events"])
+    latest = latest_per_key(ev, ["user_id"], ["ms", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("ms").alias("ts_ms"),
+    )
+
+
+KTABLE_LATEST_EVENT_ORACLE = """
+SELECT user_id,
+       event_id AS latest_event_id,
+       event_type,
+       round(value, 2) AS value,
+       epoch_ms(ts) AS ts_ms
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC
+    ) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+def tumbling_events(t: dict[str, DataFrame]) -> DataFrame:
+    """1-hour tumbling windows per event_type (idiomatic F.window)."""
+    ev = t["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_EVENTS_ORACLE = f"""
+SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def hopping_events(t: dict[str, DataFrame]) -> DataFrame:
+    """1-hour windows hopping every 30 min: each event lands in 2."""
+    ev = _with_ms(t["events"]).select("ms", "value")
+    return (
+        ev.select(
+            "ms", "value", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+        )
+        .select(
+            F.expr(
+                f"((ms - k * {HALF_HOUR_MS}) div {HOUR_MS}) * {HOUR_MS}"
+                f" + k * {HALF_HOUR_MS}"
+            ).alias("window_start_ms"),
+            "value",
+        )
+        .groupBy("window_start_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+HOPPING_EVENTS_ORACLE = f"""
+SELECT ((epoch_ms(ts) - k * {HALF_HOUR_MS}) // {HOUR_MS}) * {HOUR_MS}
+           + k * {HALF_HOUR_MS} AS window_start_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events, unnest([0, 1]) AS u(k)
+GROUP BY 1
+"""
+
+
+def session_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Sessionization: a >30-min silence per user starts a new session."""
+    ev = _with_ms(t["events"]).select("user_id", "event_id", "ms", "value")
+    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    sessions = (
+        ev.withColumn("prev_ms", F.lag("ms").over(order))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ms").isNull()
+                | ((F.col("ms") - F.col("prev_ms")) > SESSION_GAP_MS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(order))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SESSION_EVENTS_ORACLE = f"""
+WITH lagged AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+           lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ) AS prev_ms
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_ms IS NULL OR ms - prev_ms > {SESSION_GAP_MS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM lagged
+),
+numbered AS (
+    SELECT *,
+           CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+           ) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ms) AS start_ms,
+       max(ms) AS end_ms,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
+def sliding_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event trailing 10-min window per user (true sliding)."""
+    ev = _with_ms(t["events"]).select("user_id", "event_id", "ms", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-SLIDE_RANGE_MS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("trailing_count"),
+        F.round(F.sum("value").over(w), 2).alias("trailing_value"),
+    )
+
+
+SLIDING_EVENTS_ORACLE = f"""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_count,
+       round(sum(value) OVER w, 2) AS trailing_value
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_ms(ts)
+    RANGE BETWEEN {SLIDE_RANGE_MS} PRECEDING AND CURRENT ROW
+)
+"""
