@@ -19,6 +19,10 @@ from kafka_streams_repartition_spark.operators import pickup_order as po
 from kafka_streams_repartition_spark.operators import product_stats as ps
 from kafka_streams_repartition_spark.operators import restore as rst
 from kafka_streams_repartition_spark.operators import windows as win
+from kafka_streams_repartition_spark.operators import dedup as dd
+from kafka_streams_repartition_spark.operators import similarity as sim
+from kafka_streams_repartition_spark.operators import text_analysis as tx
+from kafka_streams_repartition_spark.operators import multimodal as mm
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,6 +50,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_events": _q(win.hopping_events),
         "session_events": _q(win.session_events),
         "sliding_events": _q(win.sliding_events),
+        "dedup_exact": _q(dd.dedup_exact),
+        "dedup_ngram_jaccard": _q(dd.dedup_ngram_jaccard),
+        "dedup_minhash_lsh": _q(dd.dedup_minhash_lsh),
+        "dedup_simhash": _q(dd.dedup_simhash),
+        "dedup_embedding": _q(dd.dedup_embedding),
+        "ann_topk_bruteforce": _q(sim.ann_topk_bruteforce),
+        "ann_topk_lsh": _q(sim.ann_topk_lsh),
+        "text_stats": _q(tx.text_stats),
+        "lang_id": _q(tx.lang_id),
+        "token_count": _q(tx.token_count),
+        "doc_fingerprint": _q(tx.doc_fingerprint),
+        "multimodal_meta": _q(mm.multimodal_meta),
     }
 
 
@@ -61,4 +77,16 @@ def oracle_sql() -> dict[str, str]:
         "hopping_events": win.HOPPING_EVENTS_ORACLE,
         "session_events": win.SESSION_EVENTS_ORACLE,
         "sliding_events": win.SLIDING_EVENTS_ORACLE,
+        "dedup_exact": dd.DEDUP_EXACT_ORACLE,
+        "dedup_ngram_jaccard": dd.DEDUP_NGRAM_JACCARD_ORACLE,
+        "dedup_minhash_lsh": dd.DEDUP_MINHASH_LSH_ORACLE,
+        "dedup_simhash": dd.DEDUP_SIMHASH_ORACLE,
+        "dedup_embedding": dd.DEDUP_EMBEDDING_ORACLE,
+        "ann_topk_bruteforce": sim.ANN_TOPK_BRUTEFORCE_ORACLE,
+        "ann_topk_lsh": sim.ANN_TOPK_LSH_ORACLE,
+        "text_stats": tx.TEXT_STATS_ORACLE,
+        "lang_id": tx.LANG_ID_ORACLE,
+        "token_count": tx.TOKEN_COUNT_ORACLE,
+        "doc_fingerprint": tx.DOC_FINGERPRINT_ORACLE,
+        "multimodal_meta": mm.MULTIMODAL_META_ORACLE,
     }

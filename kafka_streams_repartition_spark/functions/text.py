@@ -23,10 +23,14 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     Expression-only: ``transform`` over an index ``sequence`` — the same
     shape the DuckDB oracles use, so results hash-match exactly.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.transform(
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
         ),
+    )
+    # Guard short docs: sequence(0, negative) would DESCEND in Spark.
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )

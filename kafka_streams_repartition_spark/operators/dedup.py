@@ -1,0 +1,346 @@
+"""Deduplication family over the ``documents`` table (north-star ops;
+no analog in the reference — BASELINE.md(b) requires them as first-class).
+
+All hashing is md5-based so the DuckDB oracle reproduces signatures
+bit-exactly (see ``functions.hashing``). For a throughput-only
+deployment swap md5 → ``F.xxhash64`` (same plan shapes).
+
+Scale design (100 TB):
+
+- **exact**: groupBy on ``md5(text)`` — the shuffle key is 32 bytes, not
+  the document; this is the only full-corpus shuffle and it carries
+  (hash, doc_id) pairs only.
+- **minhash_lsh**: the linear-cost path to near-dup at scale. Cost is
+  O(docs × shingles × seeds) map-side + a bucket join whose fan-out is
+  bounded by collision rate, never all-pairs. Exact Jaccard runs only
+  on band-collision candidates.
+- **ngram_jaccard**: exact shared-shingle pairing is inherently
+  superlinear; exposed as query-vs-corpus (a bounded query set searches
+  the full corpus), which is how a pipeline actually consumes it. For
+  corpus×corpus use minhash_lsh.
+- **simhash**: linear; 16-bit fingerprint per document, near-dup =
+  small Hamming distance (pairing by fingerprint bucket is exact for
+  distance 0 and standard multi-probe for >0).
+- **embedding near-dup**: query-vs-corpus brute force with
+  JVM-side ``zip_with``/``aggregate`` dot products; the LSH-bucketed
+  scale path lives in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams, words
+from ..functions.vectors import dot, norm, to_double_array
+
+NGRAM_N = 3
+MINHASH_SEEDS = 12
+MINHASH_BANDS = 4  # 4 bands × 3 rows
+JACCARD_THRESHOLD = 0.5
+EMBED_COSINE_THRESHOLD = 0.3
+QUERY_MOD = 20  # query subset for query-vs-corpus ops
+
+
+def _doc_grams(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram): word 3-gram shingles, lowercased."""
+    return (
+        documents.select(
+            "doc_id", F.explode(word_ngrams(words(F.col("text")), NGRAM_N)).alias("gram")
+        )
+        .distinct()
+    )
+
+
+_GRAMS_SQL = f"""
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(
+            generate_series(1, greatest(len(w) - {NGRAM_N - 1}, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        )
+    ) AS gram
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+        FROM documents
+    )
+"""
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id."""
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- exact n-gram Jaccard (query-vs-corpus) ------------------------------
+
+
+def dedup_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup candidates of a query subset against the full corpus:
+    exact word-trigram Jaccard ≥ threshold via shared-shingle join."""
+    grams = _doc_grams(t["documents"]).cache()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    q_grams = grams.filter(F.col("doc_id") % QUERY_MOD == 0)
+    inter = (
+        q_grams.alias("a")
+        .join(grams.alias("b"), ["gram"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("query_id"), F.col("b.doc_id").alias("cand_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("qa.n") + F.col("qb.n") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("qa"), F.col("query_id") == F.col("qa.doc_id"))
+        .join(sizes.alias("qb"), F.col("cand_id") == F.col("qb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("query_id", "cand_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = f"""
+WITH grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS query_id, b.doc_id AS cand_id, count(*) AS inter
+    FROM grams a
+    JOIN grams b ON a.gram = b.gram AND a.doc_id != b.doc_id
+    WHERE a.doc_id % {QUERY_MOD} = 0
+    GROUP BY 1, 2
+)
+SELECT query_id, cand_id,
+       round(CAST(inter AS DOUBLE) / (qa.n + qb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes qa ON query_id = qa.doc_id
+JOIN sizes qb ON cand_id = qb.doc_id
+WHERE CAST(inter AS DOUBLE) / (qa.n + qb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH (the corpus×corpus scale path) -------------------------
+
+
+def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus×corpus near-dup: MinHash signatures → banded LSH buckets →
+    exact Jaccard verification on candidates only.
+
+    MinHash draw = lexicographic min of ``md5(seed || ':' || gram)``
+    (portable across engines; see functions/hashing.py).
+    """
+    grams = _doc_grams(t["documents"]).cache()
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")))).alias(f"h{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
+    )
+    rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(grams.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            grams.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+DEDUP_MINHASH_LSH_ORACLE = f"""
+WITH grams AS ({_GRAMS_SQL}),
+mh AS (
+    SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || gram)) AS h
+    FROM grams, unnest([{", ".join(str(s) for s in range(MINHASH_SEEDS))}]) AS t(s)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, s // {MINHASH_SEEDS // MINHASH_BANDS} AS band_id,
+           string_agg(h, '' ORDER BY s) AS sig
+    FROM mh
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(t: dict[str, DataFrame]) -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    Bit b votes +1/-1 by the high bit of hex digit b of md5(token)
+    (portable across engines); fingerprint bit set where the vote sum
+    is positive. Linear in corpus size — the scale-friendly shape.
+    """
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(1, SIMHASH_BITS + 1)
+        ]
+    )
+    simhash = None
+    for b in range(1, SIMHASH_BITS + 1):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - 1))).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, tok
+    FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    )
+    WHERE tok != ''
+),
+votes AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN substring(md5(tok), b, 1) >= '8' THEN 1 ELSE -1 END) AS v
+    FROM toks, unnest([{", ".join(str(b) for b in range(1, SIMHASH_BITS + 1))}]) AS t(b)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b - 1) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes
+GROUP BY 1
+"""
+
+
+# --- embedding cosine near-dup (query-vs-corpus brute force) ---------------
+
+
+def dedup_embedding(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold: bounded query set against
+    the full corpus; all arithmetic in double, JVM-side."""
+    emb = t["embeddings"].select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+dots AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id, sum(q.x * e.x) AS dp
+    FROM q
+    JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, cand_id,
+       round(dp / (nq.nrm * nc.nrm), 4) AS cosine
+FROM dots
+JOIN norms nq ON query_id = nq.vec_id
+JOIN norms nc ON cand_id = nc.vec_id
+WHERE round(dp / (nq.nrm * nc.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
+"""

@@ -1,0 +1,196 @@
+"""Similarity search over the ``embeddings`` table (north-star op).
+
+Two paths, same contract (top-k neighbors for a bounded query set):
+
+- **brute force** — the correctness baseline: query set broadcast
+  against the corpus, dot products via JVM-side ``zip_with`` +
+  ``aggregate`` (no Python in the hot path), ``row_number`` top-k.
+  Linear in |corpus| × |queries|; at 100 TB you bound |queries| per job
+  and partition the corpus scan.
+- **LSH (random hyperplanes)** — the scale path: 8-bit sign signatures
+  bucket the corpus; candidate generation is a bucket equi-join
+  (co-partitioned shuffle), exact cosine only within buckets. The sign
+  matrix is ±1 derived from md5 (functions.hashing.hex_sign), computed
+  driver-side once and inlined as literals into BOTH the Spark plan and
+  the DuckDB oracle — deterministic and engine-portable.
+
+Ranking is on ``(round(cosine, 6) DESC, cand_id)`` so ties and
+last-ulp float noise can't reorder results between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_sign
+from ..functions.vectors import dot, norm, to_double_array
+
+DIM = 64
+TOP_K = 10
+QUERY_MOD = 100
+N_PLANES = 8
+
+
+def _corpus(t: dict[str, DataFrame]) -> DataFrame:
+    emb = t["embeddings"].select("vec_id", to_double_array("embedding").alias("v"))
+    return emb.withColumn("nrm", norm(F.col("v")))
+
+
+def _queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+
+
+def ann_topk_bruteforce(t: dict[str, DataFrame]) -> DataFrame:
+    emb = _corpus(t)
+    q = _queries(emb)
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    ).alias("cosine")
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "cand_id", "cosine")
+    )
+
+
+ANN_TOPK_BRUTEFORCE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM q
+    JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id
+    JOIN norms nq ON q.vec_id = nq.vec_id
+    JOIN norms nc ON e.vec_id = nc.vec_id
+    GROUP BY 1, 2, nq.nrm, nc.nrm
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cosine
+FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
+def _sign_matrix() -> list[list[int]]:
+    """N_PLANES × DIM ±1 matrix, deterministic via md5 (shared with oracle)."""
+    return [
+        [hex_sign(f"plane{p}:{i}") for i in range(DIM)] for p in range(N_PLANES)
+    ]
+
+
+def _signature(vec_col) -> F.Column:
+    """8-char '0'/'1' signature string of a double-array column."""
+    bits = []
+    for row in _sign_matrix():
+        lit_row = F.array(*[F.lit(float(s)) for s in row])
+        proj = dot(vec_col, lit_row)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-k within the query's hyperplane-signature bucket."""
+    emb = _corpus(t).withColumn("sig", _signature(F.col("v")))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("sig").alias("qsig"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    ).alias("cosine")
+    scored = (
+        emb.join(F.broadcast(q), emb["sig"] == q["qsig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "cand_id", "cosine")
+    )
+
+
+def _lsh_oracle() -> str:
+    # Inline the ±1 matrix as (plane, pos, s) literals shared with Spark.
+    rows = []
+    for p, row in enumerate(_sign_matrix()):
+        for i, s in enumerate(row):
+            rows.append(f"({p}, {i + 1}, {s})")
+    values = ", ".join(rows)
+    return f"""
+WITH planes(plane, pos, s) AS (VALUES {values}),
+e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+projs AS (
+    SELECT e.vec_id, pl.plane, sum(e.x * pl.s) AS proj
+    FROM e JOIN planes pl ON e.pos = pl.pos
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane)
+               AS sig
+    FROM projs
+    GROUP BY 1
+),
+q AS (SELECT vec_id AS query_id, sig FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+    SELECT q.query_id, s.vec_id AS cand_id
+    FROM q JOIN sigs s ON q.sig = s.sig AND s.vec_id != q.query_id
+),
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM cand c
+    JOIN e a ON a.vec_id = c.query_id
+    JOIN e b ON b.vec_id = c.cand_id AND a.pos = b.pos
+    JOIN norms na ON na.vec_id = c.query_id
+    JOIN norms nb ON nb.vec_id = c.cand_id
+    GROUP BY 1, 2, na.nrm, nb.nrm
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cosine
+FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
+ANN_TOPK_LSH_ORACLE = _lsh_oracle()

@@ -1,0 +1,207 @@
+"""Text-analysis operators over ``documents`` (north-star ops):
+language ID (marker-token heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (bottom-k
+sketch of character shingles).
+
+Everything is native column expressions — no Python UDFs — so the whole
+module rides whole-stage codegen; each operator is a single scan with
+column pruning (only ``doc_id``/``text`` are read) and is
+embarrassingly parallel (no shuffle except final display).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "not"],
+    "es": ["el", "la", "de", "y", "es", "no"],
+    "fr": ["le", "la", "et", "les", "est", "pas"],
+}
+
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+def text_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document quality features + a linear quality score."""
+    toks = words(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    clean = F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+    punct_ratio = F.when(
+        F.length("text") > 0, F.length(clean) / F.length("text")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
+    avg_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * F.least(n / F.lit(100.0), F.lit(1.0))
+        - F.lit(0.2) * punct_ratio
+    )
+    return t["documents"].select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct,
+           length(text) AS n_chars_raw
+    FROM documents
+),
+base AS (
+    SELECT doc_id,
+           len(w) AS n,
+           COALESCE(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0)
+               AS total_len,
+           CASE WHEN n_chars_raw > 0
+                THEN CAST(n_punct AS DOUBLE) / n_chars_raw ELSE 0.0 END
+               AS punct_ratio,
+           len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS)}, x)))
+               AS stop_hits
+    FROM feats
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(CASE WHEN n > 0 THEN CAST(total_len AS DOUBLE) / n ELSE 0.0 END, 4)
+           AS avg_token_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(CASE WHEN n > 0 THEN CAST(stop_hits AS DOUBLE) / n ELSE 0.0 END, 4)
+           AS stopword_ratio,
+       round(0.5 * (CASE WHEN n > 0 THEN CAST(stop_hits AS DOUBLE) / n ELSE 0.0 END)
+             + 0.3 * least(n / 100.0, 1.0)
+             - 0.2 * punct_ratio, 4) AS quality_score
+FROM base
+"""
+
+
+def lang_id(t: dict[str, DataFrame]) -> DataFrame:
+    """Marker-token language ID with deterministic tie-breaking
+    (checked in lexicographic lang order with >=)."""
+    toks = words(F.col("text"))
+
+    def marker_hits(markers: list[str]):
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (hits["de"] >= hits["en"])
+            & (hits["de"] >= hits["es"])
+            & (hits["de"] >= hits["fr"]),
+            "de",
+        )
+        .when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    return t["documents"].select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in sorted(LANG_MARKERS)],
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_exprs = ",\n           ".join(
+        f"CAST(len(list_filter(w, x -> list_contains({_sql_list(m)}, x))) AS BIGINT)"
+        f" AS {lang}_hits"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           {hit_exprs}
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits
+                THEN 'de'
+            WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       de_hits, en_hits, es_hits, fr_hits
+FROM hits
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def token_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens per document."""
+    return t["documents"].select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_regex_tokens"),
+    )
+
+
+TOKEN_COUNT_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
+           AS n_regex_tokens
+FROM documents
+"""
+
+FINGERPRINT_K = 4
+SHINGLE_LEN = 5
+
+
+def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Bottom-k sketch over character 5-gram hashes — a compact,
+    order-insensitive content fingerprint (winnowing-style)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),"
+        f" i -> md5(substring(text, i, {SHINGLE_LEN})))"
+    )
+    fp = F.array_join(
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, FINGERPRINT_K), ","
+    )
+    return t["documents"].select("doc_id", fp.alias("fingerprint"))
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       array_to_string(
+           list_sort(list_distinct(
+               list_transform(
+                   generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1)),
+                   i -> md5(substring(text, i, {SHINGLE_LEN}))
+               )
+           ))[1:{FINGERPRINT_K}],
+           ','
+       ) AS fingerprint
+FROM documents
+"""
