@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import word_ngrams, words
 from ..functions.vectors import dot, norm, to_double_array
+from ..sources.tables import fan_out
 
 NGRAM_N = 3
 MINHASH_SEEDS = 12
@@ -45,7 +46,8 @@ QUERY_MOD = 20  # query subset for query-vs-corpus ops
 def _doc_grams(documents: DataFrame) -> DataFrame:
     """Distinct (doc_id, gram): word 3-gram shingles, lowercased."""
     return (
-        documents.select(
+        fan_out(documents)
+        .select(
             "doc_id", F.explode(word_ngrams(words(F.col("text")), NGRAM_N)).alias("gram")
         )
         .distinct()
@@ -252,7 +254,7 @@ def dedup_simhash(t: dict[str, DataFrame]) -> DataFrame:
     is positive. Linear in corpus size — the scale-friendly shape.
     """
     toks = (
-        t["documents"]
+        fan_out(t["documents"])
         .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
         .distinct()
         .withColumn("h", F.md5("tok"))
@@ -301,7 +303,7 @@ GROUP BY 1
 def dedup_embedding(t: dict[str, DataFrame]) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: bounded query set against
     the full corpus; all arithmetic in double, JVM-side."""
-    emb = t["embeddings"].select(
+    emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     emb = emb.withColumn("nrm", norm(F.col("v")))

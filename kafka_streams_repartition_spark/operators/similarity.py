@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex_sign
 from ..functions.vectors import dot, norm, to_double_array
+from ..sources.tables import fan_out
 
 DIM = 64
 TOP_K = 10
@@ -33,7 +34,7 @@ N_PLANES = 8
 
 
 def _corpus(t: dict[str, DataFrame]) -> DataFrame:
-    emb = t["embeddings"].select("vec_id", to_double_array("embedding").alias("v"))
+    emb = fan_out(t["embeddings"]).select("vec_id", to_double_array("embedding").alias("v"))
     return emb.withColumn("nrm", norm(F.col("v")))
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import words
+from ..sources.tables import fan_out
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
 
@@ -53,7 +54,7 @@ def text_stats(t: dict[str, DataFrame]) -> DataFrame:
         + F.lit(0.3) * F.least(n / F.lit(100.0), F.lit(1.0))
         - F.lit(0.2) * punct_ratio
     )
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.round(avg_len, 4).alias("avg_token_len"),
@@ -117,7 +118,7 @@ def lang_id(t: dict[str, DataFrame]) -> DataFrame:
         .when(hits["es"] >= hits["fr"], "es")
         .otherwise("fr")
     )
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         pred.alias("pred_lang"),
         *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in sorted(LANG_MARKERS)],
@@ -157,7 +158,7 @@ LANG_ID_ORACLE = _lang_id_oracle()
 
 def token_count(t: dict[str, DataFrame]) -> DataFrame:
     """Whitespace tokens vs BPE-ish regex tokens per document."""
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0))
@@ -189,7 +190,7 @@ def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
     fp = F.array_join(
         F.slice(F.array_sort(F.array_distinct(grams)), 1, FINGERPRINT_K), ","
     )
-    return t["documents"].select("doc_id", fp.alias("fingerprint"))
+    return fan_out(t["documents"]).select("doc_id", fp.alias("fingerprint"))
 
 
 DOC_FINGERPRINT_ORACLE = f"""

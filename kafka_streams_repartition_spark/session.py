@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split file scans down to core count when row groups allow —
+        # on a real cluster files are many and this is moot.
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Streaming state: RocksDB, like the reference's stores

@@ -44,6 +44,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Hash-repartition iff the scan yielded fewer partitions than cores.
+
+    A single small parquet file (one row group) scans as ONE partition,
+    serializing per-row-heavy work (hashing, shingling, vector math).
+    At cluster scale inputs arrive in many splits and this is a no-op;
+    locally it costs one small shuffle before the expensive map work.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
