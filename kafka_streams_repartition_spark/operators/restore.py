@@ -86,9 +86,11 @@ def merge_v1_into_v2(v1: DataFrame, v2: DataFrame) -> DataFrame:
         ).alias("quantity"),
         F.array_sort(
             F.array_distinct(
-                F.concat(
-                    F.coalesce(F.col("v1_order_ids"), F.array().cast("array<bigint>")),
-                    F.coalesce(F.col("v2_order_ids"), F.array().cast("array<bigint>")),
+                F.flatten(
+                    F.filter(
+                        F.array(F.col("v1_order_ids"), F.col("v2_order_ids")),
+                        lambda a: a.isNotNull(),
+                    )
                 )
             )
         ).alias("order_ids"),

@@ -1,0 +1,76 @@
+"""Structured Streaming wrappers for the reference topologies.
+
+The reference has NO windows and NO watermarks (SURVEY §2.10): every
+aggregation is cumulative over the whole stream and re-emits on every
+update (changelog semantics). The Spark-first equivalents:
+
+- cumulative aggregation → streaming ``groupBy().agg()`` with
+  ``update`` output mode (per-key changelog to a Kafka sink) or
+  ``complete`` mode (memory sink for tests/interactive queries — the
+  analog of the reference's interactive store scans,
+  ``restore/.../Streams.java:92-116``).
+- KTable materialization → ``max_by``-style latest-per-key streaming
+  aggregate.
+- determinism for tests → file source + ``availableNow`` trigger: the
+  whole fixture drains in bounded micro-batches and the final state
+  must equal the batch result (SURVEY §5.3's equivalence contract).
+
+State lives in RocksDB (session.py conf), like the reference's stores;
+the checkpoint directory is the changelog. At scale, cumulative
+per-key state needs the same caveat the reference demonstrates:
+``order_ids`` grows forever — TTL or truncate in production.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_product_stats(lineitems: DataFrame) -> DataFrame:
+    """Cumulative per-product stats (A2) as a streaming aggregation.
+
+    Input: a *streaming* DataFrame in the exploded line-item shape.
+    Emits the v2-style topline (orders/quantity per sku) plus per-store
+    entries; map assembly happens at the sink edge (maps don't stream
+    well through update mode).
+    """
+    src = lineitems.filter(F.col("l_quantity") > 0)
+    return src.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum("l_quantity").alias("quantity"),
+        F.collect_set("l_orderkey").alias("order_ids"),
+    )
+
+
+def stream_latest_per_key(
+    events: DataFrame, key: str, order_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """KTable semantics as a streaming aggregate: latest row per key
+    via ``max_by`` over a total order (S2/A3)."""
+    return events.groupBy(key).agg(
+        F.max(order_col).alias(order_col),
+        *[
+            F.expr(f"max_by({c}, struct({order_col}, {c}))").alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
+def run_to_memory_available_now(
+    spark: SparkSession, df: DataFrame, mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming aggregate with availableNow into a memory
+    sink; returns the final table (deterministic test harness)."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,175 @@
+"""Streaming equivalence (SURVEY §5.3): the same data through the
+streaming path must end in the same final state as the batch path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_repartition_spark.operators.product_stats import (
+    product_stats_v1_typed,
+)
+from kafka_streams_repartition_spark.sources.fixtures import (
+    generate_reference_tables,
+    orders_as_lineitems,
+)
+from kafka_streams_repartition_spark.sources.kafka import (
+    decode_json_records,
+    encode_json_records,
+    ktable_from_records,
+)
+from kafka_streams_repartition_spark.streaming import (
+    migrate_v1_stream,
+    run_to_memory_available_now,
+    stream_latest_per_key,
+    stream_product_stats,
+)
+from kafka_streams_repartition_spark.streaming.state import v1_typed_to_records
+
+
+@pytest.fixture(scope="module")
+def lineitems(spark, tmp_path_factory):
+    ref = generate_reference_tables(spark, n_orders=300, seed=7)
+    li = orders_as_lineitems(ref["purchase_orders"], ref["products"])
+    path = str(tmp_path_factory.mktemp("li_stream"))
+    # several files → several micro-batches with maxFilesPerTrigger
+    li.repartition(4).write.mode("overwrite").parquet(path)
+    return li, path
+
+
+def test_stream_product_stats_equals_batch(spark, lineitems):
+    li, path = lineitems
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    final = run_to_memory_available_now(
+        spark, stream_product_stats(stream), mode="complete"
+    )
+    got = {
+        r["l_partkey"]: (r["orders"], r["quantity"], sorted(r["order_ids"]))
+        for r in final.collect()
+    }
+    batch = li.filter(F.col("l_quantity") > 0).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum("l_quantity").alias("quantity"),
+        F.collect_set("l_orderkey").alias("order_ids"),
+    )
+    want = {
+        r["l_partkey"]: (r["orders"], r["quantity"], sorted(r["order_ids"]))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_latest_per_key_equals_batch(spark, lineitems):
+    li, path = lineitems
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    latest = stream_latest_per_key(
+        stream, "l_partkey", "l_orderkey", ["l_quantity"]
+    )
+    final = run_to_memory_available_now(spark, latest, mode="complete")
+    got = {r["l_partkey"]: r["l_orderkey"] for r in final.collect()}
+    want = {
+        r["l_partkey"]: r["mx"]
+        for r in li.groupBy("l_partkey").agg(F.max("l_orderkey").alias("mx")).collect()
+    }
+    assert got == want
+
+
+def test_migrate_v1_stream_merges_state(spark, tmp_path):
+    """P1: two replayed V1 snapshots for overlapping skus fold into one
+    merged V2 state per key."""
+    ref = generate_reference_tables(spark, n_orders=120, seed=11)
+    li = orders_as_lineitems(ref["purchase_orders"], ref["products"])
+    half_a = li.filter(F.col("l_orderkey") < "AA-5")
+    half_b = li.filter(~(F.col("l_orderkey") < "AA-5"))
+    rec_a = v1_typed_to_records(product_stats_v1_typed(half_a))
+    rec_b = v1_typed_to_records(product_stats_v1_typed(half_b))
+    path = str(tmp_path / "v1records")
+    rec_a.coalesce(1).write.mode("overwrite").parquet(path)
+    rec_b.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(rec_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    merged = migrate_v1_stream(stream)
+    final = run_to_memory_available_now(spark, merged, mode="update")
+    # update mode memory sink appends every emission; last per sku wins
+    latest = (
+        final.withColumn("rn", F.monotonically_increasing_id())
+        .orderBy("rn")
+        .collect()
+    )
+    state = {}
+    for r in latest:
+        state[r["sku"]] = (
+            r["orders"],
+            r["quantity"],
+            json.loads(r["store_entries_json"]),
+            json.loads(r["order_ids_json"]),
+        )
+    want_df = product_stats_v1_typed(li)
+    want = {
+        r["sku"]: (
+            r["orders"],
+            float(r["quantity"]),
+            {str(e["store_id"]): e["quantity"] for e in r["quantity_by_store"]},
+            sorted(str(x) for x in r["order_ids"]),
+        )
+        for r in want_df.collect()
+    }
+    assert state == want
+
+
+def test_kafka_decode_permissive_and_ktable(spark):
+    """Log-and-continue decode + compacted-topic materialization."""
+    schema = "user_id string, name string"
+    from pyspark.sql import types as T
+
+    struct = T.StructType(
+        [T.StructField("user_id", T.StringType()), T.StructField("name", T.StringType())]
+    )
+    raw = spark.createDataFrame(
+        [
+            ("u1", '{"user_id":"u1","name":"old"}', "t", 0, 0, None),
+            ("u1", '{"user_id":"u1","name":"new"}', "t", 0, 5, None),
+            ("u2", "not-json-at-all {", "t", 1, 1, None),
+            ("u3", '{"user_id":"u3","name":"x"}', "t", 1, 2, None),
+            ("u3", None, "t", 1, 3, None),  # tombstone deletes u3
+        ],
+        "key string, value string, topic string, partition int, offset long, timestamp timestamp",
+    )
+    decoded = decode_json_records(raw, struct)
+    corrupt = decoded.filter(F.col("_corrupt").isNotNull()).collect()
+    assert len(corrupt) == 1 and corrupt[0]["key"] == "u2"
+
+    table = ktable_from_records(raw, struct)
+    got = {r["key"]: r["name"] for r in table.collect()}
+    # u1 latest wins; u2 survives as corrupt-latest (name null); u3 tombstoned
+    assert got["u1"] == "new" and "u3" not in got
+
+    # round trip
+    rt = decode_json_records(
+        encode_json_records(
+            spark.createDataFrame([("u9", "Nina")], schema), "user_id"
+        ).withColumns(
+            {
+                "topic": F.lit("t"),
+                "partition": F.lit(0),
+                "offset": F.lit(0).cast("long"),
+                "timestamp": F.lit(None).cast("timestamp"),
+            }
+        ),
+        struct,
+    ).collect()
+    assert rt[0]["name"] == "Nina" and rt[0]["_corrupt"] is None
