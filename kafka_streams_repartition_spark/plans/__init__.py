@@ -1,0 +1,19 @@
+from .checks import (
+    explain_str,
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    count_exchanges,
+    count_scans,
+)
+
+__all__ = [
+    "explain_str",
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+    "assert_pushed_filters",
+    "assert_read_schema_pruned",
+    "count_exchanges",
+    "count_scans",
+]
