@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q(dd.dedup_embedding),
         "ann_topk_bruteforce": _q(sim.ann_topk_bruteforce),
         "ann_topk_lsh": _q(sim.ann_topk_lsh),
+        "ann_topk_ivf": _q(sim.ann_topk_ivf),
         "text_stats": _q(tx.text_stats),
         "lang_id": _q(tx.lang_id),
         "token_count": _q(tx.token_count),
@@ -84,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dd.DEDUP_EMBEDDING_ORACLE,
         "ann_topk_bruteforce": sim.ANN_TOPK_BRUTEFORCE_ORACLE,
         "ann_topk_lsh": sim.ANN_TOPK_LSH_ORACLE,
+        "ann_topk_ivf": sim.ANN_TOPK_IVF_ORACLE,
         "text_stats": tx.TEXT_STATS_ORACLE,
         "lang_id": tx.LANG_ID_ORACLE,
         "token_count": tx.TOKEN_COUNT_ORACLE,

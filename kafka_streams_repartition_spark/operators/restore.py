@@ -127,3 +127,23 @@ def restore_merge(t: dict[str, DataFrame]) -> DataFrame:
 from .product_stats import _ORACLE_BODY  # noqa: E402
 
 RESTORE_MERGE_ORACLE = _ORACLE_BODY.format(extra_filter="")
+
+
+def changelog_restore_job(
+    raw_changelog: DataFrame, schema, n_output_partitions: int | None = None
+) -> DataFrame:
+    """M1 + M2 as ONE batch plan (``Restore.java:52-118``).
+
+    M1 (changelog drain → RocksDB until lag==0) is a batch read deduped
+    to latest-per-key — a bounded read needs no lag loop, and the local
+    RocksDB staging store disappears entirely. M2 (snapshot replay into
+    an 8-partition topic) is just the write of this frame; the
+    partition-count change that motivates the whole reference tool is a
+    ``repartition(n)``/shuffle setting here, not a data migration.
+    """
+    from ..sources.kafka import ktable_from_records
+
+    snapshot = ktable_from_records(raw_changelog, schema)
+    if n_output_partitions is not None:
+        snapshot = snapshot.repartition(n_output_partitions, "key")
+    return snapshot

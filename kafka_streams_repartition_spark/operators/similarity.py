@@ -195,3 +195,137 @@ WHERE rank <= {TOP_K}
 
 
 ANN_TOPK_LSH_ORACLE = _lsh_oracle()
+
+
+# --- IVF (coarse-quantizer cells from the label column) -------------------
+
+N_PROBE_K = 10
+
+
+def _centroids(emb_raw: DataFrame) -> DataFrame:
+    """Per-label centroid vectors (the label column acts as the
+    pre-trained coarse quantizer a production IVF index would load)."""
+    return (
+        emb_raw.select(
+            "label", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+
+
+def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (euclidean, deterministic tie-break on label), then top-k by cosine
+    within the query's cell only.
+
+    Scale shape: centroid table is tiny and broadcast; assignment is a
+    map-side pass over the corpus; candidate generation is a
+    co-partitioned equi-join on cell id — identical skeleton to the LSH
+    path, different quantizer.
+    """
+    emb_raw = fan_out(t["embeddings"])
+    cent = F.broadcast(_centroids(emb_raw))
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+    assign_w = Window.partitionBy("vec_id").orderBy("dist", "label")
+    cells = (
+        emb.crossJoin(cent)
+        .select("vec_id", "v", "nrm", "label", dist)
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
+    )
+
+    q = cells.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    ).alias("cosine")
+    scored = (
+        cells.join(F.broadcast(q), cells["cell"] == q["qcell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= N_PROBE_K)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "cand_id", "cosine"
+        )
+    )
+
+
+ANN_TOPK_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+centroids AS (
+    SELECT label AS c_label, pos, avg(x) AS c
+    FROM e
+    GROUP BY 1, 2
+),
+dists AS (
+    SELECT e.vec_id, c.c_label,
+           round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+    FROM e JOIN centroids c ON e.pos = c.pos
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT vec_id, c_label AS cell
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, c_label
+        ) AS rn
+        FROM dists
+    )
+    WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+    SELECT q.query_id, s.vec_id AS cand_id
+    FROM q JOIN cells s ON q.cell = s.cell AND s.vec_id != q.query_id
+),
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           round(sum(a.x * b.x) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM cand c
+    JOIN e a ON a.vec_id = c.query_id
+    JOIN e b ON b.vec_id = c.cand_id AND a.pos = b.pos
+    JOIN norms na ON na.vec_id = c.query_id
+    JOIN norms nb ON nb.vec_id = c.cand_id
+    GROUP BY 1, 2, na.nrm, nb.nrm
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cosine
+FROM ranked
+WHERE rank <= {N_PROBE_K}
+"""

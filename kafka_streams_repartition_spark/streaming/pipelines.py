@@ -74,3 +74,35 @@ def run_to_memory_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_pickup_orders(
+    orders_stream: DataFrame,
+    users: DataFrame,
+    stores: DataFrame,
+    products: DataFrame,
+) -> DataFrame:
+    """The full pickup-order topology with a *streaming* order source:
+    stream-static joins against the dimension tables (J1/J2/J3) + the
+    re-nesting aggregate (A1) + the fully-priced filter (R4).
+
+    Stream-static join semantics match the reference's KStream⋈KTable:
+    only order arrivals emit; the static side is re-read per micro-batch
+    (so a dim refresh lands on the next batch — SURVEY §7 "Hard 1").
+    Use complete/update output mode: A1 is a streaming aggregation.
+    """
+    from ..operators.pickup_order import enrich_pickup_orders
+
+    return enrich_pickup_orders(orders_stream, users, stores, products)
+
+
+def read_state_store(
+    spark: SparkSession, checkpoint_dir: str, batch_id: int | None = None
+) -> DataFrame:
+    """P2 — the reference's interactive store scan
+    (``restore/.../Streams.java:92-116``): read a streaming query's
+    state directly from its checkpoint via the statestore reader."""
+    reader = spark.read.format("statestore").option("path", checkpoint_dir)
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load()

@@ -1,0 +1,130 @@
+"""Skew utilities, restore job, streaming pickup-order, state reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_repartition_spark.functions.debug import peek, with_task_info
+from kafka_streams_repartition_spark.functions.skew import salted_agg
+from kafka_streams_repartition_spark.operators.restore import changelog_restore_job
+from kafka_streams_repartition_spark.sources.fixtures import generate_reference_tables
+from kafka_streams_repartition_spark.sources.tables import load_table
+from kafka_streams_repartition_spark.streaming import (
+    run_to_memory_available_now,
+    stream_pickup_orders,
+    stream_product_stats,
+)
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = salted_agg(
+        li,
+        ["l_partkey"],
+        lambda: [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("q"),
+        ],
+        lambda: [
+            F.sum("n").alias("n"),
+            F.sum("q").alias("q"),
+        ],
+        n_salts=8,
+    )
+    want = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    )
+    g = {r["l_partkey"]: (r["n"], round(r["q"], 6)) for r in got.collect()}
+    w = {r["l_partkey"]: (r["n"], round(r["q"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_changelog_restore_job(spark):
+    """M1+M2: raw changelog records → latest snapshot, repartitioned."""
+    schema = T.StructType(
+        [T.StructField("sku", T.StringType()), T.StructField("qty", T.LongType())]
+    )
+    raw = spark.createDataFrame(
+        [
+            ("p1", '{"sku":"p1","qty":1}', "cl", 0, 0, None),
+            ("p1", '{"sku":"p1","qty":7}', "cl", 0, 9, None),
+            ("p2", '{"sku":"p2","qty":3}', "cl", 1, 1, None),
+            ("p3", '{"sku":"p3","qty":5}', "cl", 1, 2, None),
+            ("p3", None, "cl", 1, 8, None),  # tombstoned before snapshot
+        ],
+        "key string, value string, topic string, partition int, offset long, timestamp timestamp",
+    )
+    snap = changelog_restore_job(raw, schema, n_output_partitions=8)
+    got = {r["key"]: r["qty"] for r in snap.collect()}
+    assert got == {"p1": 7, "p2": 3}
+    assert snap.rdd.getNumPartitions() == 8
+
+
+def test_stream_pickup_orders_equals_batch(spark, tmp_path):
+    ref = generate_reference_tables(spark, n_orders=150, seed=3)
+    from kafka_streams_repartition_spark.operators.pickup_order import (
+        enrich_pickup_orders,
+    )
+
+    path = str(tmp_path / "orders")
+    ref["purchase_orders"].repartition(3).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(ref["purchase_orders"].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_pickup_orders(stream, ref["users"], ref["stores"], ref["products"])
+    final = run_to_memory_available_now(spark, out, mode="complete")
+    batch = enrich_pickup_orders(
+        ref["purchase_orders"], ref["users"], ref["stores"], ref["products"]
+    )
+
+    def canon(df):
+        return {
+            r["order_id"]: (
+                r["user"]["email"],
+                r["store"]["city"],
+                tuple((i["sku"], i["quantity"], str(i["price"])) for i in r["items"]),
+            )
+            for r in df.collect()
+        }
+
+    assert canon(final) == canon(batch)
+
+
+def test_state_store_reader(spark, tmp_path):
+    """P2: a streaming aggregation's keyed state is inspectable from
+    the checkpoint."""
+    li = generate_reference_tables(spark, n_orders=60, seed=5)
+    from kafka_streams_repartition_spark.sources.fixtures import orders_as_lineitems
+
+    items = orders_as_lineitems(li["purchase_orders"], li["products"])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    items.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(items.schema).parquet(src)
+    agg = stream_product_stats(stream).select("l_partkey", "orders", "quantity")
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from kafka_streams_repartition_spark.streaming import read_state_store
+
+    state = read_state_store(spark, ckpt)
+    assert state.count() == items.filter(F.col("l_quantity") > 0).select(
+        "l_partkey"
+    ).distinct().count()
+
+
+def test_peek_and_task_info(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = peek(li, "li_in")
+    assert observed.count() == li.count()
+    tagged = with_task_info(li.limit(10))
+    assert all(r["_partition_id"] >= 0 for r in tagged.collect())
