@@ -101,7 +101,9 @@ def dedup_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     exact word-trigram Jaccard ≥ threshold via shared-shingle join."""
     grams = _doc_grams(t["documents"]).cache()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    q_grams = grams.filter(F.col("doc_id") % QUERY_MOD == 0)
+    # the bounded query side broadcasts: the shared-shingle pairing
+    # becomes a map-side join over the corpus scan, no gram shuffle
+    q_grams = F.broadcast(grams.filter(F.col("doc_id") % QUERY_MOD == 0))
     inter = (
         q_grams.alias("a")
         .join(grams.alias("b"), ["gram"])

@@ -131,6 +131,42 @@ def test_migrate_v1_stream_merges_state(spark, tmp_path):
     assert state == want
 
 
+def test_purchase_order_generator_deterministic_and_bounded(spark):
+    """G1 (Producer.java:33-76): field domains hold and the same tick
+    sequence yields the same orders (no Python in the loop)."""
+    from kafka_streams_repartition_spark.sources.generator import (
+        MAX_ITEMS,
+        MAX_QTY,
+        N_STORES,
+        N_USERS,
+        derive_purchase_orders,
+    )
+
+    ticks = spark.range(200).select(
+        F.current_timestamp().alias("timestamp"), F.col("id").alias("value")
+    )
+    a = derive_purchase_orders(ticks)
+    rows = a.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert 0 <= int(r["user_id"]) < N_USERS
+        assert 0 <= int(r["store_id"]) < N_STORES
+        assert 1 <= len(r["items"]) <= MAX_ITEMS
+        for it in r["items"]:
+            assert len(it["sku"]) == 10 and it["sku"].isdigit()
+            assert 1 <= it["quantity"] <= MAX_QTY
+            assert it["price"] is None
+    again = {
+        r["order_id"]: (r["user_id"], r["store_id"], [i["sku"] for i in r["items"]])
+        for r in derive_purchase_orders(ticks).collect()
+    }
+    first = {
+        r["order_id"]: (r["user_id"], r["store_id"], [i["sku"] for i in r["items"]])
+        for r in rows
+    }
+    assert again == first
+
+
 def test_kafka_decode_permissive_and_ktable(spark):
     """Log-and-continue decode + compacted-topic materialization."""
     schema = "user_id string, name string"
