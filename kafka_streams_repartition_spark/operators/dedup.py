@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_ngrams, words
-from ..functions.vectors import dot, norm, to_double_array
+from ..functions.vectors import dot_unrolled, norm_unrolled, to_double_array
 from ..sources.tables import fan_out
 
 NGRAM_N = 3
@@ -40,17 +40,27 @@ MINHASH_SEEDS = 12
 MINHASH_BANDS = 4  # 4 bands × 3 rows
 JACCARD_THRESHOLD = 0.5
 EMBED_COSINE_THRESHOLD = 0.3
+EMBED_DIM = 64  # embeddings.embedding dimension (TESTDATA.md)
 QUERY_MOD = 20  # query subset for query-vs-corpus ops
+
+
+def _doc_gram_arrays(documents: DataFrame) -> DataFrame:
+    """(doc_id, grams, n): distinct word-3-gram shingles per document.
+
+    Entirely map-side: each document is one input row, so per-doc
+    ``array_distinct`` replaces a global explode+distinct (which would
+    shuffle the full shingle set — the dominant cost at corpus scale).
+    """
+    return fan_out(documents).select(
+        "doc_id",
+        F.array_distinct(word_ngrams(words(F.col("text")), NGRAM_N)).alias("grams"),
+    ).withColumn("n", F.size("grams"))
 
 
 def _doc_grams(documents: DataFrame) -> DataFrame:
     """Distinct (doc_id, gram): word 3-gram shingles, lowercased."""
-    return (
-        fan_out(documents)
-        .select(
-            "doc_id", F.explode(word_ngrams(words(F.col("text")), NGRAM_N)).alias("gram")
-        )
-        .distinct()
+    return _doc_gram_arrays(documents).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
 
 
@@ -99,8 +109,9 @@ GROUP BY 1
 def dedup_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     """Near-dup candidates of a query subset against the full corpus:
     exact word-trigram Jaccard ≥ threshold via shared-shingle join."""
-    grams = _doc_grams(t["documents"]).cache()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    arr = _doc_gram_arrays(t["documents"]).cache()
+    grams = arr.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = arr.select("doc_id", "n")
     # the bounded query side broadcasts: the shared-shingle pairing
     # becomes a map-side join over the corpus scan, no gram shuffle
     q_grams = F.broadcast(grams.filter(F.col("doc_id") % QUERY_MOD == 0))
@@ -150,14 +161,23 @@ def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
 
     MinHash draw = lexicographic min of ``md5(seed || ':' || gram)``
     (portable across engines; see functions/hashing.py).
+
+    Plan shape: signatures and bands are map-side passes over the
+    per-doc gram arrays (``array_min`` over a ``transform``, no
+    explode/groupBy shuffle); the only shuffles are the band-bucket
+    self-join and the candidate verification joins, both bounded by
+    collision count, never all-pairs. Verification is
+    ``size(array_intersect(...))`` on the two gram arrays instead of a
+    re-exploded gram join.
     """
-    grams = _doc_grams(t["documents"]).cache()
-    sig = grams.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")))).alias(f"h{s}")
-            for s in range(MINHASH_SEEDS)
-        ]
-    )
+    arr = _doc_gram_arrays(t["documents"]).cache()
+
+    def _minhash(s: int) -> F.Column:
+        return F.array_min(
+            F.transform("grams", lambda g: F.md5(F.concat(F.lit(f"{s}:"), g)))
+        ).alias(f"h{s}")
+
+    sig = arr.select("doc_id", *[_minhash(s) for s in range(MINHASH_SEEDS)])
     rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
     bands = sig.select(
         "doc_id",
@@ -187,23 +207,20 @@ def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
         )
         .distinct()
     )
-    inter = (
-        cand.join(grams.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
-        .join(
-            grams.alias("gb"),
-            (F.col("doc_b") == F.col("gb.doc_id"))
-            & (F.col("ga.gram") == F.col("gb.gram")),
+    pairs = (
+        cand.join(arr.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(arr.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("inter"),
+            F.col("ga.n").alias("na"),
+            F.col("gb.n").alias("nb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -253,27 +270,32 @@ def dedup_simhash(t: dict[str, DataFrame]) -> DataFrame:
 
     Bit b votes +1/-1 by the high bit of hex digit b of md5(token)
     (portable across engines); fingerprint bit set where the vote sum
-    is positive. Linear in corpus size — the scale-friendly shape.
+    is positive. Zero-shuffle: token md5s and per-bit vote sums are all
+    per-row array expressions (``array_distinct`` + ``aggregate``), so
+    the whole fingerprint is a narrow map over the corpus scan —
+    embarrassingly parallel at any scale.
     """
-    toks = (
+    hs = F.transform(
+        F.array_distinct(words(F.col("text"))), lambda tk: F.md5(tk)
+    )
+    docs = (
         fan_out(t["documents"])
-        .select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
-        .distinct()
-        .withColumn("h", F.md5("tok"))
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)  # docs with no tokens have no votes
     )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.substring("h", b, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(1, SIMHASH_BITS + 1)
-        ]
-    )
+    def _vote(b: int) -> F.Column:
+        return F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, b, 1) >= "8", 1).otherwise(-1),
+        )
+
     simhash = None
     for b in range(1, SIMHASH_BITS + 1):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - 1))).otherwise(F.lit(0))
+        term = F.when(_vote(b) > 0, F.lit(1 << (b - 1))).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
+    return docs.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 DEDUP_SIMHASH_ORACLE = f"""
@@ -308,13 +330,15 @@ def dedup_embedding(t: dict[str, DataFrame]) -> DataFrame:
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    emb = emb.withColumn("nrm", norm(F.col("v")))
+    emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), EMBED_DIM))
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = dot_unrolled(F.col("qv"), F.col("v"), EMBED_DIM) / (
+        F.col("qn") * F.col("nrm")
+    )
     return (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
