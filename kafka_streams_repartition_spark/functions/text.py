@@ -24,11 +24,10 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     shape the DuckDB oracles use, so results hash-match exactly.
     """
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    # slice+concat_ws beats n element_at lookups ~2× in the interpreted
+    # HOF evaluator (one bulk copy instead of n boxed index probes)
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
     )
     # Guard short docs: sequence(0, negative) would DESCEND in Spark.
     return F.when(F.size(tokens) >= n, grams).otherwise(
