@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q(dd.dedup_simhash),
         "dedup_embedding": _q(dd.dedup_embedding),
         "ann_topk_bruteforce": _q(sim.ann_topk_bruteforce),
+        "ann_topk_vectorized": _q(sim.ann_topk_vectorized),
         "ann_topk_lsh": _q(sim.ann_topk_lsh),
         "ann_topk_ivf": _q(sim.ann_topk_ivf),
         "text_stats": _q(tx.text_stats),
@@ -63,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q(tx.token_count),
         "doc_fingerprint": _q(tx.doc_fingerprint),
         "multimodal_meta": _q(mm.multimodal_meta),
+        "multimodal_frames": _q(mm.multimodal_frames),
+        "multimodal_features": _q(mm.multimodal_features),
     }
 
 
@@ -84,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.DEDUP_SIMHASH_ORACLE,
         "dedup_embedding": dd.DEDUP_EMBEDDING_ORACLE,
         "ann_topk_bruteforce": sim.ANN_TOPK_BRUTEFORCE_ORACLE,
+        "ann_topk_vectorized": sim.ANN_TOPK_VECTORIZED_ORACLE,
         "ann_topk_lsh": sim.ANN_TOPK_LSH_ORACLE,
         "ann_topk_ivf": sim.ANN_TOPK_IVF_ORACLE,
         "text_stats": tx.TEXT_STATS_ORACLE,
@@ -91,4 +95,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count": tx.TOKEN_COUNT_ORACLE,
         "doc_fingerprint": tx.DOC_FINGERPRINT_ORACLE,
         "multimodal_meta": mm.MULTIMODAL_META_ORACLE,
+        "multimodal_frames": mm.MULTIMODAL_FRAMES_ORACLE,
+        "multimodal_features": mm.MULTIMODAL_FEATURES_ORACLE,
     }

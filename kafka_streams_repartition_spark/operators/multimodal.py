@@ -107,3 +107,194 @@ SELECT doc_id AS media_id,
             AS BIGINT) AS n_chunks
 FROM documents
 """
+
+
+# --- frame sampling (video → frames, 1→N) ---------------------------------
+
+FRAME_BYTES = 64
+
+
+def multimodal_frames(t: dict[str, DataFrame]) -> DataFrame:
+    """Frame sampling as declarative 1→N expansion (oracle-checked).
+
+    The payload is treated as a concatenated frame stream; each
+    fixed-size chunk becomes one frame row with its own hash. At scale
+    this is a narrow ``posexplode`` over the media scan — per-row output
+    is bounded by payload size, no shuffle. The codec-backed variant
+    with the same output contract is ``sample_frames_pandas``.
+    """
+    docs = t["documents"]
+    # empty media yields one empty frame (greatest guard also keeps
+    # sequence() ascending — sequence(0, -1) would DESCEND in Spark)
+    n_frames = F.greatest(
+        F.ceil(F.length("text") / FRAME_BYTES), F.lit(1)
+    ).cast("int")
+    frames = docs.select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_i"),
+    )
+    frame = F.substring(F.col("text"), F.col("frame_idx") * FRAME_BYTES + 1, FRAME_BYTES)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length(frame).cast("long").alias("frame_len"),
+        F.md5(frame).alias("frame_hash"),
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = f"""
+SELECT media_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(length(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+           AS frame_len,
+       md5(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_hash
+FROM (
+    SELECT doc_id AS media_id, text,
+           unnest(generate_series(
+               0,
+               greatest(CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT), 1) - 1
+           )) AS i
+    FROM documents
+)
+"""
+
+
+def sample_frames_pandas(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Codec-shaped frame sampler: Arrow-batched ``mapInPandas`` with
+    1→N emission (one input blob, many frame rows) — the batch shape a
+    real ffmpeg-backed sampler would use. The fake codec chunks the
+    payload at FRAME_BYTES so its output is bit-identical to the
+    declarative ``multimodal_frames`` (tested)."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame_len", T.LongType()),
+            T.StructField("frame_hash", T.StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode libraries not available; pass fake=True"
+                )
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_len": [], "frame_hash": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                for i in range(0, max(len(data), 1), FRAME_BYTES):
+                    chunk = data[i : i + FRAME_BYTES]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i // FRAME_BYTES)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, schema=out_schema)
+
+
+# --- feature extraction (media → embedding) --------------------------------
+
+FEAT_DIM = 8
+
+
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Feature-extract stage: binary payload → double[] embedding via
+    Arrow-batched ``mapInPandas`` — the exact plumbing (schema, batch
+    shape, partition preservation) a model-backed featurizer uses; only
+    the codec/model call is stubbed. The fake features are md5-derived
+    uniform floats so a SQL oracle can replay them bit-for-bit.
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("pos", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature-extraction model not available; pass fake=True"
+                )
+            out: dict[str, list] = {"media_id": [], "pos": [], "x": []}
+            for mid in pdf["media_id"]:
+                for i in range(FEAT_DIM):
+                    h = hashlib.md5(f"{mid}:{i}".encode()).hexdigest()[:8]
+                    out["media_id"].append(mid)
+                    out["pos"].append(i)
+                    out["x"].append(round(int(h, 16) / 2**32, 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(featurize, schema=out_schema)
+
+
+def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
+    """The Python feature-extract stage itself, oracle-gated: DuckDB
+    reproduces the md5-float stub in SQL, so the Arrow plumbing (not
+    just the math) is what the hash-match certifies."""
+    media = documents_as_media(t["documents"])
+    return extract_features(media, fake=True)
+
+
+MULTIMODAL_FEATURES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(i AS BIGINT) AS pos,
+       round(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0, 6) AS x
+FROM documents, generate_series(0, {FEAT_DIM - 1}) AS t(i)
+"""
+
+
+# --- resize (image → image, payload-preserving plumbing) -------------------
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize stage: binary → binary ``mapInPandas`` keeping the media
+    schema (payload replaced, dims attached). The fake codec
+    truncates/zero-pads the payload to width*height bytes — a real PIL
+    resize drops in with the identical batch contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize libraries not available; pass fake=True"
+                )
+            payloads = pdf["payload"].map(
+                lambda b: bytes(b or b"")[:target].ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=out_schema)

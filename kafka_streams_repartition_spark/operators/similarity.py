@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import hex_sign
 from ..functions.vectors import dot, norm, to_double_array
@@ -195,6 +196,82 @@ WHERE rank <= {TOP_K}
 
 
 ANN_TOPK_LSH_ORACLE = _lsh_oracle()
+
+
+# --- Arrow-vectorized brute force (the 100 TB scan path) -------------------
+
+
+def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
+    """Brute-force top-k with the scan math in numpy.
+
+    Same contract and oracle as ``ann_topk_bruteforce``, different
+    physical strategy: the bounded query set is collected once into a
+    numpy matrix shipped to every task; the corpus streams through
+    ``mapInPandas`` in Arrow batches and each batch is one BLAS
+    matrix-multiply against all queries. Each batch pre-selects its own
+    top-k per query (a superset of the global top-k), so the shuffle
+    into the final ``row_number`` carries k·batches rows per query, not
+    |corpus|. This is the shape that wins at 100 TB: no per-row
+    expression evaluation, no Python loop, shuffle bounded by k.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = fan_out(t["embeddings"]).select("vec_id", "embedding")
+    q_rows = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = np.sqrt((c * c).sum(axis=1))
+            cos = np.round((c @ q_mat.T) / np.outer(c_norm, q_norm), 6)
+            parts = []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                mask = ids != qid
+                # per-batch top-k superset: k best by (cosine desc, id asc)
+                order = np.lexsort((ids[mask], -col[mask]))[:TOP_K]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "cand_id": ids[mask][order],
+                            "cosine": col[mask][order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = emb.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "cand_id", "cosine")
+    )
+
+
+# shares the brute-force contract — DuckDB replays the same math
+ANN_TOPK_VECTORIZED_ORACLE = ANN_TOPK_BRUTEFORCE_ORACLE
 
 
 # --- IVF (coarse-quantizer cells from the label column) -------------------

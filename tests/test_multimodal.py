@@ -1,0 +1,88 @@
+"""Multimodal plumbing: the Arrow-batched codec stages must agree with
+their declarative equivalents, and the stub gates must be explicit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_repartition_spark.operators.multimodal import (
+    decode_image_meta,
+    documents_as_media,
+    extract_features,
+    multimodal_frames,
+    resize_media,
+    sample_frames_pandas,
+)
+from kafka_streams_repartition_spark.sources.tables import load_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def _collect_frames(df):
+    return sorted(
+        (r["media_id"], r["frame_idx"], r["frame_len"], r["frame_hash"])
+        for r in df.collect()
+    )
+
+
+def test_pandas_frame_sampler_matches_declarative(spark, tables):
+    """The mapInPandas codec stub and the posexplode form are the same
+    operator — bit-identical frames."""
+    media = documents_as_media(tables["documents"])
+    got = _collect_frames(sample_frames_pandas(media, fake=True))
+    want = _collect_frames(multimodal_frames(tables))
+    assert got == want and len(got) > 0
+
+
+def test_resize_media_plumbing(spark, tables):
+    media = documents_as_media(tables["documents"].limit(20))
+    out = resize_media(media, width=8, height=4, fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["payload"]) == 32
+        assert (r["width"], r["height"]) == (8, 4)
+
+
+def test_extract_features_shape(spark, tables):
+    media = documents_as_media(tables["documents"].limit(5))
+    out = extract_features(media, fake=True).collect()
+    assert len(out) == 5 * 8
+    assert all(0.0 <= r["x"] < 1.0 for r in out)
+
+
+def test_codec_stubs_raise_without_fake(spark, tables):
+    media = documents_as_media(tables["documents"].limit(1))
+    for stage in (
+        decode_image_meta(media),
+        sample_frames_pandas(media),
+        resize_media(media, 4, 4),
+        extract_features(media),
+    ):
+        with pytest.raises(Exception, match="NotImplementedError|not available"):
+            stage.collect()
+
+
+def test_decode_image_meta_deterministic(spark, tables):
+    media = documents_as_media(tables["documents"].limit(50))
+    a = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+         for r in decode_image_meta(media, fake=True).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+         for r in decode_image_meta(media, fake=True).collect()}
+    assert a == b and len(a) == 50
+
+
+def test_vectorized_ann_matches_jvm_bruteforce(spark, tables):
+    """Two physical strategies, one logical result."""
+    from kafka_streams_repartition_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_vectorized,
+    )
+
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["cosine"]) for r in df.collect()
+    )
+    assert key(ann_topk_vectorized(tables)) == key(ann_topk_bruteforce(tables))
