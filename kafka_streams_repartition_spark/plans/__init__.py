@@ -5,6 +5,7 @@ from .checks import (
     assert_pushed_filters,
     assert_read_schema_pruned,
     count_exchanges,
+    count_key_exchanges,
     count_scans,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "assert_pushed_filters",
     "assert_read_schema_pruned",
     "count_exchanges",
+    "count_key_exchanges",
     "count_scans",
 ]

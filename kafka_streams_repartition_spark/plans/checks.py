@@ -75,3 +75,16 @@ def assert_read_schema_pruned(
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan."""
     return explain_str(df).count("Exchange")
+
+
+def count_key_exchanges(df: DataFrame) -> int:
+    """Shuffles that repartition BY KEY (hash/range) — the expensive
+    kind at scale. Round-robin fan-out exchanges (local parallelism for
+    single-file scans) are excluded: on a real cluster the input arrives
+    pre-split and they vanish."""
+    plan = explain_str(df)
+    return sum(
+        ("hashpartitioning" in ln or "rangepartitioning" in ln)
+        and "Arguments" in ln
+        for ln in plan.splitlines()
+    )

@@ -96,6 +96,73 @@ def stream_pickup_orders(
     return enrich_pickup_orders(orders_stream, users, stores, products)
 
 
+def stream_windowed_counts(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time aggregation with a watermark — the
+    Structured Streaming feature the reference's unused ``WindowType``
+    enum (``OptionsUtilTest.java:15``) points at but never builds.
+
+    The watermark bounds state: windows older than
+    ``max(event time) - watermark`` are finalized and their state
+    evicted, and later-arriving rows for them are DROPPED — this is the
+    late-data contract the reference sidesteps by keeping all state
+    forever. Input must have an event-time ``ts`` column.
+
+    Scale: one shuffle on (window, event_type); state per open window ×
+    key only — bounded, unlike the cumulative A2 aggregation.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.unix_millis("win.start").alias("win_start_ms"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_dedup_exact(
+    events: DataFrame, keys: list[str], watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicate
+    arrivals within the watermark horizon are dropped, and dedup state
+    older than the watermark is evicted (bounded state — the scale-safe
+    form of ``dropDuplicates`` on an infinite stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_foreach_batch_available_now(
+    spark: SparkSession, df: DataFrame, checkpoint_dir: str, mode: str = "update"
+) -> list:
+    """Drain a streaming frame with availableNow through foreachBatch,
+    collecting every emitted row (test harness that, unlike the memory
+    sink, supports checkpoint recovery across restarts — needed to test
+    watermark persistence)."""
+    emitted: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        emitted.extend(batch_df.collect())
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return emitted
+
+
 def read_state_store(
     spark: SparkSession, checkpoint_dir: str, batch_id: int | None = None
 ) -> DataFrame:

@@ -70,3 +70,31 @@ def test_windows_prune_events(t):
 
 def test_minhash_no_cartesian(t):
     assert_no_cartesian(dd.dedup_minhash_lsh(t))
+
+
+def test_narrow_ops_have_zero_key_shuffles(t):
+    """SimHash, frame sampling, media meta/features: embarrassingly
+    parallel by design — any hash/range exchange is a regression."""
+    from kafka_streams_repartition_spark.operators import multimodal as mm
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    for fn in [dd.dedup_simhash, mm.multimodal_frames, mm.multimodal_meta,
+               mm.multimodal_features]:
+        assert count_key_exchanges(fn(t)) == 0, fn.__name__
+
+
+def test_dedup_exact_shuffles_once_on_hash(t):
+    """The only wide stage in exact dedup is the 32-byte-key groupBy."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    assert count_key_exchanges(dd.dedup_exact(t)) == 1
+
+
+def test_minhash_signatures_computed_map_side(t):
+    """Signature/banding must not shuffle grams: at most the candidate
+    self-join + verification joins repartition by key."""
+    from kafka_streams_repartition_spark.plans import explain_str as es
+
+    plan = es(dd.dedup_minhash_lsh(t))
+    # no exploded-gram aggregation: array_min/transform appear instead
+    assert "array_min" in plan and "array_intersect" in plan

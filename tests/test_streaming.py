@@ -131,6 +131,98 @@ def test_migrate_v1_stream_merges_state(spark, tmp_path):
     assert state == want
 
 
+def test_windowed_watermark_drops_late_data(spark, tmp_path):
+    """Event-time windows with a watermark: rows arriving after their
+    window passed the persisted watermark are dropped, on-time rows
+    aggregate exactly as in batch."""
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_windowed_counts,
+    )
+
+    from datetime import datetime as dt
+
+    schema = "ts timestamp, event_type string, value double"
+    ts = lambda h, m: dt(2026, 1, 1, h, m)
+    on_time = spark.createDataFrame(
+        [
+            (ts(10, 5), "click", 1.0),
+            (ts(10, 15), "click", 2.0),
+            (ts(11, 10), "view", 4.0),
+            (ts(12, 30), "click", 8.0),  # advances watermark to 12:00
+        ],
+        schema,
+    )
+    late = spark.createDataFrame(
+        [
+            (ts(10, 20), "click", 100.0),  # 10:00 window < watermark
+            (ts(12, 5), "view", 16.0),  # 12:00 window — accepted
+        ],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = lambda: stream_windowed_counts(
+        spark.readStream.schema(on_time.schema).parquet(src),
+        watermark="30 minutes",
+        window="1 hour",
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+    late.coalesce(1).write.mode("append").parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+
+    final: dict = {}
+    for r in first + second:
+        final[(r["win_start_ms"], r["event_type"])] = (r["n"], r["total"])
+    h = lambda hh: int(
+        spark.sql(f"SELECT unix_millis(timestamp'2026-01-01 {hh}:00:00')").first()[0]
+    )
+    assert final == {
+        (h("10"), "click"): (2, 3.0),  # late 100.0 dropped
+        (h("11"), "view"): (1, 4.0),
+        (h("12"), "click"): (1, 8.0),
+        (h("12"), "view"): (1, 16.0),  # within watermark — merged in
+    }
+
+
+def test_stream_dedup_exact_drops_duplicates(spark, tmp_path):
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_dedup_exact,
+    )
+
+    from datetime import datetime as dt
+
+    schema = "ts timestamp, event_id string, value double"
+    a = spark.createDataFrame(
+        [
+            (dt(2026, 1, 1, 10, 0), "e1", 1.0),
+            (dt(2026, 1, 1, 10, 1), "e2", 2.0),
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (dt(2026, 1, 1, 10, 2), "e1", 99.0),  # dup across micro-batches
+            (dt(2026, 1, 1, 10, 3), "e3", 3.0),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = lambda: stream_dedup_exact(
+        spark.readStream.schema(a.schema).parquet(src), ["event_id"]
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="append")
+    b.coalesce(1).write.mode("append").parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="append")
+    got = sorted((r["event_id"], r["value"]) for r in first + second)
+    assert got == [("e1", 1.0), ("e2", 2.0), ("e3", 3.0)]
+
+
 def test_purchase_order_generator_deterministic_and_bounded(spark):
     """G1 (Producer.java:33-76): field domains hold and the same tick
     sequence yields the same orders (no Python in the loop)."""
