@@ -23,6 +23,7 @@ from kafka_streams_repartition_spark.operators import dedup as dd
 from kafka_streams_repartition_spark.operators import similarity as sim
 from kafka_streams_repartition_spark.operators import text_analysis as tx
 from kafka_streams_repartition_spark.operators import multimodal as mm
+from kafka_streams_repartition_spark.operators import analytics as an
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -66,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q(mm.multimodal_meta),
         "multimodal_frames": _q(mm.multimodal_frames),
         "multimodal_features": _q(mm.multimodal_features),
+        "top_sellers_per_nation": _q(an.top_sellers_per_nation),
+        "sales_rollup": _q(an.sales_rollup),
     }
 
 
@@ -97,4 +100,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": mm.MULTIMODAL_META_ORACLE,
         "multimodal_frames": mm.MULTIMODAL_FRAMES_ORACLE,
         "multimodal_features": mm.MULTIMODAL_FEATURES_ORACLE,
+        "top_sellers_per_nation": an.TOP_SELLERS_PER_NATION_ORACLE,
+        "sales_rollup": an.SALES_ROLLUP_ORACLE,
     }

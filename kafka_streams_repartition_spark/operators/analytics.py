@@ -1,0 +1,134 @@
+"""Analytic operators the reference cannot express at all.
+
+SURVEY §2.4 records that the reference has no ranking, no top-k, no
+grouping sets, no set operations — a Kafka Streams DSL limitation, not
+a domain one. On Spark these are free Catalyst plans; exposing them
+oracle-checked makes the "switch to this repo" story complete for a
+user who would otherwise bolt a second system onto the stream output.
+
+Scale notes: ``top_sellers_per_nation`` is one shuffle on the grouping
+key then a per-partition sort bounded by k (Spark plans
+``WindowGroupLimit`` pushdown for rank<=k filters, so the sort never
+materializes full groups). ``sales_rollup`` is a single pass — Spark
+expands grouping sets map-side and partially aggregates before the one
+wide shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOP_K_SELLERS = 5
+
+
+def top_sellers_per_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-k customers per nation by order count + revenue (ranking /
+    analytic window surface)."""
+    per_cust = (
+        t["orders"]
+        .select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    joined = per_cust.join(
+        t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "inner",
+    ).join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "inner",
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K_SELLERS)
+        .select(
+            "nation",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("c_name").alias("customer"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "revenue",
+        )
+    )
+
+
+TOP_SELLERS_PER_NATION_ORACLE = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+),
+ranked AS (
+    SELECT n.n_name AS nation,
+           c.c_name AS customer,
+           p.n_orders,
+           p.revenue,
+           row_number() OVER (
+               PARTITION BY n.n_name ORDER BY p.revenue DESC, c.c_custkey
+           ) AS rank
+    FROM per_cust p
+    JOIN customer c ON p.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, CAST(rank AS BIGINT) AS rank, customer, n_orders, revenue
+FROM ranked
+WHERE rank <= {TOP_K_SELLERS}
+"""
+
+
+def sales_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP (nation → order status → grand total): the grouping-sets
+    surface, with ``grouping_id`` distinguishing subtotal levels."""
+    src = (
+        t["orders"]
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+    )
+    return (
+        src.rollup("nation", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "revenue",
+            F.col("gid").cast("long").alias("gid"),
+        )
+    )
+
+
+SALES_ROLLUP_ORACLE = """
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(o.o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(grouping(n.n_name) * 2 + grouping(o.o_orderstatus) AS BIGINT) AS gid
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, o.o_orderstatus)
+"""
