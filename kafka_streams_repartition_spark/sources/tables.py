@@ -28,7 +28,17 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (spark id, sf_dir, name) → DataFrame. DataFrames are lazy plans, but
+# creating one re-reads parquet footers for schema inference; a bench
+# run touches 10 tables × ~28 queries, so memoize per session.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos (see session.py); truncate
@@ -37,6 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -6,6 +6,7 @@ from .pipelines import (
     stream_latest_per_key,
     stream_pickup_orders,
     stream_product_stats,
+    stream_session_counts,
     stream_windowed_counts,
 )
 from .state import migrate_v1_stream
@@ -18,6 +19,7 @@ __all__ = [
     "stream_latest_per_key",
     "stream_pickup_orders",
     "stream_product_stats",
+    "stream_session_counts",
     "stream_windowed_counts",
     "migrate_v1_stream",
 ]

@@ -130,6 +130,35 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    key: str = "event_type",
+) -> DataFrame:
+    """Session windows on an infinite stream: ``session_window`` merges
+    events within ``gap`` of each other per key; the watermark closes
+    sessions once no extension can arrive, evicting their state. The
+    batch analog is ``operators/windows.session_events``; this is the
+    form that holds state only for OPEN sessions.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.unix_millis("win.start").alias("session_start_ms"),
+            F.unix_millis("win.end").alias("session_end_ms"),
+            key,
+            "n",
+            "total",
+        )
+    )
+
+
 def stream_dedup_exact(
     events: DataFrame, keys: list[str], watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -187,6 +187,63 @@ def test_windowed_watermark_drops_late_data(spark, tmp_path):
     }
 
 
+def test_stream_session_windows_merge_and_close(spark, tmp_path):
+    """Session windows: events within the gap merge into one session
+    (across micro-batches), a quiet period splits sessions, and closed
+    sessions drop state past the watermark."""
+    from datetime import datetime as dt
+
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_session_counts,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    ts = lambda h, m: dt(2026, 1, 1, h, m)
+    a = spark.createDataFrame(
+        [
+            (ts(10, 0), "click", 1.0),
+            (ts(10, 10), "click", 2.0),  # merges: within 30 min gap
+            (ts(13, 0), "click", 4.0),  # new session after quiet period
+        ],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = lambda: stream_session_counts(
+        spark.readStream.schema(a.schema).parquet(src),
+        gap="30 minutes",
+        watermark="30 minutes",
+    )
+    # session windows emit on CLOSE (append mode): a session is final
+    # once the watermark passes its end
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="append")
+    b = spark.createDataFrame(
+        [(ts(13, 10), "click", 8.0)], schema  # extends the open session
+    )
+    b.coalesce(1).write.mode("append").parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="append")
+    c = spark.createDataFrame(
+        [(ts(15, 0), "click", 16.0)], schema  # watermark → 14:30 closes 13:00 session
+    )
+    c.coalesce(1).write.mode("append").parquet(src)
+    third = run_foreach_batch_available_now(spark, stream(), ckpt, mode="append")
+
+    final: dict = {}
+    for r in first + second + third:
+        final[r["session_start_ms"]] = (r["session_end_ms"], r["n"], r["total"])
+    ms = lambda h, m: int(
+        spark.sql(
+            f"SELECT unix_millis(timestamp'2026-01-01 {h:02d}:{m:02d}:00')"
+        ).first()[0]
+    )
+    assert final == {
+        ms(10, 0): (ms(10, 40), 2, 3.0),  # merged, end = last + gap
+        ms(13, 0): (ms(13, 40), 2, 12.0),  # extended across batches, then closed
+    }  # the 15:00 session is still open — correctly NOT emitted
+
+
 def test_stream_dedup_exact_drops_duplicates(spark, tmp_path):
     from kafka_streams_repartition_spark.streaming import (
         run_foreach_batch_available_now,
