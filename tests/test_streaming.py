@@ -187,6 +187,48 @@ def test_windowed_watermark_drops_late_data(spark, tmp_path):
     }
 
 
+def test_stream_windowed_counts_equals_batch_on_events_table(spark, sf_dir, tmp_path):
+    """The driver's events table through the watermarked streaming
+    window == the oracle-checked batch tumbling aggregation, when every
+    event is on time (union of per-batch update emissions, last wins)."""
+    from kafka_streams_repartition_spark.sources.tables import load_table
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_windowed_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    path = str(tmp_path / "events_src")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    # generous watermark: files stream in arbitrary order, nothing is
+    # late, so streaming final state must equal the batch aggregate
+    stream = stream_windowed_counts(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(path),
+        watermark="30 days",
+        window="1 hour",
+    )
+    emitted = run_foreach_batch_available_now(
+        spark, stream, str(tmp_path / "ckpt"), mode="update"
+    )
+    final: dict = {}
+    for r in emitted:  # update mode re-emits; last emission per key wins
+        final[(r["win_start_ms"], r["event_type"])] = (r["n"], r["total"])
+    batch = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    want = {
+        (int(r["ms"]), r["event_type"]): (r["n"], r["total"])
+        for r in batch.select(
+            F.unix_millis("w.start").alias("ms"), "event_type", "n", "total"
+        ).collect()
+    }
+    assert len(final) == len(want) > 0
+    for k, (n, total) in want.items():
+        got_n, got_total = final[k]
+        assert got_n == n, k
+        assert abs(got_total - total) < 0.02, k  # sum order differs stream vs batch
+
+
 def test_stream_session_windows_merge_and_close(spark, tmp_path):
     """Session windows: events within the gap merge into one session
     (across micro-batches), a quiet period splits sessions, and closed
