@@ -5,6 +5,7 @@ scans stay pruned, no cartesian products sneak in."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_streams_repartition_spark.operators import (
     dedup as dd,
@@ -88,6 +89,32 @@ def test_dedup_exact_shuffles_once_on_hash(t):
     from kafka_streams_repartition_spark.plans import count_key_exchanges
 
     assert count_key_exchanges(dd.dedup_exact(t)) == 1
+
+
+def test_bucketed_join_is_exchange_free(spark, t):
+    """Co-located join via bucketing: both sides pre-shuffled at write
+    time, the join itself plans zero key exchanges (the warehouse
+    analog of the reference's co-partitioned topics)."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+    from kafka_streams_repartition_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    li = t["lineitem"].select("l_partkey", "l_quantity").limit(2000)
+    pt = t["part"].select(
+        F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+    )
+    write_bucketed(li, "li_bucketed", 8, "l_partkey")
+    write_bucketed(pt, "part_bucketed", 8, "l_partkey")
+    joined = bucketed_join(spark, "li_bucketed", "part_bucketed", "l_partkey")
+    assert count_key_exchanges(joined) == 0
+    assert joined.count() > 0
+
+    # mismatched bucket counts degrade to a shuffle, not wrong results
+    write_bucketed(pt, "part_bucketed4", 4, "l_partkey")
+    mismatched = bucketed_join(spark, "li_bucketed", "part_bucketed4", "l_partkey")
+    assert mismatched.count() == joined.count()
 
 
 def test_minhash_signatures_computed_map_side(t):
