@@ -108,6 +108,46 @@ def test_merge_identity(spark, ref):
     assert canon(merged) == canon(full)
 
 
+def test_merge_identity_property(spark, ref):
+    """Property form of merge identity: for ARBITRARY row partitions
+    (hash splits, not just prefixes) v1(A) ⊕ v2(B) == v2(A ∪ B) —
+    merge must be a true monoid fold over any replay slicing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    li = orders_as_lineitems(ref["purchase_orders"], ref["products"]).cache()
+    full = product_stats_v2_typed(li)
+
+    def canon(df):
+        return {
+            r["sku"]: (
+                r["orders"],
+                r["quantity"],
+                dict(r["quantity_by_store"]),
+                sorted(r["order_ids"]),
+            )
+            for r in df.collect()
+        }
+
+    want = canon(full)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def check(seed: int) -> None:
+        side = F.crc32(F.concat(F.col("l_orderkey"), F.lit(str(seed)))) % 2 == 0
+        merged = merge_v1_into_v2(
+            product_stats_v1_typed(li.filter(side)),
+            product_stats_v2_typed(li.filter(~side)),
+        )
+        assert canon(merged) == want
+
+    check()
+
+
 def test_ktable_tombstones(spark):
     """Latest-per-key with tombstone: the latest null deletes the key,
     but an older null below a newer value does not."""
