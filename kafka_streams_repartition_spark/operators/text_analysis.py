@@ -98,6 +98,67 @@ FROM base
 """
 
 
+QUALITY_THRESHOLD = 0.15
+
+
+def corpus_curation(t: dict[str, DataFrame]) -> DataFrame:
+    """End-to-end training-corpus curation — the pipeline these
+    operators exist for, composed and oracle-gated as one plan:
+
+    1. quality gate: keep documents with quality_score ≥ threshold;
+    2. exact dedup: among survivors, keep the min doc_id per md5(text);
+    3. near-dup removal: drop any doc appearing as the higher id of a
+       verified MinHash-LSH pair (jaccard ≥ 0.5, keep-lowest rule).
+
+    Scale shape: stage 1 is a narrow map over the scan; stage 2 shuffles
+    (hash, doc_id) pairs only; stage 3 reuses the LSH candidate
+    machinery (bounded by collision count) and lands as one broadcast
+    anti-join against the tiny dup-pair set.
+    """
+    from .dedup import dedup_minhash_lsh
+
+    stats = text_stats(t).select("doc_id", "n_tokens", "quality_score")
+    survivors = stats.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
+    hashed = (
+        t["documents"]
+        .select("doc_id", F.md5("text").alias("h"))
+        .join(survivors, "doc_id")
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    near_dup_losers = dedup_minhash_lsh(t).select(F.col("doc_b").alias("doc_id"))
+    return (
+        hashed.join(keepers, ["h", "doc_id"])  # semi: keeper rows only
+        .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
+def _curation_oracle() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_ORACLE
+
+    return f"""
+WITH stats AS ({TEXT_STATS_ORACLE}),
+survivors AS (
+    SELECT s.doc_id, s.n_tokens, s.quality_score, md5(d.text) AS h
+    FROM stats s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.quality_score >= {QUALITY_THRESHOLD}
+),
+keepers AS (
+    SELECT h, min(doc_id) AS doc_id FROM survivors GROUP BY 1
+),
+losers AS (
+    SELECT DISTINCT doc_b AS doc_id FROM ({DEDUP_MINHASH_LSH_ORACLE})
+)
+SELECT s.doc_id, s.n_tokens, s.quality_score
+FROM survivors s
+JOIN keepers k ON s.h = k.h AND s.doc_id = k.doc_id
+WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+CORPUS_CURATION_ORACLE = _curation_oracle()
+
+
 def lang_id(t: dict[str, DataFrame]) -> DataFrame:
     """Marker-token language ID with deterministic tie-breaking
     (checked in lexicographic lang order with >=)."""

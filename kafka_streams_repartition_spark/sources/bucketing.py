@@ -18,13 +18,26 @@ story — except here it degrades gracefully instead of corrupting state.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
     df: DataFrame, table: str, n_buckets: int, key: str, sort: bool = True
 ) -> None:
-    """Persist a frame bucketed (and bucket-sorted) by the join key."""
+    """Persist a frame bucketed (and bucket-sorted) by the join key.
+
+    Drops any previous incarnation first: with the in-memory catalog a
+    stale warehouse directory from an earlier session would otherwise
+    fail LOCATION_ALREADY_EXISTS even in overwrite mode.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     writer = df.write.bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
