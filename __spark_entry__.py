@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q(mm.multimodal_features),
         "top_sellers_per_nation": _q(an.top_sellers_per_nation),
         "sales_rollup": _q(an.sales_rollup),
+        "supplier_volume": _q(an.supplier_volume),
         "corpus_curation": _q(tx.corpus_curation),
     }
 
@@ -103,5 +104,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": mm.MULTIMODAL_FEATURES_ORACLE,
         "top_sellers_per_nation": an.TOP_SELLERS_PER_NATION_ORACLE,
         "sales_rollup": an.SALES_ROLLUP_ORACLE,
+        "supplier_volume": an.SUPPLIER_VOLUME_ORACLE,
         "corpus_curation": tx.CORPUS_CURATION_ORACLE,
     }

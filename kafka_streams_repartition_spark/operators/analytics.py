@@ -132,3 +132,58 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (n.n_name, o.o_orderstatus)
 """
+
+
+def supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-supplier-nation supply volume: the store-side enrichment
+    shape (J2) applied to the supplier dimension — lineitem shuffles
+    once on suppkey after a map-side partial, supplier and nation
+    broadcast."""
+    per_supp = (
+        t["lineitem"]
+        .select("l_suppkey", "l_quantity")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("supply_qty"),
+        )
+    )
+    return (
+        per_supp.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.round(F.sum("supply_qty"), 2).alias("supply_qty"),
+        )
+    )
+
+
+SUPPLIER_VOLUME_ORACLE = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS supply_qty
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(p.n_items) AS BIGINT) AS n_items,
+       round(sum(p.supply_qty), 2) AS supply_qty
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
