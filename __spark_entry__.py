@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_events": _q(win.hopping_events),
         "session_events": _q(win.session_events),
         "sliding_events": _q(win.sliding_events),
+        "event_props_stats": _q(win.event_props_stats),
         "dedup_exact": _q(dd.dedup_exact),
         "dedup_ngram_jaccard": _q(dd.dedup_ngram_jaccard),
         "dedup_minhash_lsh": _q(dd.dedup_minhash_lsh),
@@ -86,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_events": win.HOPPING_EVENTS_ORACLE,
         "session_events": win.SESSION_EVENTS_ORACLE,
         "sliding_events": win.SLIDING_EVENTS_ORACLE,
+        "event_props_stats": win.EVENT_PROPS_STATS_ORACLE,
         "dedup_exact": dd.DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": dd.DEDUP_NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": dd.DEDUP_MINHASH_LSH_ORACLE,

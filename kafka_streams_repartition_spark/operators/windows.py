@@ -210,3 +210,41 @@ WINDOW w AS (
     RANGE BETWEEN {SLIDE_RANGE_MS} PRECEDING AND CURRENT ROW
 )
 """
+
+
+def event_props_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """JSON payload decode over the events stream: the reference's whole
+    wire format is JSON blobs (``JsonDeserializer.java:38-53``); here the
+    semi-structured ``props`` column is parsed in-plan (JsonToStructs —
+    codegen-adjacent, no Python) and aggregated per event type.
+
+    Scale: a narrow parse on the scan + one partially-aggregated
+    shuffle; malformed JSON yields nulls (log-and-continue semantics,
+    SURVEY §2.10) counted in ``n_bad``.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_bad"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+    )
+
+
+EVENT_PROPS_STATS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       IS NULL THEN 1 END) AS BIGINT) AS n_bad,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+FROM events
+GROUP BY 1
+"""
