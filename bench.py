@@ -29,11 +29,16 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the queries.
     entrymod.entry(spark).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):  # report best-of-N: JIT/GC noise is ±20%
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
