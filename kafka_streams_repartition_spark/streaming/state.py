@@ -116,6 +116,57 @@ def migrate_v1_stream(replayed_v1: DataFrame) -> DataFrame:
     )
 
 
+def migrate_v1_stream_tws(replayed_v1: DataFrame) -> DataFrame:
+    """The same P1 fold on Spark 4's ``transformWithStateInPandas`` —
+    the successor API (typed per-key ValueState on the RocksDB
+    provider, which session.py already configures). Kept alongside the
+    ``applyInPandasWithState`` form so both stateful surfaces are
+    covered; the runtime requires ``protobuf`` (the state-server wire
+    format), so the equivalence test skips where that isn't installed.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MergeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("v2state", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            current = tuple(self._state.get()) if self._state.exists() else None
+            for pdf in rows:
+                for row in pdf.itertuples(index=False):
+                    current = _merge_one(
+                        current,
+                        int(row.orders),
+                        float(row.quantity),
+                        json.loads(row.store_entries_json),
+                        json.loads(row.order_ids_json),
+                    )
+            if current is not None:
+                self._state.update(current)
+                yield pd.DataFrame(
+                    {
+                        "sku": [key[0]],
+                        "orders": [current[0]],
+                        "quantity": [current[1]],
+                        "store_entries_json": [current[2]],
+                        "order_ids_json": [current[3]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return replayed_v1.groupBy("sku").transformWithStateInPandas(
+        MergeProcessor(),
+        outputStructType=MERGED_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def v1_typed_to_records(v1_typed: DataFrame) -> DataFrame:
     """Adapter: typed V1 stats (array<struct> per-store) → the flat
     JSON-carrying record shape the migration stream consumes."""

@@ -131,6 +131,50 @@ def test_migrate_v1_stream_merges_state(spark, tmp_path):
     assert state == want
 
 
+def test_migrate_v1_stream_tws_matches_legacy_api(spark, tmp_path):
+    """Both stateful APIs (applyInPandasWithState and Spark 4's
+    transformWithStateInPandas) fold the same replay to the same state."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (state-server wire format)",
+    )
+    from kafka_streams_repartition_spark.streaming.state import (
+        migrate_v1_stream_tws,
+    )
+
+    ref = generate_reference_tables(spark, n_orders=80, seed=23)
+    li = orders_as_lineitems(ref["purchase_orders"], ref["products"])
+    rec = v1_typed_to_records(product_stats_v1_typed(li))
+    path = str(tmp_path / "v1rec")
+    rec.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(rec.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    final = run_to_memory_available_now(
+        spark, migrate_v1_stream_tws(stream), mode="update"
+    )
+    got = {}
+    for r in final.collect():  # update re-emissions: fold order, last wins
+        got[r["sku"]] = (
+            r["orders"],
+            r["quantity"],
+            json.loads(r["store_entries_json"]),
+            sorted(json.loads(r["order_ids_json"])),
+        )
+    want = {
+        r["sku"]: (
+            r["orders"],
+            float(r["quantity"]),
+            {str(e["store_id"]): e["quantity"] for e in r["quantity_by_store"]},
+            sorted(str(x) for x in r["order_ids"]),
+        )
+        for r in product_stats_v1_typed(li).collect()
+    }
+    assert got == want
+
+
 def test_windowed_watermark_drops_late_data(spark, tmp_path):
     """Event-time windows with a watermark: rows arriving after their
     window passed the persisted watermark are dropped, on-time rows
