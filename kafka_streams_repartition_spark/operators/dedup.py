@@ -1,6 +1,12 @@
 """Deduplication family over the ``documents`` table (north-star ops;
 no analog in the reference — BASELINE.md(b) requires them as first-class).
 
+Algorithms follow the published originals: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH candidate generation (Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch. 3), and SimHash fingerprints (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002).
+
 All hashing is md5-based so the DuckDB oracle reproduces signatures
 bit-exactly (see ``functions.hashing``). For a throughput-only
 deployment swap md5 → ``F.xxhash64`` (same plan shapes).
