@@ -87,8 +87,14 @@ def stream_pickup_orders(
     re-nesting aggregate (A1) + the fully-priced filter (R4).
 
     Stream-static join semantics match the reference's KStream⋈KTable:
-    only order arrivals emit; the static side is re-read per micro-batch
-    (so a dim refresh lands on the next batch — SURVEY §7 "Hard 1").
+    only order arrivals emit, never dim updates. Caveat (SURVEY §7
+    "Hard 1"): a parquet static side pins its file listing when the
+    plan is built, so a dim refresh lands on the next query RESTART,
+    not the next micro-batch (tested in
+    ``test_streaming.py::test_dim_refresh_lands_on_restart``) — the
+    checkpoint makes restarts cheap. For within-query refresh use a
+    table format whose snapshot resolves per batch (e.g. Delta) or a
+    ``foreachBatch`` join against a re-read dim.
     Use complete/update output mode: A1 is a streaming aggregation.
     """
     from ..operators.pickup_order import enrich_pickup_orders

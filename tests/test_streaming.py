@@ -131,6 +131,46 @@ def test_migrate_v1_stream_merges_state(spark, tmp_path):
     assert state == want
 
 
+def test_dim_refresh_lands_on_restart(spark, tmp_path):
+    """KTable-refresh semantics of the stream-static join: a dimension
+    update is invisible to the running plan (file listing pinned) and
+    takes effect on the next restart — the checkpoint carries stream
+    progress across, so only NEW orders see the new price."""
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    src = str(tmp_path / "orders")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([("s1", 10.0)], "sku string, price double").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    spark.createDataFrame([("o1", "s1")], "order_id string, sku string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    def run():
+        orders = spark.readStream.schema("order_id string, sku string").parquet(src)
+        dim = spark.read.parquet(dim_path)  # bound at (re)start
+        return run_foreach_batch_available_now(
+            spark, orders.join(dim, "sku"), ckpt, mode="append"
+        )
+
+    first = run()
+    # dim update + a new order; the old order is checkpointed as done
+    spark.createDataFrame([("s1", 99.0)], "sku string, price double").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    spark.createDataFrame([("o2", "s1")], "order_id string, sku string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    second = run()
+
+    got = {r["order_id"]: r["price"] for r in first + second}
+    assert got == {"o1": 10.0, "o2": 99.0}
+
+
 def test_migrate_v1_stream_tws_matches_legacy_api(spark, tmp_path):
     """Both stateful APIs (applyInPandasWithState and Spark 4's
     transformWithStateInPandas) fold the same replay to the same state."""
