@@ -91,6 +91,23 @@ def test_dedup_exact_shuffles_once_on_hash(t):
     assert count_key_exchanges(dd.dedup_exact(t)) == 1
 
 
+def test_partition_pruning_reaches_scan(spark, t, tmp_path):
+    """Hive-style partitioned layout + a partition-column predicate:
+    the scan must list only matching partitions (PartitionFilters), the
+    foundation of date-partitioned 100 TB tables."""
+    path = str(tmp_path / "li_part")
+    t["lineitem"].select("l_orderkey", "l_quantity", "l_returnflag").write.partitionBy(
+        "l_returnflag"
+    ).mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
+    # non-matching partitions never scanned: selected files all live
+    # under the R partition directory
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("l_returnflag=R" in f for f in files)
+
+
 def test_bucketed_join_is_exchange_free(spark, t):
     """Co-located join via bucketing: both sides pre-shuffled at write
     time, the join itself plans zero key exchanges (the warehouse
