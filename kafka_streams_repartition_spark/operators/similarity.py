@@ -281,19 +281,15 @@ N_PROBE_K = 10
 
 def _centroids(emb_raw: DataFrame) -> DataFrame:
     """Per-label centroid vectors (the label column acts as the
-    pre-trained coarse quantizer a production IVF index would load)."""
-    return (
-        emb_raw.select(
-            "label", F.posexplode(to_double_array("embedding")).alias("pos", "x")
-        )
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
+    pre-trained coarse quantizer a production IVF index would load).
+
+    One aggregation with DIM positional ``avg`` states — no posexplode
+    (which would multiply the scan by DIM) and a single shuffle."""
+    emb = emb_raw.select("label", to_double_array("embedding").alias("v"))
+    return emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
+        ).alias("cv")
     )
 
 
