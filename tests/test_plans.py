@@ -91,6 +91,14 @@ def test_dedup_exact_shuffles_once_on_hash(t):
     assert count_key_exchanges(dd.dedup_exact(t)) == 1
 
 
+def test_topk_plans_window_group_limit(t):
+    """rank<=k filters must push into WindowGroupLimit so per-group
+    sorts stay bounded by k instead of materializing full groups."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    assert "WindowGroupLimit" in explain_str(an.top_sellers_per_nation(t))
+
+
 def test_partition_pruning_reaches_scan(spark, t, tmp_path):
     """Hive-style partitioned layout + a partition-column predicate:
     the scan must list only matching partitions (PartitionFilters), the
