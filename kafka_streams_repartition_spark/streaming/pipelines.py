@@ -106,6 +106,7 @@ def stream_windowed_counts(
     events: DataFrame,
     watermark: str = "30 minutes",
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time aggregation with a watermark — the
     Structured Streaming feature the reference's unused ``WindowType``
@@ -115,14 +116,19 @@ def stream_windowed_counts(
     ``max(event time) - watermark`` are finalized and their state
     evicted, and later-arriving rows for them are DROPPED — this is the
     late-data contract the reference sidesteps by keeping all state
-    forever. Input must have an event-time ``ts`` column.
+    forever. Input must have an event-time ``ts`` column. Pass
+    ``slide`` for hopping windows (each row lands in window/slide
+    overlapping windows).
 
     Scale: one shuffle on (window, event_type); state per open window ×
     key only — bounded, unlike the cumulative A2 aggregation.
     """
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total"),

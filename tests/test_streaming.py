@@ -313,6 +313,45 @@ def test_stream_windowed_counts_equals_batch_on_events_table(spark, sf_dir, tmp_
         assert abs(got_total - total) < 0.02, k  # sum order differs stream vs batch
 
 
+def test_stream_hopping_windows(spark, tmp_path):
+    """Hopping variant: one event lands in window/slide overlapping
+    windows (1h window, 30m slide → 2 windows per event)."""
+    from datetime import datetime as dt
+
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_windowed_counts,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    a = spark.createDataFrame(
+        [(dt(2026, 1, 1, 10, 40), "click", 1.0)], schema
+    )
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    emitted = run_foreach_batch_available_now(
+        spark,
+        stream_windowed_counts(
+            spark.readStream.schema(a.schema).parquet(src),
+            watermark="1 hour",
+            window="1 hour",
+            slide="30 minutes",
+        ),
+        str(tmp_path / "ckpt"),
+        mode="update",
+    )
+    ms = lambda h, m: int(
+        spark.sql(
+            f"SELECT unix_millis(timestamp'2026-01-01 {h:02d}:{m:02d}:00')"
+        ).first()[0]
+    )
+    got = {(r["win_start_ms"], r["event_type"]): (r["n"], r["total"]) for r in emitted}
+    assert got == {
+        (ms(10, 0), "click"): (1, 1.0),
+        (ms(10, 30), "click"): (1, 1.0),
+    }
+
+
 def test_stream_session_windows_merge_and_close(spark, tmp_path):
     """Session windows: events within the gap merge into one session
     (across micro-batches), a quiet period splits sessions, and closed
