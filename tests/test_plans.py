@@ -91,6 +91,13 @@ def test_dedup_exact_shuffles_once_on_hash(t):
     assert count_key_exchanges(dd.dedup_exact(t)) == 1
 
 
+def test_curation_anti_join_broadcasts(t):
+    """The near-dup loser set is tiny: its removal must be a broadcast
+    anti-join, never a shuffled one."""
+    plan = explain_str(tx.corpus_curation(t))
+    assert "LeftAnti, BuildRight" in plan and "Broadcast" in plan
+
+
 def test_topk_plans_window_group_limit(t):
     """rank<=k filters must push into WindowGroupLimit so per-group
     sorts stay bounded by k instead of materializing full groups."""
