@@ -95,7 +95,7 @@ def test_curation_anti_join_broadcasts(t):
     """The near-dup loser set is tiny: its removal must be a broadcast
     anti-join, never a shuffled one."""
     plan = explain_str(tx.corpus_curation(t))
-    assert "LeftAnti, BuildRight" in plan and "Broadcast" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
 
 
 def test_topk_plans_window_group_limit(t):
