@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_vectorized": _q(sim.ann_topk_vectorized),
         "ann_topk_lsh": _q(sim.ann_topk_lsh),
         "ann_topk_ivf": _q(sim.ann_topk_ivf),
+        "kmeans_cells": _q(sim.kmeans_cells),
         "text_stats": _q(tx.text_stats),
         "lang_id": _q(tx.lang_id),
         "token_count": _q(tx.token_count),
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_vectorized": sim.ANN_TOPK_VECTORIZED_ORACLE,
         "ann_topk_lsh": sim.ANN_TOPK_LSH_ORACLE,
         "ann_topk_ivf": sim.ANN_TOPK_IVF_ORACLE,
+        "kmeans_cells": sim.KMEANS_CELLS_ORACLE,
         "text_stats": tx.TEXT_STATS_ORACLE,
         "lang_id": tx.LANG_ID_ORACLE,
         "token_count": tx.TOKEN_COUNT_ORACLE,

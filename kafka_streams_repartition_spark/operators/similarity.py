@@ -198,6 +198,105 @@ WHERE rank <= {TOP_K}
 ANN_TOPK_LSH_ORACLE = _lsh_oracle()
 
 
+# --- k-means quantizer training (iterative, declarative) -------------------
+
+KMEANS_ITER = 2
+
+
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, one
+    narrow pass over the corpus, deterministic (round(dist,6), cell)
+    tie-break."""
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cell", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+
+def kmeans_cells(t: dict[str, DataFrame]) -> DataFrame:
+    """Train the IVF coarse quantizer instead of assuming it: Lloyd's
+    algorithm with a fixed iteration budget, every step declarative.
+
+    Seeds are the per-label centroids (deterministic, shared with the
+    oracle); each iteration is (1) positional-avg centroid update —
+    one aggregation, no posexplode — and (2) broadcast re-assignment.
+    The driver-side ``for`` builds ONE composed plan; at scale you
+    would checkpoint/cache the assignment between iterations (Spark
+    ML's own KMeans does exactly this loop shape).
+
+    ``ann_topk_ivf`` consumes a pretrained quantizer; this is its
+    trainer — together they close the IVF index lifecycle.
+    """
+    emb_raw = fan_out(t["embeddings"])
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
+    assign = _assign_cells(emb, cent)
+    for _ in range(KMEANS_ITER):
+        cent = assign.groupBy("cell").agg(
+            F.array(
+                *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
+            ).alias("cv")
+        )
+        assign = _assign_cells(emb, cent)
+    return assign.select("vec_id", "cell")
+
+
+def _kmeans_oracle() -> str:
+    assign = """
+    SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell,
+               row_number() OVER (
+                   PARTITION BY d.vec_id ORDER BY d.dist, d.cell
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, c.cell,
+                   round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+            FROM e JOIN {cent} c ON e.pos = c.pos
+            GROUP BY 1, 2
+        ) d
+    ) WHERE rn = 1
+"""
+    update = """
+    SELECT a.cell, e.pos, avg(e.x) AS c
+    FROM e JOIN {assign} a ON e.vec_id = a.vec_id
+    GROUP BY 1, 2
+"""
+    parts = [
+        """
+WITH e AS (
+    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent0 AS (SELECT label AS cell, pos, avg(x) AS c FROM e GROUP BY 1, 2),
+assign0 AS (""" + assign.format(cent="cent0") + ")"
+    ]
+    for i in range(KMEANS_ITER):
+        parts.append(f"cent{i + 1} AS ({update.format(assign=f'assign{i}')})")
+        parts.append(
+            f"assign{i + 1} AS ({assign.format(cent=f'cent{i + 1}')})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, cell FROM assign{KMEANS_ITER}"
+    )
+
+
+KMEANS_CELLS_ORACLE = _kmeans_oracle()
+
+
 # --- Arrow-vectorized brute force (the 100 TB scan path) -------------------
 
 
