@@ -34,6 +34,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,6 +63,23 @@ def _doc_gram_arrays(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.array_distinct(word_ngrams(words(F.col("text")), NGRAM_N)).alias("grams"),
     ).withColumn("n", F.size("grams"))
+
+
+# One cached grams frame per input documents frame (the table loader
+# memoizes that per (session, sf_dir)) — a per-call .cache() would leak
+# a new copy into executor storage on every invocation (bench runs each
+# query twice; corpus_curation re-enters dedup_minhash_lsh).
+_GRAMS_CACHE: weakref.WeakKeyDictionary[DataFrame, DataFrame] = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _doc_gram_arrays_cached(documents: DataFrame) -> DataFrame:
+    got = _GRAMS_CACHE.get(documents)
+    if got is None:
+        got = _doc_gram_arrays(documents).cache()
+        _GRAMS_CACHE[documents] = got
+    return got
 
 
 def _doc_grams(documents: DataFrame) -> DataFrame:
@@ -115,7 +134,7 @@ GROUP BY 1
 def dedup_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     """Near-dup candidates of a query subset against the full corpus:
     exact word-trigram Jaccard ≥ threshold via shared-shingle join."""
-    arr = _doc_gram_arrays(t["documents"]).cache()
+    arr = _doc_gram_arrays_cached(t["documents"])
     grams = arr.select("doc_id", F.explode("grams").alias("gram"))
     sizes = arr.select("doc_id", "n")
     # the bounded query side broadcasts: the shared-shingle pairing
@@ -176,7 +195,7 @@ def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
     ``size(array_intersect(...))`` on the two gram arrays instead of a
     re-exploded gram join.
     """
-    arr = _doc_gram_arrays(t["documents"]).cache()
+    arr = _doc_gram_arrays_cached(t["documents"])
 
     def _minhash(s: int) -> F.Column:
         return F.array_min(

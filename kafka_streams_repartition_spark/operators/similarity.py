@@ -232,9 +232,14 @@ def kmeans_cells(t: dict[str, DataFrame]) -> DataFrame:
     Seeds are the per-label centroids (deterministic, shared with the
     oracle); each iteration is (1) positional-avg centroid update —
     one aggregation, no posexplode — and (2) broadcast re-assignment.
-    The driver-side ``for`` builds ONE composed plan; at scale you
-    would checkpoint/cache the assignment between iterations (Spark
-    ML's own KMeans does exactly this loop shape).
+
+    Lineage control: each iteration's centroid table (k tiny rows) is
+    ``localCheckpoint``ed, so iteration i's plan reads (embeddings scan
+    × materialized centroids) instead of embedding iteration i−1's
+    whole assignment subtree — without this the composed plan grows
+    exponentially with the iteration budget (Spark ML's KMeans
+    truncates the same loop the same way). On a real cluster prefer a
+    reliable ``checkpoint`` (localCheckpoint dies with an executor).
 
     ``ann_topk_ivf`` consumes a pretrained quantizer; this is its
     trainer — together they close the IVF index lifecycle.
@@ -248,7 +253,7 @@ def kmeans_cells(t: dict[str, DataFrame]) -> DataFrame:
             F.array(
                 *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
             ).alias("cv")
-        )
+        ).localCheckpoint()
         assign = _assign_cells(emb, cent)
     return assign.select("vec_id", "cell")
 

@@ -98,7 +98,16 @@ GROUP BY 1, 2
 
 
 def hopping_events(t: dict[str, DataFrame]) -> DataFrame:
-    """1-hour windows hopping every 30 min: each event lands in 2."""
+    """1-hour windows hopping every 30 min: each event lands in 2.
+
+    Window starts use truncating integer division (Spark ``div``,
+    DuckDB ``//`` — identical, so oracle parity holds), which assumes
+    positive epochs: for pre-1970 timestamps ``ms - k*HALF_HOUR_MS``
+    can go negative and truncation-toward-zero diverges from
+    ``F.window``'s floor-based hopping. The testdata (and any realistic
+    event feed) is strictly post-1970; use floor division on both sides
+    if that ever changes.
+    """
     ev = _with_ms(t["events"]).select("ms", "value")
     return (
         ev.select(

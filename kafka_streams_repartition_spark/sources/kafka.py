@@ -110,6 +110,27 @@ def ktable_from_records(raw: DataFrame, schema: T.StructType) -> DataFrame:
     return decode_json_records(latest, schema)
 
 
+def write_stream_writer(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str,
+    key_col: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+):
+    """Configured-but-unstarted Kafka sink writer (S6). Split from
+    :func:`write_stream` so option wiring is testable without a broker
+    (the broker is only contacted at ``.start()``)."""
+    return (
+        encode_json_records(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+
+
 def write_stream(
     df: DataFrame,
     bootstrap: str,
@@ -119,12 +140,6 @@ def write_stream(
     output_mode: str = "update",
 ):
     """S6: Kafka sink; update mode = changelog re-emission semantics."""
-    return (
-        encode_json_records(df, key_col)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .start()
-    )
+    return write_stream_writer(
+        df, bootstrap, topic, key_col, checkpoint_dir, output_mode
+    ).start()

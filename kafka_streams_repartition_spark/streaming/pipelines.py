@@ -49,14 +49,17 @@ def stream_latest_per_key(
     events: DataFrame, key: str, order_col: str, payload_cols: list[str]
 ) -> DataFrame:
     """KTable semantics as a streaming aggregate: latest row per key
-    via ``max_by`` over a total order (S2/A3)."""
-    return events.groupBy(key).agg(
-        F.max(order_col).alias(order_col),
-        *[
-            F.expr(f"max_by({c}, struct({order_col}, {c}))").alias(c)
-            for c in payload_cols
-        ],
-    )
+    via ``max_by`` over a total order (S2/A3).
+
+    All payload columns are selected with ONE ``max_by`` of the whole
+    row struct so the emitted record is a single input row (per-column
+    ``max_by`` could mix rows when two inputs tie on ``order_col``);
+    ties break deterministically on the payload struct itself,
+    mirroring batch ``latest_per_key``'s whole-row semantics.
+    """
+    cols = ", ".join([order_col, *payload_cols])
+    row = F.expr(f"max_by(struct({cols}), struct({order_col}, struct({cols})))")
+    return events.groupBy(key).agg(row.alias("__row")).select(key, "__row.*")
 
 
 def run_to_memory_available_now(

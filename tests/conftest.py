@@ -1,10 +1,15 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from kafka_streams_repartition_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# Tests default to the smallest scale factor for speed; export
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to rehearse the
+# driver's gate scale (VERDICT r1 item 4).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_streams_repartition_spark.operators.product_stats import (
@@ -76,10 +77,17 @@ def test_stream_latest_per_key_equals_batch(spark, lineitems):
         stream, "l_partkey", "l_orderkey", ["l_quantity"]
     )
     final = run_to_memory_available_now(spark, latest, mode="complete")
-    got = {r["l_partkey"]: r["l_orderkey"] for r in final.collect()}
+    # Compare WHOLE rows, not just the order column: a per-column max_by
+    # implementation can mix values from different tied input rows.
+    got = {r["l_partkey"]: (r["l_orderkey"], r["l_quantity"]) for r in final.collect()}
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_orderkey").desc(), F.col("l_quantity").desc()
+    )
     want = {
-        r["l_partkey"]: r["mx"]
-        for r in li.groupBy("l_partkey").agg(F.max("l_orderkey").alias("mx")).collect()
+        r["l_partkey"]: (r["l_orderkey"], r["l_quantity"])
+        for r in li.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
     }
     assert got == want
 
