@@ -24,6 +24,7 @@ from kafka_streams_repartition_spark.operators import similarity as sim
 from kafka_streams_repartition_spark.operators import text_analysis as tx
 from kafka_streams_repartition_spark.operators import multimodal as mm
 from kafka_streams_repartition_spark.operators import analytics as an
+from kafka_streams_repartition_spark.operators import relational as rel
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -73,6 +74,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q(an.sales_rollup),
         "supplier_volume": _q(an.supplier_volume),
         "corpus_curation": _q(tx.corpus_curation),
+        "asof_join_events": _q(rel.asof_join_events),
+        "range_join_events": _q(rel.range_join_events),
+        "quantile_stats": _q(rel.quantile_stats),
+        "dedup_clusters": _q(dd.dedup_clusters),
+        "tfidf_top_terms": _q(tx.tfidf_top_terms),
+        "sample_stratified": _q(tx.sample_stratified),
     }
 
 
@@ -110,4 +117,10 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": an.SALES_ROLLUP_ORACLE,
         "supplier_volume": an.SUPPLIER_VOLUME_ORACLE,
         "corpus_curation": tx.CORPUS_CURATION_ORACLE,
+        "asof_join_events": rel.ASOF_JOIN_EVENTS_ORACLE,
+        "range_join_events": rel.RANGE_JOIN_EVENTS_ORACLE,
+        "quantile_stats": rel.QUANTILE_STATS_ORACLE,
+        "dedup_clusters": dd.DEDUP_CLUSTERS_ORACLE,
+        "tfidf_top_terms": tx.TFIDF_TOP_TERMS_ORACLE,
+        "sample_stratified": tx.SAMPLE_STRATIFIED_ORACLE,
     }

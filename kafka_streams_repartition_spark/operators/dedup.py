@@ -285,6 +285,70 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- duplicate clustering (connected components over LSH pairs) -----------
+
+
+def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
+    """Duplicate GROUPS, not just pairs: connected components over the
+    MinHash-LSH near-dup graph; cluster id = min doc_id reachable. This
+    is the step that turns pairwise near-dup hits into a keep-one-per-
+    cluster decision (keeper = the doc whose id equals its cluster_id).
+
+    Spark-first iterative min-label propagation (the GraphX/GraphFrames
+    connected-components shape without the dependency): each round every
+    node takes the min label among itself and its neighbors; converged
+    when the label-sum stops changing (labels only ever decrease, so
+    equal sums ⇔ fixpoint — an exact, engine-independent stopping rule
+    that the recursive-CTE oracle reproduces). Edges and labels are
+    localCheckpoint()ed: the loop's lineage stays one round deep, and
+    rounds scale as O(components' diameter) — tiny for dup clusters.
+    """
+    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    while True:
+        msgs = edges.join(
+            labels, edges["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("cluster_id")).first()[0]
+        if s == prev_sum:
+            return labels
+        prev_sum = s
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT R.doc_id, e.dst FROM reach R JOIN edges e ON R.r = e.src
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 16

@@ -1,0 +1,212 @@
+"""Relational operators Spark lacks as built-ins: as-of join, range
+join, exact quantiles (north-star ops; no analog in the reference —
+the prompt-level pipeline surface a training-data engine needs).
+
+Scale design (100 TB):
+
+- **as-of join**: implemented as the *union-merge* formulation — tag
+  both sides, one shuffle on the join key, one per-key sort, then
+  ``last(..., ignorenulls)`` carries the most recent right-side row
+  forward. This is O(n log n_partition) with a single exchange, versus
+  the naive inequality join (cartesian per key, pruned late). It is the
+  same plan shape pandas ``merge_asof`` / kdb ``aj`` use, expressed
+  declaratively so Catalyst still prunes columns into the scan.
+- **range join**: banded equi-join — bucket timestamps by the range
+  width, probe (bin, bin+1) per anchor, then apply the exact range
+  predicate. The equi-join on (key, bin) gives Spark a hash/sort-merge
+  strategy with bounded fan-out (each candidate row lands in exactly
+  one probe bin), avoiding the BroadcastNestedLoopJoin a raw interval
+  predicate degenerates to.
+- **quantiles**: exact ``percentile`` here (oracle-comparable);
+  at 100 TB swap to ``approx_percentile(.., accuracy)`` — same plan
+  shape, sketch-mergeable partials, documented loss of exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FIVE_MIN_MS = 300_000
+
+
+def _events_ms(events: DataFrame) -> DataFrame:
+    return events.withColumn("ms", F.unix_millis("ts"))
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def asof_join_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Attribute every non-signup event to the same user's most recent
+    signup at-or-before it (inclusive as-of, NULL when none precedes).
+
+    Union-merge as-of: signup rows sort before payload rows at an equal
+    timestamp (``side`` 0 < 1 ⇒ ``ts >= signup_ts`` inclusive), and the
+    right side is pre-reduced to one row per (user, ts) — max event_id
+    wins — so the carry-forward is deterministic.
+    """
+    ev = _events_ms(t["events"])
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ms")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .select(
+            "user_id",
+            "ms",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "signup_event_id",
+        )
+    )
+    payload = ev.filter(F.col("event_type") != "signup").select(
+        "user_id",
+        "ms",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("signup_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = signups.unionByName(payload).select(
+        "user_id",
+        "ms",
+        "side",
+        "event_id",
+        F.last("signup_event_id", ignorenulls=True).over(w).alias("asof_signup_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ms")), ignorenulls=True
+        ).over(w).alias("asof_signup_ms"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("asof_signup_id").alias("signup_event_id"),
+        (F.col("ms") - F.col("asof_signup_ms")).alias("ms_since_signup"),
+    )
+
+
+ASOF_JOIN_EVENTS_ORACLE = """
+WITH signups AS (
+    SELECT user_id, epoch_ms(ts) AS sms, max(event_id) AS signup_event_id
+    FROM events
+    WHERE event_type = 'signup'
+    GROUP BY 1, 2
+),
+payload AS (
+    SELECT event_id, user_id, epoch_ms(ts) AS ms
+    FROM events
+    WHERE event_type != 'signup'
+)
+SELECT l.event_id,
+       l.user_id,
+       r.signup_event_id,
+       l.ms - r.sms AS ms_since_signup
+FROM payload l
+ASOF LEFT JOIN signups r
+  ON l.user_id = r.user_id AND l.ms >= r.sms
+"""
+
+
+# --- range join ------------------------------------------------------------
+
+
+def range_join_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Per error event: how many events the same user produced in the
+    following 5 minutes (exclusive of the anchor instant, inclusive of
+    the bound; the anchor row itself never counts).
+
+    Banded: candidates carry one bin (``ms div width``); each anchor
+    probes bins {b, b+1}, which cover the whole (ts, ts+width] range,
+    and each candidate matches at most one probe row — no double count,
+    no cartesian. Left semantics keep zero-activity anchors.
+    """
+    ev = _events_ms(t["events"])
+    anchors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ms")
+        .withColumn("probe_bin", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "probe_bin", F.expr(f"ms div {FIVE_MIN_MS}") + F.col("probe_bin")
+        )
+    )
+    cands = ev.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ms").alias("c_ms"),
+        F.expr(f"ms div {FIVE_MIN_MS}").alias("c_bin"),
+    )
+    in_range = (
+        (F.col("c_ms") > F.col("ms"))
+        & (F.col("c_ms") <= F.col("ms") + FIVE_MIN_MS)
+        & (F.col("c_event") != F.col("event_id"))
+    )
+    joined = anchors.join(
+        cands,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("probe_bin") == F.col("c_bin")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.when(in_range, F.lit(1))).alias("n_following"),
+        F.round(
+            F.sum(F.when(in_range, F.col("c_ms") - F.col("ms"))) / 1000.0, 3
+        ).alias("sum_lag_s"),
+    )
+
+
+RANGE_JOIN_EVENTS_ORACLE = f"""
+WITH anchors AS (
+    SELECT event_id, user_id, epoch_ms(ts) AS ms
+    FROM events WHERE event_type = 'error'
+),
+cands AS (SELECT event_id AS c_event, user_id AS c_user, epoch_ms(ts) AS c_ms FROM events)
+SELECT a.event_id,
+       a.user_id,
+       CAST(count(c.c_event) AS BIGINT) AS n_following,
+       round(sum(c.c_ms - a.ms) / 1000.0, 3) AS sum_lag_s
+FROM anchors a
+LEFT JOIN cands c
+  ON a.user_id = c.c_user
+ AND c.c_ms > a.ms
+ AND c.c_ms <= a.ms + {FIVE_MIN_MS}
+ AND c.c_event != a.event_id
+GROUP BY 1, 2
+"""
+
+
+# --- exact quantiles -------------------------------------------------------
+
+
+def quantile_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per event type: exact p50/p95 of ``value`` (linear interpolation
+    — Spark ``percentile`` ≡ DuckDB ``quantile_cont``) plus count.
+
+    Exact percentile holds all values per group; at 100 TB use
+    ``approx_percentile(value, ..., 10000)`` — mergeable KLL-style
+    sketch, same single-shuffle plan.
+    """
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+    )
+
+
+QUANTILE_STATS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(avg(value), 4) AS mean
+FROM events
+GROUP BY 1
+"""

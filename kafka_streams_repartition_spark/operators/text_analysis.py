@@ -267,3 +267,122 @@ SELECT doc_id,
        ) AS fingerprint
 FROM documents
 """
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-k distinguishing terms per document by TF-IDF.
+
+    The idf factor is the raw ratio ``N/df`` (no log): integer-exact
+    numerators make the double division bit-identical across engines,
+    so rank order needs no float tolerance. Ties break on the term
+    string. N is computed IN-plan (1-row broadcast), not collected.
+
+    Scale shape: this is the inverted-index build — tf shuffles
+    (doc, term) pairs, df re-aggregates the tf output (already combined
+    map-side), the score join keys on term. Three keyed shuffles, each
+    carrying counts rather than documents; the per-doc top-k window
+    rides the tf partitioning.
+    """
+    docs = t["documents"]
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs") / F.col("df")).alias("score")
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", score)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round("score", 4).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       round(score, 4) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+# Per-language keep-rates (percent): downsample the dominant language,
+# keep the tail. Deterministic hash sampling — re-runs and retries pick
+# the same rows on any engine (md5 is the portable hash).
+SAMPLE_RATES = {"de": 60, "en": 30, "es": 60, "fr": 60, "zh": 60}
+
+
+def sample_stratified(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic stratified corpus sample: keep a doc iff its hash
+    bucket (md5 of doc_id, first 8 hex digits mod 100) falls under its
+    language's keep-rate. Zero-shuffle — a narrow filter over the scan,
+    reproducible at any scale and across engines."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for lang, pct in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        fan_out(t["documents"])
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, bucket
+FROM (
+    SELECT doc_id, lang,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+)
+WHERE bucket < CASE lang {cases} ELSE 0 END
+"""
+
+
+SAMPLE_STRATIFIED_ORACLE = _sample_oracle()

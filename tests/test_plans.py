@@ -149,6 +149,31 @@ def test_bucketed_join_is_exchange_free(spark, t):
     assert mismatched.count() == joined.count()
 
 
+def test_asof_join_single_user_shuffle_no_nested_loop(t):
+    """The as-of join must be the union-merge form: window over one
+    user_id exchange, never an inequality nested-loop join."""
+    from kafka_streams_repartition_spark.operators import relational as rel
+
+    plan = explain_str(rel.asof_join_events(t))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_banded_equi_join(t):
+    """The interval predicate must ride a (user, bin) equi-join — a raw
+    range condition would degenerate to BroadcastNestedLoopJoin."""
+    from kafka_streams_repartition_spark.operators import relational as rel
+
+    plan = explain_str(rel.range_join_events(t))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sample_stratified_is_narrow(t):
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    assert count_key_exchanges(tx.sample_stratified(t)) == 0
+
+
 def test_minhash_signatures_computed_map_side(t):
     """Signature/banding must not shuffle grams: at most the candidate
     self-join + verification joins repartition by key."""
