@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q(dd.dedup_clusters),
         "tfidf_top_terms": _q(tx.tfidf_top_terms),
         "sample_stratified": _q(tx.sample_stratified),
+        "pack_sequences": _q(tx.pack_sequences),
     }
 
 
@@ -123,4 +124,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dd.DEDUP_CLUSTERS_ORACLE,
         "tfidf_top_terms": tx.TFIDF_TOP_TERMS_ORACLE,
         "sample_stratified": tx.SAMPLE_STRATIFIED_ORACLE,
+        "pack_sequences": tx.PACK_SEQUENCES_ORACLE,
     }

@@ -363,7 +363,7 @@ def sample_stratified(t: dict[str, DataFrame]) -> DataFrame:
     for lang, pct in sorted(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
     return (
-        fan_out(t["documents"])
+        t["documents"]
         .select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < rate)
     )
@@ -386,3 +386,71 @@ WHERE bucket < CASE lang {cases} ELSE 0 END
 
 
 SAMPLE_STRATIFIED_ORACLE = _sample_oracle()
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_SHARDS = 8
+PACK_BUDGET_TOKENS = 2048
+
+
+def pack_sequences(t: dict[str, DataFrame]) -> DataFrame:
+    """Assign every document to a training pack: shard by doc hash, then
+    within each shard fill fixed token-budget packs in doc_id order.
+    ``pack_id = floor(start_offset / budget)`` — the streaming-fill rule,
+    so a pack's docs are contiguous in the shard order and re-runs (or a
+    different engine) produce byte-identical assignments.
+
+    Scale shape: ONE shuffle (hash on shard) + a per-shard sort for the
+    running-sum window. Shards pack independently, so parallelism is the
+    shard count — set PACK_SHARDS ~ cluster cores at 100 TB and no
+    single global ordering is ever required. The window carries only
+    (doc_id, n_tokens), not text.
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % PACK_SHARDS
+    )
+    d = fan_out(t["documents"]).select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
+    ).withColumn(
+        "pack_id", F.expr(f"tok_offset div {PACK_BUDGET_TOKENS}")
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {PACK_SHARDS} AS shard,
+           CAST(len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS tok_offset,
+       CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) // {PACK_BUDGET_TOKENS} AS pack_id
+FROM d
+"""

@@ -121,20 +121,17 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     At cluster scale inputs arrive in many splits and this is a no-op;
     locally it costs one small shuffle before the expensive map work.
 
-    When ``spark.sql.files.minPartitionNum`` already covers the target
-    (our ``get_spark`` sets it) the scan fans out by itself and we skip
-    the probe entirely — ``df.rdd`` would otherwise force a plan→RDD
-    conversion on every call, a plan-build cost that grows with query
-    count.
+    The probe must look at the ACTUAL scan partitioning
+    (``df.rdd.getNumPartitions()`` — a plan→RDD conversion, not a job).
+    A conf check on ``spark.sql.files.minPartitionNum`` is not enough:
+    parquet assigns all rows of a row group to the split holding its
+    midpoint, so a single-row-group file still scans as one non-empty
+    partition no matter how many byte-range splits the conf requests
+    (measured: skipping the probe serialized shingling/hashing and cost
+    3-9x on every per-row-heavy query at sf0.1).
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    try:
-        conf_min = int(spark.conf.get("spark.sql.files.minPartitionNum", "0"))
-    except Exception:
-        conf_min = 0
-    if conf_min >= target:
-        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
