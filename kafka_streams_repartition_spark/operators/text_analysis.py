@@ -280,26 +280,28 @@ def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     so rank order needs no float tolerance. Ties break on the term
     string. N is computed IN-plan (1-row broadcast), not collected.
 
-    Scale shape: this is the inverted-index build — tf shuffles
-    (doc, term) pairs, df re-aggregates the tf output (already combined
-    map-side), the score join keys on term. Three keyed shuffles, each
-    carrying counts rather than documents; the per-doc top-k window
-    rides the tf partitioning.
+    Scale shape: this is the inverted-index build — ONE tokenize pass.
+    tf shuffles (doc, term) pairs once; document frequency is a window
+    ``count(*) over (partition by term)`` on the tf frame rather than a
+    groupBy+self-join (the join form re-evaluated the whole
+    explode+aggregate subtree twice — no ReusedExchange, because the
+    fan_out round-robin repartition is nondeterministic). Three keyed
+    shuffles total, each carrying counts rather than documents; the
+    per-doc top-k window follows.
     """
+    from pyspark.sql import Window
+
     docs = t["documents"]
     toks = fan_out(docs).select(
         "doc_id", F.explode(words(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    score = (F.col("tf") * F.col("n_docs") / F.col("df")).alias("score")
-    scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "term", "tf", score)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    score = (F.col("tf") * F.col("n_docs") / df_w).alias("score")
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", "term", "tf", score
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term")
