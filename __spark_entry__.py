@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q(tx.tfidf_top_terms),
         "sample_stratified": _q(tx.sample_stratified),
         "pack_sequences": _q(tx.pack_sequences),
+        "event_funnel": _q(win.event_funnel),
     }
 
 
@@ -125,4 +126,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": tx.TFIDF_TOP_TERMS_ORACLE,
         "sample_stratified": tx.SAMPLE_STRATIFIED_ORACLE,
         "pack_sequences": tx.PACK_SEQUENCES_ORACLE,
+        "event_funnel": win.EVENT_FUNNEL_ORACLE,
     }

@@ -257,3 +257,90 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+# --- funnel analysis -------------------------------------------------------
+
+
+def event_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user 3-step funnel view → click → purchase: earliest view,
+    earliest click at-or-after it, earliest purchase at-or-after that
+    click; ``stage`` = how deep the user got (0–3).
+
+    Scale shape: ONE exchange on user_id; the three conditional-min
+    windows share the same partitioning/ordering spec so Catalyst plans
+    them in a single Window operator chain without re-shuffling, and the
+    final per-user dedup (groupBy user) rides the same partitioning.
+    Chained windows express "first B after first A" without self-joins —
+    the naive formulation is three scans and two joins.
+    """
+    w = Window.partitionBy("user_id")
+    ev = _with_ms(t["events"]).select("user_id", "event_type", "ms")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ms"))).over(w)
+    staged = ev.withColumn("v_ms", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ms") >= F.col("v_ms")),
+            F.col("ms"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_ms", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ms") >= F.col("c_ms")),
+            F.col("ms"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ms", p)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("v_ms").alias("view_ms"),
+        F.first("c_ms").alias("click_ms"),
+        F.first("p_ms").alias("purchase_ms"),
+    )
+    stage = (
+        F.when(F.col("purchase_ms").isNotNull(), 3)
+        .when(F.col("click_ms").isNotNull(), 2)
+        .when(F.col("view_ms").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        "view_ms",
+        "click_ms",
+        "purchase_ms",
+        stage.cast("long").alias("stage"),
+        (F.col("purchase_ms") - F.col("view_ms")).alias("conversion_ms"),
+    )
+
+
+EVENT_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS view_ms
+    FROM events GROUP BY 1
+),
+c AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'click'
+                     AND epoch_ms(e.ts) >= v.view_ms THEN epoch_ms(e.ts) END) AS click_ms
+    FROM events e JOIN v ON e.user_id = v.user_id
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'purchase'
+                     AND epoch_ms(e.ts) >= c.click_ms THEN epoch_ms(e.ts) END) AS purchase_ms
+    FROM events e JOIN c ON e.user_id = c.user_id
+    GROUP BY 1
+)
+SELECT v.user_id,
+       v.view_ms,
+       c.click_ms,
+       p.purchase_ms,
+       CAST(CASE WHEN p.purchase_ms IS NOT NULL THEN 3
+                 WHEN c.click_ms IS NOT NULL THEN 2
+                 WHEN v.view_ms IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage,
+       p.purchase_ms - v.view_ms AS conversion_ms
+FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+"""

@@ -182,3 +182,15 @@ def test_minhash_signatures_computed_map_side(t):
     plan = es(dd.dedup_minhash_lsh(t))
     # no exploded-gram aggregation: array_min/transform appear instead
     assert "array_min" in plan and "array_intersect" in plan
+
+
+def test_event_funnel_single_exchange(t):
+    """Three chained conditional-min windows + the per-user dedup must
+    all ride ONE user_id exchange — no self-joins, no re-shuffle."""
+    from kafka_streams_repartition_spark.operators import windows as win
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = win.event_funnel(t)
+    assert count_key_exchanges(df) == 1
+    plan = explain_str(df)
+    assert plan.count("Window") >= 3 and "Join" not in plan
