@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q(tx.sample_stratified),
         "pack_sequences": _q(tx.pack_sequences),
         "event_funnel": _q(win.event_funnel),
+        "salted_event_counts": _q(rel.salted_event_counts),
     }
 
 
@@ -127,4 +128,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": tx.SAMPLE_STRATIFIED_ORACLE,
         "pack_sequences": tx.PACK_SEQUENCES_ORACLE,
         "event_funnel": win.EVENT_FUNNEL_ORACLE,
+        "salted_event_counts": rel.SALTED_EVENT_COUNTS_ORACLE,
     }

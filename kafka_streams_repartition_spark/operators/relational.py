@@ -210,3 +210,51 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+# --- skew-salted aggregation ----------------------------------------------
+
+SALT_BUCKETS = 16
+
+
+def salted_event_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type totals via an explicit two-stage SALTED aggregate.
+
+    ``events.event_type`` has ~5 values — the canonical hot-key shape: a
+    plain groupBy sends every row of a type to ONE reducer, so the
+    busiest key bounds the stage at any cluster size. Salting splits
+    each key into SALT_BUCKETS sub-keys for the wide partial stage (all
+    parallelism), then re-aggregates the tiny partial frame on the real
+    key. AQE's skew handling covers sort-merge JOINS, not group-bys —
+    aggregation salting must be written into the plan like this.
+
+    Parity note: ``value`` is summed as DECIMAL(28, 10), not DOUBLE —
+    decimal addition is exact and order-independent, so the two-stage
+    regroup cannot drift from the oracle's single-stage sum.
+    """
+    ev = t["events"]
+    partial = ev.groupBy(
+        "event_type", (F.col("event_id") % SALT_BUCKETS).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("pv"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv").cast("double"), 4).alias("sum_value"),
+        F.round(F.min("pmin"), 4).alias("min_value"),
+        F.round(F.max("pmax"), 4).alias("max_value"),
+    )
+
+
+SALTED_EVENT_COUNTS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1
+"""

@@ -194,3 +194,17 @@ def test_event_funnel_single_exchange(t):
     assert count_key_exchanges(df) == 1
     plan = explain_str(df)
     assert plan.count("Window") >= 3 and "Join" not in plan
+
+
+def test_salted_agg_is_two_stage(t):
+    """The salted aggregate must shuffle twice: wide partial on
+    (event_type, salt), then the tiny regroup on event_type."""
+    from kafka_streams_repartition_spark.operators import relational as rel
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = rel.salted_event_counts(t)
+    assert count_key_exchanges(df) == 2
+    plan = explain_str(df)
+    # the salt alias is erased in the physical plan; the grouping
+    # expression itself proves the wide stage is salted
+    assert "% 16" in plan
