@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q(tx.pack_sequences),
         "event_funnel": _q(win.event_funnel),
         "salted_event_counts": _q(rel.salted_event_counts),
+        "chunk_documents": _q(tx.chunk_documents),
+        "mixture_upsample": _q(tx.mixture_upsample),
     }
 
 
@@ -129,4 +131,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": tx.PACK_SEQUENCES_ORACLE,
         "event_funnel": win.EVENT_FUNNEL_ORACLE,
         "salted_event_counts": rel.SALTED_EVENT_COUNTS_ORACLE,
+        "chunk_documents": tx.CHUNK_DOCUMENTS_ORACLE,
+        "mixture_upsample": tx.MIXTURE_UPSAMPLE_ORACLE,
     }

@@ -456,3 +456,141 @@ SELECT doc_id, shard, n_tokens,
        ), 0) AS BIGINT) // {PACK_BUDGET_TOKENS} AS pack_id
 FROM d
 """
+
+
+# --- document chunking -----------------------------------------------------
+
+CHUNK_SIZE = 400
+CHUNK_STRIDE = 300  # = CHUNK_SIZE - overlap(100)
+
+
+def chunk_documents(t: dict[str, DataFrame]) -> DataFrame:
+    """Split every document into fixed-size overlapping chunks (the
+    context-window prep step): starts at 1, 1+stride, ... until the
+    window covers the tail; ``n = 1 + ceil(max(len - size, 0)/stride)``
+    computed as integer ``(a + stride - 1) div stride`` so both engines
+    truncate identically.
+
+    Scale shape: zero shuffles — a per-row 1→N expansion (posexplode of
+    an index sequence) with all chunk math map-side; fan_out only spreads
+    the substring work. Emits chunk offsets + an md5 content id, not a
+    second copy of the corpus per overlap: downstream consumers slice
+    from (doc_id, start, chunk_len).
+    """
+    n_chunks = F.expr(
+        f"1 + (greatest(length(text) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}"
+    )
+    d = fan_out(t["documents"]).select(
+        "doc_id", "text", n_chunks.alias("n_chunks")
+    )
+    exploded = d.select(
+        "doc_id",
+        F.posexplode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id", "i"),
+        "text",
+    )
+    start = (F.col("i") * CHUNK_STRIDE + 1).alias("start")
+    chunk = F.expr(f"substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text,
+           1 + (greatest(length(text) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+               // {CHUNK_STRIDE} AS n_chunks
+    FROM documents
+),
+e AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, n_chunks - 1)) AS i
+    FROM d
+)
+SELECT doc_id,
+       i AS chunk_id,
+       i * {CHUNK_STRIDE} + 1 AS start,
+       CAST(length(substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})) AS chunk_md5
+FROM e
+"""
+
+
+# --- mixture upsampling ----------------------------------------------------
+
+# Per-language epoch factors in FIXED-POINT HUNDREDTHS (integer), the
+# way a training-mixture spec materializes: every doc repeats
+# floor(factor/100) times, plus one more iff its md5 bucket falls under
+# factor % 100 — deterministic fractional epochs, no RNG.
+MIXTURE_EPOCHS_PCT = {"de": 250, "en": 100, "es": 220, "fr": 220, "zh": 300}
+
+
+def mixture_upsample(t: dict[str, DataFrame]) -> DataFrame:
+    """Materialize a training mixture: repeat each document according to
+    its language's (fractional) epoch factor. Output one row per copy
+    with ``copy_id`` so downstream shuffles spread the repeats.
+
+    Scale shape: zero shuffles — repeats come from a map-side
+    ``posexplode(sequence(...))`` and the fractional epoch is the same
+    md5-bucket trick as ``sample_stratified`` (reruns pick identical
+    copies on any engine). The plan carries (doc_id, lang) only; the
+    text column stays prunable because copies reference, not duplicate,
+    the payload.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    factor = F.lit(0)
+    for lang, pct in sorted(MIXTURE_EPOCHS_PCT.items()):
+        factor = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(factor)
+    n_copies = (
+        F.expr("factor div 100")
+        + (F.col("bucket") < factor % 100).cast("int")
+    )
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        factor.alias("factor"),
+    ).withColumn("n_copies", n_copies)
+    return d.filter(F.col("n_copies") > 0).select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.expr("sequence(1, n_copies)")).alias("pos", "copy_id"),
+    ).select("doc_id", "lang", F.col("copy_id").cast("long").alias("copy_id"))
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {pct}"
+        for lang, pct in sorted(MIXTURE_EPOCHS_PCT.items())
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket,
+           CASE lang {cases} ELSE 0 END AS factor
+    FROM documents
+),
+n AS (
+    SELECT doc_id, lang,
+           factor // 100
+               + CASE WHEN bucket < factor % 100 THEN 1 ELSE 0 END AS n_copies
+    FROM d
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+FROM n
+WHERE n_copies > 0
+"""
+
+
+MIXTURE_UPSAMPLE_ORACLE = _mixture_oracle()

@@ -208,3 +208,23 @@ def test_salted_agg_is_two_stage(t):
     # the salt alias is erased in the physical plan; the grouping
     # expression itself proves the wide stage is salted
     assert "% 16" in plan
+
+
+def test_chunk_documents_zero_key_exchanges(t):
+    """Chunking is a per-row 1->N expansion: no keyed shuffle anywhere
+    (fan_out's round-robin is the only allowed exchange)."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = tx.chunk_documents(t)
+    assert count_key_exchanges(df) == 0
+    plan = explain_str(df)
+    assert "Generate" in plan  # posexplode survived into the plan
+
+
+def test_mixture_upsample_is_narrow(t):
+    """Upsampling repeats rows map-side: no keyed shuffle at all."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = tx.mixture_upsample(t)
+    assert count_key_exchanges(df) == 0
+    assert "Generate" in explain_str(df)
