@@ -228,3 +228,21 @@ def test_mixture_upsample_is_narrow(t):
     df = tx.mixture_upsample(t)
     assert count_key_exchanges(df) == 0
     assert "Generate" in explain_str(df)
+
+
+def test_tfidf_single_tokenize_pass(t):
+    """df must come from a window over tf, not a groupBy+self-join that
+    re-runs the explode subtree (nondeterministic round-robin blocks
+    ReusedExchange): exactly one Generate node in the plan (formatted
+    output prints each node twice — tree line 'Generate (n)' + detail
+    header — so count the tree form)."""
+    plan = explain_str(tx.tfidf_top_terms(t))
+    assert plan.count("Generate (") == 1
+
+
+def test_pack_sequences_single_key_exchange(t):
+    """Packing = one shard shuffle; the running-sum window and pack-id
+    math ride it."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    assert count_key_exchanges(tx.pack_sequences(t)) == 1
