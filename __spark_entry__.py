@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_counts": _q(rel.salted_event_counts),
         "chunk_documents": _q(tx.chunk_documents),
         "mixture_upsample": _q(tx.mixture_upsample),
+        "pricing_summary": _q(an.pricing_summary),
     }
 
 
@@ -133,4 +134,5 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_counts": rel.SALTED_EVENT_COUNTS_ORACLE,
         "chunk_documents": tx.CHUNK_DOCUMENTS_ORACLE,
         "mixture_upsample": tx.MIXTURE_UPSAMPLE_ORACLE,
+        "pricing_summary": an.PRICING_SUMMARY_ORACLE,
     }

@@ -187,3 +187,52 @@ JOIN supplier s ON p.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
 """
+
+
+# --- SQL front-end ---------------------------------------------------------
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM {table}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary expressed through the SQL
+    FRONT-END (``spark.sql`` over a registered view) — the engine's SQL
+    entry point, exercised end-to-end; every other query uses the
+    DataFrame API.
+
+    Parity note: per-row double arithmetic (the discount/tax products)
+    is IEEE-identical on both engines; the order-sensitive part — the
+    SUM — rides DECIMAL(28,10), so the shuffle's partial-agg order can't
+    drift from the oracle's sequential sum. Filter pushes to the scan
+    (shipdate is a plain predicate), aggregation is the standard
+    two-stage partial/final.
+    """
+    li = t["lineitem"]
+    li.createOrReplaceTempView("lineitem_sql_v")
+    return li.sparkSession.sql(_PRICING_SUMMARY_SQL.format(table="lineitem_sql_v"))
+
+
+PRICING_SUMMARY_ORACLE = _PRICING_SUMMARY_SQL.format(table="lineitem")
