@@ -280,14 +280,24 @@ def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     so rank order needs no float tolerance. Ties break on the term
     string. N is computed IN-plan (1-row broadcast), not collected.
 
-    Scale shape: this is the inverted-index build — ONE tokenize pass.
-    tf shuffles (doc, term) pairs once; document frequency is a window
-    ``count(*) over (partition by term)`` on the tf frame rather than a
-    groupBy+self-join (the join form re-evaluated the whole
-    explode+aggregate subtree twice — no ReusedExchange, because the
-    fan_out round-robin repartition is nondeterministic). Three keyed
-    shuffles total, each carrying counts rather than documents; the
-    per-doc top-k window follows.
+    Scale shape — three candidate plans, and why this one:
+
+    1. groupBy(term) for df + self-join on the lazy tf frame: skew-safe
+       (map-side partial agg) but re-runs the whole tokenize+aggregate
+       subtree twice — the fan_out round-robin repartition is
+       nondeterministic, so Catalyst refuses ReusedExchange.
+    2. ``count(*) over (partition by term)`` window on tf: one tokenize
+       pass, but a window partition is UNSPLITTABLE — every tf row of a
+       hot term ("the" ≈ every doc in the corpus) lands on one task.
+       Fine locally, catastrophic at 100 TB.
+    3. (this) materialize tf once — ``localCheckpoint`` of the inverted
+       index, the artifact this query exists to build — then df via
+       groupBy(term) whose partial aggregation collapses hot terms
+       map-side, then join df back on term. The join's skew is
+       AQE-splittable (sort-merge), unlike a window's.
+
+    The per-doc top-k window partitions by doc_id — bounded by a single
+    document's vocabulary, never corpus-hot.
     """
     from pyspark.sql import Window
 
@@ -295,12 +305,18 @@ def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     toks = fan_out(docs).select(
         "doc_id", F.explode(words(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    score = (F.col("tf") * F.col("n_docs") / df_w).alias("score")
-    scored = tf.crossJoin(F.broadcast(n_docs)).select(
-        "doc_id", "term", "tf", score
+    score = (F.col("tf") * F.col("n_docs") / F.col("df")).alias("score")
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", score)
     )
 
     w = Window.partitionBy("doc_id").orderBy(

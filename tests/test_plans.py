@@ -230,14 +230,16 @@ def test_mixture_upsample_is_narrow(t):
     assert "Generate" in explain_str(df)
 
 
-def test_tfidf_single_tokenize_pass(t):
-    """df must come from a window over tf, not a groupBy+self-join that
-    re-runs the explode subtree (nondeterministic round-robin blocks
-    ReusedExchange): exactly one Generate node in the plan (formatted
-    output prints each node twice — tree line 'Generate (n)' + detail
-    header — so count the tree form)."""
+def test_tfidf_single_tokenize_pass_and_no_term_window(t):
+    """tf must be checkpointed so the tokenize pass runs ONCE (zero
+    Generate nodes survive into the final plan — the explode happened
+    inside the checkpoint job), and document frequency must be a
+    groupBy (skew-safe partial agg), never a window partitioned by the
+    corpus-hot term column."""
     plan = explain_str(tx.tfidf_top_terms(t))
-    assert plan.count("Generate (") == 1
+    assert plan.count("Generate (") == 0
+    assert "ExistingRDD" in plan  # the materialized inverted index
+    assert "windowspecdefinition(term" not in plan
 
 
 def test_pack_sequences_single_key_exchange(t):
