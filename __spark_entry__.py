@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q(tx.chunk_documents),
         "mixture_upsample": _q(tx.mixture_upsample),
         "pricing_summary": _q(an.pricing_summary),
+        "repetition_stats": _q(tx.repetition_stats),
+        "decontaminate": _q(dd.decontaminate),
+        "span_dedup": _q(dd.span_dedup),
+        "pq_codes": _q(sim.pq_codes),
     }
 
 
@@ -135,4 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": tx.CHUNK_DOCUMENTS_ORACLE,
         "mixture_upsample": tx.MIXTURE_UPSAMPLE_ORACLE,
         "pricing_summary": an.PRICING_SUMMARY_ORACLE,
+        "repetition_stats": tx.REPETITION_STATS_ORACLE,
+        "decontaminate": dd.DECONTAMINATE_ORACLE,
+        "span_dedup": dd.SPAN_DEDUP_ORACLE,
+        "pq_codes": sim.PQ_CODES_ORACLE,
     }

@@ -349,6 +349,175 @@ SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
 """
 
 
+# --- benchmark decontamination --------------------------------------------
+
+DECON_NGRAM = 4
+DECON_EVAL_PCT = 5  # eval set = docs whose md5 bucket < 5 (≈5%)
+
+
+def _hash_bucket(col: F.Column) -> F.Column:
+    """Deterministic 0-99 bucket from md5 of the id (portable: the
+    DuckDB oracle reproduces it bit-exactly)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+
+
+def decontaminate(t: dict[str, DataFrame]) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word 4-gram with a held-out eval set (a deterministic ~5% of docs by
+    md5 bucket, standing in for the benchmark suite) — the train/test
+    overlap scrub every pretraining pipeline runs (GPT-3 appendix C
+    n-gram collision method).
+
+    Scale shape: the eval side is the benchmark corpus — tiny by
+    construction — so its distinct gram set **broadcasts**; the corpus
+    scan never shuffles text (map-side broadcast hash join on grams) and
+    the only keyed exchange carries (doc_id, hit) pairs into the per-doc
+    count. Linear in corpus size, no all-pairs stage.
+    """
+    ga = fan_out(t["documents"]).select(
+        "doc_id",
+        F.array_distinct(
+            word_ngrams(words(F.col("text")), DECON_NGRAM)
+        ).alias("grams"),
+        _hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    ev_grams = (
+        ga.filter(F.col("bucket") < DECON_EVAL_PCT)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corp = ga.filter(F.col("bucket") >= DECON_EVAL_PCT)
+    hits = (
+        corp.select(
+            "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+        )
+        .join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_shared_grams",
+        F.round(F.col("n_shared_grams") / F.col("n_grams"), 4).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+def _decon_gram_sql(n: int) -> str:
+    join = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN list_transform("
+        f"generate_series(1, len(w) - {n - 1}), i -> {join}) ELSE [] END"
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+ga AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket,
+           list_distinct({_decon_gram_sql(DECON_NGRAM)}) AS grams
+    FROM base
+),
+ev AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM ga WHERE bucket < {DECON_EVAL_PCT}
+),
+corp AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM ga WHERE bucket >= {DECON_EVAL_PCT}
+),
+hits AS (
+    SELECT c.doc_id, c.n_grams, count(*) AS n_shared
+    FROM corp c JOIN ev USING (gram)
+    GROUP BY 1, 2
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_shared AS BIGINT) AS n_shared_grams,
+       round(CAST(n_shared AS DOUBLE) / n_grams, 4) AS contaminated_frac
+FROM hits
+"""
+
+
+# --- exact n-gram span dedup (first-occurrence rule) -----------------------
+
+SPAN_N = 8
+
+
+def span_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact span-level dedup accounting (the shuffle-friendly stand-in
+    for suffix-array exact-substring dedup, cf. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    8-gram instance is *stale* iff that 8-gram first occurs in an
+    earlier document (global min-doc_id owner rule); report per-doc span
+    counts and the stale fraction a span-drop pass would remove.
+
+    Scale shape: spans are md5-hashed **map-side**, so every exchange
+    carries 32-hex-char keys + counts, never text: (1) per-(doc, hash)
+    counts partial-aggregate before the shuffle, (2) first-owner is a
+    groupBy(min) on the hash, (3) ownership joins back co-partitioned on
+    the same hash, (4) per-doc re-agg. Linear in corpus size — no
+    all-pairs stage, no global sort (the suffix-array step this
+    replaces).
+    """
+    sp = fan_out(t["documents"]).select(
+        "doc_id",
+        F.explode(
+            F.transform(word_ngrams(words(F.col("text")), SPAN_N), F.md5)
+        ).alias("h"),
+    )
+    inst = sp.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    first = inst.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    stale_c = F.when(F.col("first_doc") < F.col("doc_id"), F.col("c")).otherwise(
+        F.lit(0)
+    )
+    return (
+        inst.join(first, "h")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_spans"), F.sum(stale_c).alias("n_stale"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_stale",
+            F.round(F.col("n_stale") / F.col("n_spans"), 4).alias("stale_frac"),
+        )
+    )
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+sp AS (
+    SELECT doc_id, md5(gram) AS h
+    FROM (
+        SELECT doc_id, unnest({_decon_gram_sql(SPAN_N)}) AS gram FROM base
+    )
+),
+inst AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY 1, 2),
+fst AS (SELECT h, min(doc_id) AS first_doc FROM inst GROUP BY 1)
+SELECT i.doc_id,
+       CAST(sum(i.c) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN f.first_doc < i.doc_id THEN i.c ELSE 0 END) AS BIGINT)
+           AS n_stale,
+       round(CAST(sum(CASE WHEN f.first_doc < i.doc_id THEN i.c ELSE 0 END)
+             AS DOUBLE) / sum(i.c), 4) AS stale_frac
+FROM inst i JOIN fst f USING (h)
+GROUP BY 1
+"""
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 16

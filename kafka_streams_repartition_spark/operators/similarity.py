@@ -453,6 +453,107 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# --- product quantization (the PQ half of IVF-PQ) --------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+
+
+def pq_codes(t: dict[str, DataFrame]) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): split each vector into
+    ``PQ_M`` subspaces, assign every subvector to its nearest
+    per-subspace centroid (trained from the label groups, like the IVF
+    coarse quantizer), and emit the code word plus the reconstruction
+    error ADC distances build on.
+
+    Scale shape: the codebook (M × K subvector centroids) is tiny and
+    **broadcasts**; subspace slicing and distance sums are map-side
+    ``zip_with`` expressions; the ONLY shuffle is the final
+    groupBy(vec_id), and its conditional struct-min aggregates
+    partial-combine map-side. This is the pass that turns a petabyte of
+    float32 vectors into a 16-byte-per-vector index at 100 TB.
+    """
+    emb_raw = fan_out(t["embeddings"])
+    cent = _centroids(emb_raw)
+    sub_c = cent.select(
+        "label",
+        F.posexplode(
+            F.array(*[F.slice("cv", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "csub"),
+    )
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    sub_v = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "vsub"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+    scored = sub_v.join(F.broadcast(sub_c), "m").select("vec_id", "m", "label", dist)
+    # argmin per subspace as a lexicographic struct-min (ties break on
+    # label) — an aggregate, not a window, so hot keys partial-combine.
+    picks = [
+        F.min(F.when(F.col("m") == m, F.struct("dist", "label"))).alias(f"b{m}")
+        for m in range(PQ_M)
+    ]
+    agg = scored.groupBy("vec_id").agg(*picks)
+    recon = F.round(
+        F.sqrt(sum(F.col(f"b{m}.dist") for m in range(PQ_M))), 6
+    ).alias("recon_err")
+    return agg.select(
+        "vec_id",
+        *[F.col(f"b{m}.label").cast("long").alias(f"code_{m}") for m in range(PQ_M)],
+        recon,
+    )
+
+
+_PQ_CODE_COLS = ",\n       ".join(
+    f"CAST(max(CASE WHEN m = {m} THEN c_label END) AS BIGINT) AS code_{m}"
+    for m in range(PQ_M)
+)
+
+PQ_CODES_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS c_label, pos, avg(x) AS c
+    FROM e
+    GROUP BY 1, 2
+),
+d AS (
+    SELECT e.vec_id, (e.pos - 1) // {PQ_SUB} AS m, c.c_label,
+           round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+    FROM e JOIN cent c ON e.pos = c.pos
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY dist, c_label
+        ) AS rn
+        FROM d
+    )
+    WHERE rn = 1
+)
+SELECT vec_id,
+       {_PQ_CODE_COLS},
+       round(sqrt(sum(dist)), 6) AS recon_err
+FROM best
+GROUP BY 1
+"""
+
+
 ANN_TOPK_IVF_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import words
+from ..functions.text import word_ngrams, words
 from ..sources.tables import fan_out
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
@@ -96,6 +96,88 @@ SELECT doc_id,
              - 0.2 * punct_ratio, 4) AS quality_score
 FROM base
 """
+
+
+def repetition_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1): most-frequent-token
+    fraction, most-frequent-bigram fraction, and duplicate-trigram
+    fraction — the filters that catch boilerplate and degenerate
+    repetition before training.
+
+    Zero-shuffle: every signal is a per-row array expression over the
+    token list (counting via ``transform``+``filter`` over the distinct
+    tokens — O(d·n) per row on bounded-length documents beats a global
+    explode+groupBy, which would shuffle the full token stream).
+    """
+    d = (
+        fan_out(t["documents"])
+        .select("doc_id", words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            word_ngrams(F.col("w"), 2).alias("bg"),
+            word_ngrams(F.col("w"), 3).alias("tg"),
+        )
+    )
+
+    def top_frac(col: F.Column) -> F.Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(col),
+                lambda g: F.size(F.filter(col, lambda x: x == g)),
+            )
+        )
+        return F.when(
+            F.size(col) > 0, top.cast("double") / F.size(col)
+        ).otherwise(F.lit(0.0))
+
+    dup_tri = F.when(
+        F.size("tg") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("tg")).cast("double") / F.size("tg"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.round(top_frac(F.col("w")), 4).alias("top_token_frac"),
+        F.round(top_frac(F.col("bg")), 4).alias("top_bigram_frac"),
+        F.round(dup_tri, 4).alias("dup_trigram_frac"),
+    )
+
+
+def _repetition_oracle() -> str:
+    bg = "w[i] || ' ' || w[i+1]"
+    tg = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id, w,
+           CASE WHEN len(w) >= 2 THEN list_transform(
+               generate_series(1, len(w) - 1), i -> {bg}) ELSE [] END AS bg,
+           CASE WHEN len(w) >= 3 THEN list_transform(
+               generate_series(1, len(w) - 2), i -> {tg}) ELSE [] END AS tg
+    FROM base
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(
+                 list_distinct(w), tk -> len(list_filter(w, x -> x = tk))))
+                 AS DOUBLE) / len(w) ELSE 0.0 END, 4) AS top_token_frac,
+       round(CASE WHEN len(bg) > 0 THEN CAST(list_max(list_transform(
+                 list_distinct(bg), tk -> len(list_filter(bg, x -> x = tk))))
+                 AS DOUBLE) / len(bg) ELSE 0.0 END, 4) AS top_bigram_frac,
+       round(CASE WHEN len(tg) > 0
+                 THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                 ELSE 0.0 END, 4) AS dup_trigram_frac
+FROM g
+"""
+
+
+REPETITION_STATS_ORACLE = _repetition_oracle()
 
 
 QUALITY_THRESHOLD = 0.15

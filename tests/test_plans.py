@@ -242,6 +242,51 @@ def test_tfidf_single_tokenize_pass_and_no_term_window(t):
     assert "windowspecdefinition(term" not in plan
 
 
+def test_repetition_stats_is_zero_shuffle(t):
+    """All repetition signals are per-row array math — any key exchange
+    means someone re-introduced a global explode+groupBy."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    assert count_key_exchanges(tx.repetition_stats(t)) == 0
+
+
+def test_decontaminate_broadcasts_eval_grams(t):
+    """The eval-set gram join must be a broadcast hash join (the corpus
+    side never shuffles text); the only key exchanges are the tiny
+    eval-gram distinct and the per-doc hit count."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = dd.decontaminate(t)
+    assert "BroadcastHashJoin" in explain_str(df)
+    assert count_key_exchanges(df) <= 2
+
+
+def test_span_dedup_shuffles_hashes_not_text(t):
+    """Every exchange in span dedup is keyed on the md5 span hash or
+    doc_id — the text column must not survive past the scan projection,
+    and nothing goes all-pairs."""
+    df = dd.span_dedup(t)
+    plan = explain_str(df)
+    assert_no_cartesian(df)
+    # text is consumed by the map-side shingle+md5 projection; no
+    # Exchange detail line may carry the raw text column
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, ln
+
+
+def test_pq_codes_single_corpus_shuffle(t):
+    """The codebook broadcasts; the corpus side shuffles exactly once
+    (the final groupBy(vec_id) with map-side struct-min combine). The
+    second key exchange in the plan is the 10-row centroid training
+    agg, not corpus data."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = sim.pq_codes(t)
+    assert "BroadcastHashJoin" in explain_str(df)
+    assert count_key_exchanges(df) <= 2
+
+
 def test_pack_sequences_single_key_exchange(t):
     """Packing = one shard shuffle; the running-sum window and pack-id
     math ride it."""
