@@ -304,16 +304,19 @@ def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     rounds scale as O(components' diameter) — tiny for dup clusters.
     """
     pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    # Lazy checkpoints: each round's convergence-check action is the
+    # one job that also materializes that round's labels (an eager
+    # checkpoint would run a second job per round just to cache).
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     while True:
@@ -324,7 +327,7 @@ def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("cluster_id")).first()[0]
         if s == prev_sum:

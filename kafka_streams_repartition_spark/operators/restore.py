@@ -38,43 +38,51 @@ def merge_v1_into_v2(v1: DataFrame, v2: DataFrame) -> DataFrame:
     v2: product_stats_v2_typed output (map per-store)
     returns a v2-shaped DataFrame.
     """
-    # Per-store entries from both sides, re-aggregated: the fold loop at
-    # ProductStatsV2.java:52-56 becomes union + groupBy.
-    v1_entries = v1.select(
-        "sku", F.explode("quantity_by_store").alias("e")
-    ).select(
-        "sku",
-        F.col("e.store_id").cast("string").alias("store_id"),
-        F.col("e.quantity").alias("qty"),
-    )
-    v2_entries = v2.select(
-        "sku", F.explode(F.map_entries("quantity_by_store")).alias("e")
-    ).select("sku", F.col("e.key").alias("store_id"), F.col("e.value").alias("qty"))
-    merged_stores = (
-        v1_entries.unionByName(v2_entries)
-        .groupBy("sku", "store_id")
-        .agg(F.sum("qty").alias("qty"))
-        .groupBy("sku")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("store_id", "qty")))
-            ).alias("quantity_by_store")
-        )
-    )
-
-    v1_flat = v1.select(
+    # The fold loop at ProductStatsV2.java:52-56 merges two per-sku
+    # store maps — after the sku join, that is pure per-row map algebra
+    # (``map_zip_with``), not a re-aggregation. The earlier
+    # explode→union→groupBy(sku,store)→groupBy(sku) form spent three
+    # extra key exchanges re-deriving maps both sides already had;
+    # this shape's ONLY wide stage is the full-outer sku join, which
+    # reuses the partitioning both input aggregations end on.
+    v1_side = v1.select(
         "sku",
         F.col("orders").alias("v1_orders"),
         F.col("quantity").alias("v1_quantity"),
         F.col("order_ids").alias("v1_order_ids"),
+        F.map_from_entries(
+            F.transform(
+                "quantity_by_store",
+                lambda e: F.struct(
+                    e["store_id"].cast("string").alias("key"),
+                    e["quantity"].alias("value"),
+                ),
+            )
+        ).alias("v1_stores"),
     )
-    v2_flat = v2.select(
+    v2_side = v2.select(
         "sku",
         F.col("orders").alias("v2_orders"),
         F.col("quantity").alias("v2_quantity"),
         F.col("order_ids").alias("v2_order_ids"),
+        F.col("quantity_by_store").alias("v2_stores"),
     )
-    topline = v1_flat.join(v2_flat, "sku", "full_outer").select(
+    # int-literal zeros keep the merged value type identical to the
+    # inputs' (long stays long, double stays double) so the null-side
+    # branches type-check against the zipped branch.
+    zero = F.lit(0)
+    merged_map = (
+        F.when(F.col("v1_stores").isNull(), F.col("v2_stores"))
+        .when(F.col("v2_stores").isNull(), F.col("v1_stores"))
+        .otherwise(
+            F.map_zip_with(
+                "v1_stores",
+                "v2_stores",
+                lambda k, x, y: F.coalesce(x, zero) + F.coalesce(y, zero),
+            )
+        )
+    )
+    return v1_side.join(v2_side, "sku", "full_outer").select(
         "sku",
         (
             F.coalesce(F.col("v1_orders"), F.lit(0))
@@ -84,6 +92,7 @@ def merge_v1_into_v2(v1: DataFrame, v2: DataFrame) -> DataFrame:
             F.coalesce(F.col("v1_quantity"), F.lit(0.0))
             + F.coalesce(F.col("v2_quantity"), F.lit(0.0))
         ).alias("quantity"),
+        merged_map.alias("quantity_by_store"),
         F.array_sort(
             F.array_distinct(
                 F.flatten(
@@ -94,9 +103,6 @@ def merge_v1_into_v2(v1: DataFrame, v2: DataFrame) -> DataFrame:
                 )
             )
         ).alias("order_ids"),
-    )
-    return topline.join(merged_stores, "sku", "inner").select(
-        "sku", "orders", "quantity", "quantity_by_store", "order_ids"
     )
 
 
