@@ -387,16 +387,27 @@ def decontaminate(t: dict[str, DataFrame]) -> DataFrame:
         ).alias("grams"),
         _hash_bucket(F.col("doc_id")).alias("bucket"),
     )
+    # explode_outer + isNotNull, NOT a plain explode: a plain explode
+    # makes the optimizer infer `size(grams)>0 AND isnotnull(grams)` and
+    # push it below the fan_out exchange — re-evaluating the whole
+    # shingle expression (twice) inside the single-task scan stage,
+    # serializing exactly the work fan_out exists to spread (measured
+    # 4x on this query at sf0.1). A filter on the GENERATED column
+    # cannot sink below the Generate.
     ev_grams = (
         ga.filter(F.col("bucket") < DECON_EVAL_PCT)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
     )
     corp = ga.filter(F.col("bucket") >= DECON_EVAL_PCT)
     hits = (
         corp.select(
-            "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.explode_outer("grams").alias("gram"),
         )
+        .filter(F.col("gram").isNotNull())
         .join(F.broadcast(ev_grams), "gram")
         .groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
@@ -472,11 +483,18 @@ def span_dedup(t: dict[str, DataFrame]) -> DataFrame:
     all-pairs stage, no global sort (the suffix-array step this
     replaces).
     """
-    sp = fan_out(t["documents"]).select(
-        "doc_id",
-        F.explode(
-            F.transform(word_ngrams(words(F.col("text")), SPAN_N), F.md5)
-        ).alias("h"),
+    # explode_outer + isNotNull (not plain explode) so the inferred
+    # non-empty filter cannot sink the md5+shingle expression below the
+    # fan_out exchange into the serial scan task — see decontaminate.
+    sp = (
+        fan_out(t["documents"])
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(word_ngrams(words(F.col("text")), SPAN_N), F.md5)
+            ).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
     )
     inst = sp.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
     first = inst.groupBy("h").agg(F.min("doc_id").alias("first_doc"))

@@ -384,8 +384,13 @@ def tfidf_top_terms(t: dict[str, DataFrame]) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t["documents"]
-    toks = fan_out(docs).select(
-        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    # explode_outer + isNotNull so the inferred non-empty filter cannot
+    # sink the tokenize expression below the fan_out exchange into the
+    # serial scan task — see dedup.decontaminate.
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     tf = (
         toks.groupBy("doc_id", "term")

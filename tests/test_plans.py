@@ -287,6 +287,22 @@ def test_pq_codes_single_corpus_shuffle(t):
     assert count_key_exchanges(df) <= 2
 
 
+def test_no_lambda_in_filter_nodes(t):
+    """A plain explode of a computed array makes the optimizer infer
+    `size(arr)>0 AND isnotnull(arr)` and push it below the fan_out
+    exchange — re-evaluating the whole shingle/tokenize lambda (twice)
+    inside the serial scan task (measured 4x on decontaminate at
+    sf0.1). The explode_outer + isNotNull shape keeps higher-order
+    functions out of every Filter node; any lambda in a Filter means
+    the regression is back."""
+    for fn in [dd.decontaminate, dd.span_dedup]:
+        plan = explain_str(fn(t))
+        for block in plan.split("\n\n"):
+            first = block.splitlines()[0] if block.splitlines() else ""
+            if ") Filter" in first:
+                assert "lambdafunction" not in block, f"{fn.__name__}:\n{block}"
+
+
 def test_pack_sequences_single_key_exchange(t):
     """Packing = one shard shuffle; the running-sum window and pack-id
     math ride it."""
