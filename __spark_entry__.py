@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q(dd.decontaminate),
         "span_dedup": _q(dd.span_dedup),
         "pq_codes": _q(sim.pq_codes),
+        "retention_cohorts": _q(an.retention_cohorts),
+        "pivot_event_types": _q(an.pivot_event_types),
     }
 
 
@@ -143,4 +145,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": dd.DECONTAMINATE_ORACLE,
         "span_dedup": dd.SPAN_DEDUP_ORACLE,
         "pq_codes": sim.PQ_CODES_ORACLE,
+        "retention_cohorts": an.RETENTION_COHORTS_ORACLE,
+        "pivot_event_types": an.PIVOT_EVENT_TYPES_ORACLE,
     }

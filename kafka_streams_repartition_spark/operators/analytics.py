@@ -236,3 +236,113 @@ def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
 
 
 PRICING_SUMMARY_ORACLE = _PRICING_SUMMARY_SQL.format(table="lineitem")
+
+
+# --- retention cohorts ------------------------------------------------------
+
+DAY_MS = 86_400_000
+
+
+def retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Classic cohort retention over the events stream: cohort = the
+    epoch-day of a user's first event; for every (cohort_day, day
+    offset) report how many cohort members were active and the
+    retention rate.
+
+    Scale shape: (1) activity collapses to distinct (user, day) with
+    map-side partial aggregation — the only pass over raw events;
+    (2) cohort assignment is a groupBy(user) min; (3) the
+    activity⋈cohort join is co-partitioned on user_id (both sides hang
+    off the same exchange key); (4) the final (cohort, offset) rollup
+    and the tiny cohort-size table (one row per day) broadcast-join.
+    Raw event volume crosses exactly one user-keyed exchange.
+    """
+    ev = t["events"].select(
+        "user_id", F.expr(f"unix_millis(ts) div {DAY_MS}").alias("day")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    by_offset = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return by_offset.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_users",
+        F.round(F.col("n_active") / F.col("cohort_users"), 4).alias("retention"),
+    )
+
+
+RETENTION_COHORTS_ORACLE = f"""
+WITH active AS (
+    SELECT DISTINCT user_id, epoch_ms(ts) // {DAY_MS} AS day FROM events
+),
+cohort AS (
+    SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1
+),
+sizes AS (
+    SELECT cohort_day, count(*) AS cohort_users FROM cohort GROUP BY 1
+),
+by_offset AS (
+    SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+           count(*) AS n_active
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT b.cohort_day, b.day_offset,
+       CAST(b.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       round(CAST(b.n_active AS DOUBLE) / s.cohort_users, 4) AS retention
+FROM by_offset b JOIN sizes s USING (cohort_day)
+"""
+
+
+# --- pivot / crosstab -------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user event-type crosstab through Spark's ``pivot`` operator
+    (explicit value list — no extra distinct-values job), counts and
+    rounded value sums per type.
+
+    Scale shape: pivot with a fixed value list is ONE groupBy(user_id)
+    whose conditional aggregates partial-combine map-side — identical
+    cost to a plain count, never a per-type scan.
+    """
+    piv = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("val"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for et in EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{et}_n"), F.lit(0)).alias(f"{et}_n"))
+        cols.append(F.coalesce(F.col(f"{et}_val"), F.lit(0.0)).alias(f"{et}_val"))
+    return piv.select(*cols)
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(count(*) FILTER (event_type = '{et}') AS BIGINT) AS {et}_n,\n"
+    f"       coalesce(round(sum(value) FILTER (event_type = '{et}'), 2), 0.0)"
+    f" AS {et}_val"
+    for et in EVENT_TYPES
+)
+
+PIVOT_EVENT_TYPES_ORACLE = f"""
+SELECT user_id,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1
+"""
