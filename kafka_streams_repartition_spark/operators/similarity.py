@@ -204,24 +204,38 @@ KMEANS_ITER = 2
 
 
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, one
-    narrow pass over the corpus, deterministic (round(dist,6), cell)
-    tie-break."""
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    ).alias("dist")
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cell", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+    """Nearest-centroid assignment as a ZERO-SHUFFLE map pass:
+    centroids collapse to a single-row array (in-plan, broadcast), and
+    the argmin is a lexicographic ``array_min`` over
+    ``struct(round(dist,6), cell)`` — same deterministic tie-break as a
+    (dist, cell) window, with none of its cost.
+
+    The earlier crossJoin+row_number form pushed 10 copies of every
+    vector through a vec_id exchange and sorted them; at corpus scale
+    assignment must stay embarrassingly parallel — this shape is the
+    one the 100 TB path needs (and it is also what makes each Lloyd's
+    iteration's cost just one centroid-update groupBy)."""
+    cents_row = cent.agg(F.collect_list(F.struct("cell", "cv")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), c["cv"], lambda x, cc: (x - cc) * (x - cc)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return emb.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "v", best["cell"].alias("cell")
     )
 
 
@@ -403,31 +417,16 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     within the query's cell only.
 
     Scale shape: centroid table is tiny and broadcast; assignment is a
-    map-side pass over the corpus; candidate generation is a
-    co-partitioned equi-join on cell id — identical skeleton to the LSH
-    path, different quantizer.
+    true zero-shuffle map pass (``_assign_cells``: in-plan centroid
+    array + lexicographic ``array_min`` argmin — no vec_id exchange, no
+    10x row inflation); candidate generation is a co-partitioned
+    equi-join on cell id — identical skeleton to the LSH path,
+    different quantizer.
     """
     emb_raw = fan_out(t["embeddings"])
-    cent = F.broadcast(_centroids(emb_raw))
+    cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
-    emb = emb.withColumn("nrm", norm(F.col("v")))
-
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    ).alias("dist")
-    assign_w = Window.partitionBy("vec_id").orderBy("dist", "label")
-    cells = (
-        emb.crossJoin(cent)
-        .select("vec_id", "v", "nrm", "label", dist)
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
-    )
+    cells = _assign_cells(emb, cent).withColumn("nrm", norm(F.col("v")))
 
     q = cells.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
