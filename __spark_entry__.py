@@ -25,6 +25,7 @@ from kafka_streams_repartition_spark.operators import text_analysis as tx
 from kafka_streams_repartition_spark.operators import multimodal as mm
 from kafka_streams_repartition_spark.operators import analytics as an
 from kafka_streams_repartition_spark.operators import relational as rel
+from kafka_streams_repartition_spark.operators import sketches as sk
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -92,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q(sim.pq_codes),
         "retention_cohorts": _q(an.retention_cohorts),
         "pivot_event_types": _q(an.pivot_event_types),
+        "user_day_segments": _q(an.user_day_segments),
+        "hll_distinct_users": _q(sk.hll_distinct_users),
     }
 
 
@@ -147,4 +150,6 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": sim.PQ_CODES_ORACLE,
         "retention_cohorts": an.RETENTION_COHORTS_ORACLE,
         "pivot_event_types": an.PIVOT_EVENT_TYPES_ORACLE,
+        "user_day_segments": an.USER_DAY_SEGMENTS_ORACLE,
+        "hll_distinct_users": sk.HLL_DISTINCT_USERS_ORACLE,
     }

@@ -346,3 +346,59 @@ SELECT user_id,
 FROM events
 GROUP BY 1
 """
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def user_day_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """Behavioral segments via SET OPERATIONS (INTERSECT / EXCEPT) on
+    (user, day) activity sets — the relational surface SURVEY §2.4
+    records the reference DSL cannot express at all: user-days that
+    both browsed and bought, browsed without buying, bought without
+    browsing that day.
+
+    Scale shape: each side collapses to distinct (user, day) with
+    map-side partial aggregation before its one keyed exchange; Spark
+    plans INTERSECT/EXCEPT as semi/anti joins on the same key, so the
+    three segments are co-partitioned passes over two deduped inputs,
+    and each final count is a single long per segment.
+    """
+    ev = t["events"].select(
+        "user_id",
+        F.expr(f"unix_millis(ts) div {DAY_MS}").alias("day"),
+        "event_type",
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "day").distinct()
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "day")
+        .distinct()
+    )
+
+    def seg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("segment"), "n"
+        )
+
+    return (
+        seg(v.intersect(p), "browse_and_buy")
+        .unionByName(seg(v.subtract(p), "window_shopped"))
+        .unionByName(seg(p.subtract(v), "blind_buy"))
+    )
+
+
+USER_DAY_SEGMENTS_ORACLE = f"""
+WITH v AS (SELECT DISTINCT user_id, epoch_ms(ts) // {DAY_MS} AS day
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id, epoch_ms(ts) // {DAY_MS} AS day
+      FROM events WHERE event_type = 'purchase')
+SELECT 'browse_and_buy' AS segment, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT 'window_shopped', CAST(count(*) AS BIGINT)
+FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+UNION ALL
+SELECT 'blind_buy', CAST(count(*) AS BIGINT)
+FROM (SELECT * FROM p EXCEPT SELECT * FROM v)
+"""
