@@ -27,3 +27,28 @@ def test_queries_run_on_vanilla_session():
         f"driver simulation failed\nstdout:\n{proc.stdout[-8000:]}\n"
         f"stderr:\n{proc.stderr[-4000:]}"
     )
+
+
+def test_missing_table_degrades_one_query_not_the_suite(spark, tmp_path):
+    """Round-1 regression guard: load_tables is lazy, so a query must
+    only fail if a table IT reads is unreadable. With events.parquet
+    absent, pickup_order_summary (orders/lineitem/dims) still runs;
+    only event queries raise."""
+    import os
+    import shutil
+
+    import pytest
+
+    import __spark_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_partial")
+    os.makedirs(dst)
+    for name in os.listdir(src):
+        if name != "events.parquet":
+            shutil.copy(os.path.join(src, name), os.path.join(dst, name))
+
+    qs = entrymod.queries()
+    assert qs["pickup_order_summary"](spark, dst).count() > 0
+    with pytest.raises(Exception):
+        qs["tumbling_events"](spark, dst).count()
