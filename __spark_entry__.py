@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_types": _q(an.pivot_event_types),
         "user_day_segments": _q(an.user_day_segments),
         "hll_distinct_users": _q(sk.hll_distinct_users),
+        "hll_union_daily": _q(sk.hll_union_daily),
     }
 
 
@@ -152,4 +153,5 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_types": an.PIVOT_EVENT_TYPES_ORACLE,
         "user_day_segments": an.USER_DAY_SEGMENTS_ORACLE,
         "hll_distinct_users": sk.HLL_DISTINCT_USERS_ORACLE,
+        "hll_union_daily": sk.HLL_UNION_DAILY_ORACLE,
     }

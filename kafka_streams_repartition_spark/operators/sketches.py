@@ -31,38 +31,33 @@ HLL_ALPHA = 0.673  # alpha_16 from the HLL paper
 _W_BITS = 60  # rank field: 15 hex digits, keeps the long positive
 
 
-def hll_distinct_users(t: dict[str, DataFrame]) -> DataFrame:
-    """Per-event-type distinct-user estimate: 16-register HLL with the
-    small-range (linear counting) correction, next to the exact count
-    so the oracle (and the reader) can see the sketch error.
-
-    Duplicates need no pre-distinct: ``max(rho)`` is idempotent, so the
-    register build is a single scan + one tiny keyed shuffle
-    ((type, bucket) ≤ 16 rows per type, pre-combined map-side).
-    """
-    ev = t["events"]
+def _hll_parts(ev: DataFrame, *dims: str) -> DataFrame:
+    """(dims..., bucket, v60): hash-derived register index + rank field."""
     h = F.md5(F.col("user_id").cast("string"))
-    parts = ev.select(
-        "event_type",
+    return ev.select(
+        *dims,
         F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("bucket"),
         F.conv(F.substring(h, 2, _W_BITS // 4), 16, 10).cast("long").alias("v60"),
     )
-    rho = F.when(F.col("v60") == 0, _W_BITS + 1).otherwise(
+
+
+def _rho() -> F.Column:
+    return F.when(F.col("v60") == 0, _W_BITS + 1).otherwise(
         _W_BITS + 1 - F.length(F.bin("v60"))
     )
-    regs = parts.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j"))
-    # Z = sum(2^-M_j) computed exactly: scale by 2^61 so every term is an
-    # integer (DECIMAL), making the sum order-independent — a plain
-    # double sum would round differently under Spark's shuffle order
-    # than under the oracle's sequential scan.
-    agg = regs.groupBy("event_type").agg(
+
+
+def _hll_estimate(regs: DataFrame, *dims: str) -> DataFrame:
+    """(dims..., hll_estimate) from a (dims..., bucket, m_j) register
+    table: exact-decimal harmonic sum + linear-counting correction."""
+    agg = regs.groupBy(*dims).agg(
         F.sum(
             F.expr(f"cast(pow(2.0, {_W_BITS + 1} - m_j) as decimal(24,0))")
         ).alias("s_present"),
         F.count(F.lit(1)).alias("n_regs"),
     )
     est = agg.select(
-        "event_type",
+        *dims,
         (
             F.col("s_present")
             + (HLL_M - F.col("n_regs"))
@@ -82,12 +77,105 @@ def hll_distinct_users(t: dict[str, DataFrame]) -> DataFrame:
         (e_raw <= 2.5 * HLL_M) & (F.col("v") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
     ).otherwise(e_raw)
-    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "n_exact",
-        F.round(corrected, 4).alias("hll_estimate"),
+    return est.select(*dims, F.round(corrected, 4).alias("hll_estimate"))
+
+
+def hll_distinct_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type distinct-user estimate: 16-register HLL with the
+    small-range (linear counting) correction, next to the exact count
+    so the oracle (and the reader) can see the sketch error.
+
+    Duplicates need no pre-distinct: ``max(rho)`` is idempotent, so the
+    register build is a single scan + one tiny keyed shuffle
+    ((type, bucket) ≤ 16 rows per type, pre-combined map-side).
+    """
+    ev = t["events"]
+    # Z = sum(2^-M_j) inside _hll_estimate is computed exactly: scaled
+    # by 2^61 so every term is an integer (DECIMAL), making the sum
+    # order-independent — a plain double sum would round differently
+    # under Spark's shuffle order than under the oracle's sequential
+    # scan.
+    regs = _hll_parts(ev, "event_type").groupBy("event_type", "bucket").agg(
+        F.max(_rho()).alias("m_j")
     )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        _hll_estimate(regs, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "n_exact", "hll_estimate")
+    )
+
+
+def hll_union_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """The property that makes sketches a storage format, not just a
+    query trick: registers merge associatively (``max``), so per-day
+    sketches persisted once can answer any-range distinct questions
+    without re-touching raw events. Here: build a register set per
+    DAY, then merge all daily sketches into one global estimate and
+    compare with the exact global distinct.
+
+    Scale shape: raw events collapse to ≤16 registers per day
+    map-side; the merge aggregates (days × 16) tiny rows — at 100 TB
+    the second pass never sees an event, which is the entire point.
+    """
+    ev = t["events"]
+    day = F.expr("unix_millis(ts) div 86400000").alias("day")
+    daily = (
+        _hll_parts(ev.select("user_id", day), "day")
+        .groupBy("day", "bucket")
+        .agg(F.max(_rho()).alias("m_j"))
+    )
+    merged = daily.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    n_days = daily.select("day").distinct().agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        _hll_estimate(merged)
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(exact))
+        .select("n_days", "n_exact", "hll_estimate")
+    )
+
+
+HLL_UNION_DAILY_ORACLE = f"""
+WITH parts AS (
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS bucket,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2,
+                                  {_W_BITS // 4}) AS BIGINT) AS v60
+    FROM events
+),
+daily AS (
+    SELECT day, bucket,
+           max(CASE WHEN v60 = 0 THEN {_W_BITS + 1}
+                    ELSE {_W_BITS + 1} - length(bin(v60)) END) AS m_j
+    FROM parts GROUP BY 1, 2
+),
+merged AS (SELECT bucket, max(m_j) AS m_j FROM daily GROUP BY 1),
+agg AS (
+    SELECT sum(CAST(pow(2.0, {_W_BITS + 1} - m_j) AS DECIMAL(24,0)))
+               AS s_present,
+           count(*) AS n_regs
+    FROM merged
+),
+est AS (
+    SELECT CAST(s_present + ({HLL_M} - n_regs)
+                * CAST(pow(2.0, {_W_BITS + 1}) AS DECIMAL(24,0))
+                AS DOUBLE) AS s,
+           {HLL_M} - n_regs AS v
+    FROM agg
+)
+SELECT (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM daily) AS n_days,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+       round(CASE WHEN {HLL_ALPHA} * {HLL_M * HLL_M} * pow(2.0, {_W_BITS + 1}) / s
+                       <= {2.5 * HLL_M} AND v > 0
+                  THEN {float(HLL_M)} * ln({float(HLL_M)} / v)
+                  ELSE {HLL_ALPHA} * {HLL_M * HLL_M}
+                       * pow(2.0, {_W_BITS + 1}) / s END, 4) AS hll_estimate
+FROM est
+"""
 
 
 HLL_DISTINCT_USERS_ORACLE = f"""
