@@ -3,6 +3,7 @@ from .pipelines import (
     run_foreach_batch_available_now,
     run_to_memory_available_now,
     stream_dedup_exact,
+    stream_hll_registers,
     stream_latest_per_key,
     stream_pickup_orders,
     stream_product_stats,
@@ -16,6 +17,7 @@ __all__ = [
     "run_foreach_batch_available_now",
     "run_to_memory_available_now",
     "stream_dedup_exact",
+    "stream_hll_registers",
     "stream_latest_per_key",
     "stream_pickup_orders",
     "stream_product_stats",

@@ -184,6 +184,22 @@ def stream_dedup_exact(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_hll_registers(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog register build: update/complete-mode
+    ``groupBy(bucket).max(rho)`` over an unbounded user stream.
+
+    The state is AT MOST 16 rows — the smallest possible streaming
+    aggregation state — and never grows with cardinality: this is the
+    streaming face of ``operators/sketches.py``; the same associative
+    ``max`` that merges daily sketches in batch merges micro-batches
+    here, so final streaming registers equal the batch registers over
+    the same rows (tested).
+    """
+    from ..operators.sketches import _hll_parts, _rho
+
+    return _hll_parts(events).groupBy("bucket").agg(F.max(_rho()).alias("m_j"))
+
+
 def run_foreach_batch_available_now(
     spark: SparkSession, df: DataFrame, checkpoint_dir: str, mode: str = "update"
 ) -> list:

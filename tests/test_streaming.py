@@ -531,3 +531,34 @@ def test_kafka_decode_permissive_and_ktable(spark):
         struct,
     ).collect()
     assert rt[0]["name"] == "Nina" and rt[0]["_corrupt"] is None
+
+
+def test_stream_hll_registers_equal_batch(spark, tmp_path):
+    """Streaming HLL registers across micro-batches == batch registers
+    over the same rows: the associative max that merges daily sketches
+    merges micro-batches identically, with bounded (≤16-row) state."""
+    from kafka_streams_repartition_spark.operators.sketches import _hll_parts, _rho
+    from kafka_streams_repartition_spark.streaming import (
+        run_to_memory_available_now,
+        stream_hll_registers,
+    )
+
+    schema = "user_id bigint"
+    a = spark.createDataFrame([(i,) for i in range(40)], schema)
+    b = spark.createDataFrame([(i,) for i in range(20, 90)], schema)
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_hll_registers(spark.readStream.schema(schema).parquet(src))
+    got = {
+        (r["bucket"], r["m_j"])
+        for r in run_to_memory_available_now(spark, stream).collect()
+    }
+    batch = (
+        _hll_parts(a.unionByName(b))
+        .groupBy("bucket")
+        .agg(F.max(_rho()).alias("m_j"))
+    )
+    want = {(r["bucket"], r["m_j"]) for r in batch.collect()}
+    assert got == want and 0 < len(want) <= 16
