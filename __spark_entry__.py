@@ -26,6 +26,7 @@ from kafka_streams_repartition_spark.operators import multimodal as mm
 from kafka_streams_repartition_spark.operators import analytics as an
 from kafka_streams_repartition_spark.operators import relational as rel
 from kafka_streams_repartition_spark.operators import sketches as sk
+from kafka_streams_repartition_spark.operators import graph as gr
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_day_segments": _q(an.user_day_segments),
         "hll_distinct_users": _q(sk.hll_distinct_users),
         "hll_union_daily": _q(sk.hll_union_daily),
+        "pagerank_copurchase": _q(gr.pagerank_copurchase),
     }
 
 
@@ -154,4 +156,5 @@ def oracle_sql() -> dict[str, str]:
         "user_day_segments": an.USER_DAY_SEGMENTS_ORACLE,
         "hll_distinct_users": sk.HLL_DISTINCT_USERS_ORACLE,
         "hll_union_daily": sk.HLL_UNION_DAILY_ORACLE,
+        "pagerank_copurchase": gr.PAGERANK_COPURCHASE_ORACLE,
     }
