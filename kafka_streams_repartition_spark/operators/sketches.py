@@ -1,4 +1,4 @@
-"""Distinct-count sketching as pure relational algebra.
+"""Frequency/membership/distinct sketching as pure relational algebra.
 
 ``hll_distinct_users`` is a HyperLogLog (Flajolet et al. 2007) built
 entirely from portable column expressions — md5 as the hash, one hex
@@ -9,6 +9,12 @@ AND the estimate bit-for-bit. Spark ships a DataSketches-based
 another engine; this formulation keeps the cross-engine correctness
 gate that every other operator in this repo has, while demonstrating
 the same scale story.
+
+``cms_heavy_hitters`` (count-min sketch, Cormode & Muthukrishnan
+2005) and ``bloom_semi_join`` (Bloom 1970 — the runtime-filter
+pattern Spark itself injects for selective joins) complete the
+classic sketch trio; all three share the portable md5 hash so the
+DuckDB oracle rebuilds the identical registers/bitset.
 
 Scale story (the reason sketches exist at 100 TB): the raw event
 stream collapses map-side into at most ``m`` rows per group — the
@@ -218,4 +224,194 @@ SELECT e.event_type,
                   ELSE {HLL_ALPHA} * {HLL_M * HLL_M}
                        * pow(2.0, {_W_BITS + 1}) / s END, 4) AS hll_estimate
 FROM est e JOIN ex USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation in D*W counters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 32  # counters per row
+CMS_TOP = 10  # point-query report size
+
+
+def _md5_mod(col: F.Column, salt: str, mod: int) -> F.Column:
+    """First 8 md5 hex digits of ``f"{salt}:{value}"`` as a long, mod
+    ``mod`` — the repo's portable hash family (Spark ``conv`` ≡ DuckDB
+    ``CAST('0x'||s AS BIGINT)``); the salt indexes the hash function."""
+    h = F.md5(F.concat(F.lit(salt + ":"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def cms_heavy_hitters(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-CMS_TOP users by event count, with the count-min estimate
+    next to the exact count so the sketch's one-sided error
+    (estimate >= exact, inflation = bucket collisions) is visible.
+
+    Scale shape: the sketch build is ONE scan — each event expands
+    map-side to CMS_D (row, bucket) pairs whose counts partial-combine
+    before the exchange, so the shuffle carries at most D*W = 128
+    counters regardless of input size, and the registers merge
+    associatively (sum) across partitions/days exactly like the HLL
+    registers above. Point queries join candidates against the
+    broadcast 128-row register table; the final top-k is
+    ``orderBy().limit()`` which Spark executes as the distributed
+    two-phase TakeOrderedAndProject, not a single-partition sort.
+    (The exact per-user count alongside is itself one keyed
+    aggregation — it is the comparison baseline, not part of the
+    sketch path.)
+    """
+    ev = t["events"].select("user_id")
+
+    def buckets() -> F.Column:
+        return F.array(
+            *[_md5_mod(F.col("user_id"), str(d), CMS_W) for d in range(CMS_D)]
+        )
+
+    rows = ev.select(F.posexplode(buckets()).alias("d", "bucket"))
+    regs = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        exact.select("user_id", F.posexplode(buckets()).alias("d", "bucket"))
+        .join(F.broadcast(regs), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(CMS_TOP)
+        .select("user_id", "n_exact", "cms_estimate")
+    )
+
+
+CMS_HEAVY_HITTERS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+hs AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d),
+rows_ AS (
+    SELECT ev.user_id, hs.d,
+           CAST('0x' || substring(md5(CAST(hs.d AS VARCHAR) || ':'
+                || CAST(ev.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {CMS_W} AS bucket
+    FROM ev, hs
+),
+regs AS (SELECT d, bucket, count(*) AS c FROM rows_ GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+cand AS (SELECT DISTINCT user_id, d, bucket FROM rows_),
+est AS (
+    SELECT cand.user_id, min(regs.c) AS cms_estimate
+    FROM cand JOIN regs USING (d, bucket)
+    GROUP BY 1
+)
+SELECT exact.user_id, exact.n_exact, est.cms_estimate
+FROM exact JOIN est USING (user_id)
+ORDER BY exact.n_exact DESC, exact.user_id
+LIMIT {CMS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join: membership prefilter in BLOOM_M bits
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bit positions
+BLOOM_K = 3  # hash functions
+
+
+def bloom_semi_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Prefilter lineitem order keys through a Bloom filter built over
+    urgent orders — the runtime-filter pattern (Spark injects the same
+    shape as ``InjectRuntimeFilter`` for selective joins), made
+    explicit and cross-engine-checkable. One summary row: fact-key
+    count, exact semi-join matches, Bloom passes, false positives.
+
+    Scale shape: the build side collapses to at most BLOOM_M = 4096
+    distinct bit positions (map-side distinct before the exchange);
+    that bitset broadcasts, so the probe side tests membership
+    map-side with NO shuffle of fact rows — exactly why the pattern
+    wins at 100 TB: the expensive fact shuffle happens only for the
+    ~matching keys that survive the filter. A key passes iff all
+    BLOOM_K probe positions hit (count == k over the position join).
+    The filter never false-negatives (every exact match passes);
+    false positives are saturation-dependent and the whole point of
+    reporting them next to the exact count.
+    """
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+    def positions(col_name: str) -> F.Column:
+        return F.explode(
+            F.array(
+                *[
+                    _md5_mod(F.col(col_name), str(i), BLOOM_M)
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+
+    bits = urgent.select(positions("o_orderkey")).distinct()
+    keys = t["lineitem"].select("l_orderkey").distinct()
+    passed = (
+        keys.select("l_orderkey", positions("l_orderkey"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_fact_keys"))
+    n_exact = keys.join(
+        urgent, keys["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_exact_match"))
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    return (
+        n_keys.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_pass))
+        .select(
+            "n_fact_keys",
+            "n_exact_match",
+            "n_bloom_pass",
+            (F.col("n_bloom_pass") - F.col("n_exact_match")).alias(
+                "false_positives"
+            ),
+        )
+    )
+
+
+BLOOM_SEMI_JOIN_ORACLE = f"""
+WITH urgent AS (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+hs AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+bits AS (
+    SELECT DISTINCT
+           CAST('0x' || substring(md5(CAST(hs.i AS VARCHAR) || ':'
+                || CAST(urgent.o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % {BLOOM_M} AS pos
+    FROM urgent, hs
+),
+keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+kpos AS (
+    SELECT keys.l_orderkey,
+           CAST('0x' || substring(md5(CAST(hs.i AS VARCHAR) || ':'
+                || CAST(keys.l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % {BLOOM_M} AS pos
+    FROM keys, hs
+),
+passed AS (
+    SELECT l_orderkey FROM kpos JOIN bits USING (pos)
+    GROUP BY 1 HAVING count(*) = {BLOOM_K}
+),
+n AS (SELECT count(*) AS n_fact_keys FROM keys),
+e AS (
+    SELECT count(*) AS n_exact_match FROM keys
+    WHERE EXISTS (SELECT 1 FROM urgent WHERE o_orderkey = l_orderkey)
+),
+p AS (SELECT count(*) AS n_bloom_pass FROM passed)
+SELECT n.n_fact_keys, e.n_exact_match, p.n_bloom_pass,
+       p.n_bloom_pass - e.n_exact_match AS false_positives
+FROM n, e, p
 """
