@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_day_segments": _q(an.user_day_segments),
         "hll_distinct_users": _q(sk.hll_distinct_users),
         "hll_union_daily": _q(sk.hll_union_daily),
+        "bm25_search": _q(tx.bm25_search),
         "cms_heavy_hitters": _q(sk.cms_heavy_hitters),
         "bloom_semi_join": _q(sk.bloom_semi_join),
         "pagerank_copurchase": _q(gr.pagerank_copurchase),
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "user_day_segments": an.USER_DAY_SEGMENTS_ORACLE,
         "hll_distinct_users": sk.HLL_DISTINCT_USERS_ORACLE,
         "hll_union_daily": sk.HLL_UNION_DAILY_ORACLE,
+        "bm25_search": tx.BM25_SEARCH_ORACLE,
         "cms_heavy_hitters": sk.CMS_HEAVY_HITTERS_ORACLE,
         "bloom_semi_join": sk.BLOOM_SEMI_JOIN_ORACLE,
         "pagerank_copurchase": gr.PAGERANK_COPURCHASE_ORACLE,

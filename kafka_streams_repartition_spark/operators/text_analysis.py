@@ -697,3 +697,163 @@ WHERE n_copies > 0
 
 
 MIXTURE_UPSAMPLE_ORACLE = _mixture_oracle()
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (query-by-example)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES = 3  # bounded query set: the lowest doc_ids
+BM25_TOP_K = 5
+
+
+def bm25_search(t: dict[str, DataFrame]) -> DataFrame:
+    """Okapi BM25 (Robertson & Zaragoza 2009) query-by-example: rank
+    the corpus against each of the BM25_QUERIES lowest-id documents'
+    term sets — the lexical-retrieval baseline next to the embedding
+    ANN family, and the other standard near-dup evidence signal.
+
+    Scale shape: ONE tokenize pass builds the tf table
+    (``localCheckpoint``ed — doc lengths, document frequencies, and
+    scores all read it; the nondeterministic ``fan_out`` round-robin
+    blocks ReusedExchange, see ``tfidf_top_terms``). The query term
+    set and the per-term document frequencies are bounded by the
+    query docs' vocabulary and ride broadcasts, so the corpus-side tf
+    is filtered map-side to matching terms BEFORE its only keyed
+    shuffle (the doc-length join). Per-term contributions sum as
+    DECIMAL(28,10) so shuffle-order double addition cannot diverge
+    from the oracle's sequential sum. The final per-query top-k is
+    TWO-phase: a local row_number per (query, input partition) keeps
+    k rows per task, then the global window ranks ≤ k·partitions
+    rows — a single per-query window partition would funnel every
+    candidate of a query through one task (corpus-hot at 100 TB;
+    BM25_QUERIES partitions total).
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    ).select(
+        "n_docs", (F.col("tot").cast("double") / F.col("n_docs")).alias("avgdl")
+    )
+    qids = (
+        docs.select(F.col("doc_id").alias("q_doc_id"))
+        .orderBy("q_doc_id")
+        .limit(BM25_QUERIES)
+    )
+    qterms = (
+        tf.join(F.broadcast(qids), tf["doc_id"] == qids["q_doc_id"])
+        .select("q_doc_id", "term")
+        .distinct()
+    )
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfn = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_doc_id"))
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_doc_id",
+            "doc_id",
+            (idf * tfn).cast("decimal(28,10)").alias("sc"),
+        )
+    )
+    scores = per_term.groupBy("q_doc_id", "doc_id").agg(
+        F.sum("sc").cast("double").alias("s")
+    )
+    order = [F.round("s", 6).desc(), F.col("doc_id")]
+    w_local = Window.partitionBy("q_doc_id", "p").orderBy(*order)
+    w_global = Window.partitionBy("q_doc_id").orderBy(*order)
+    return (
+        scores.withColumn("p", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= BM25_TOP_K)
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select(
+            "q_doc_id",
+            "doc_id",
+            F.round("s", 4).alias("bm25"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+BM25_SEARCH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+qids AS (
+    SELECT doc_id AS q_doc_id FROM documents
+    ORDER BY doc_id LIMIT {BM25_QUERIES}
+),
+qterms AS (
+    SELECT DISTINCT q.q_doc_id, tf.term
+    FROM tf JOIN qids q ON tf.doc_id = q.q_doc_id
+),
+dfreq AS (
+    SELECT term, count(*) AS df FROM tf
+    WHERE term IN (SELECT term FROM qterms)
+    GROUP BY 1
+),
+per_term AS (
+    SELECT qt.q_doc_id, tf.doc_id,
+           CAST(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                * (tf.tf * ({BM25_K1} + 1))
+                / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                   + {BM25_B} * dl.dl / s.avgdl))
+                AS DECIMAL(28,10)) AS sc
+    FROM tf
+    JOIN qterms qt USING (term)
+    JOIN dfreq d USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    WHERE tf.doc_id != qt.q_doc_id
+),
+scores AS (
+    SELECT q_doc_id, doc_id, CAST(sum(sc) AS DOUBLE) AS s
+    FROM per_term GROUP BY 1, 2
+),
+ranked AS (
+    SELECT q_doc_id, doc_id, s,
+           row_number() OVER (PARTITION BY q_doc_id
+                              ORDER BY round(s, 6) DESC, doc_id) AS rnk
+    FROM scores
+)
+SELECT q_doc_id, doc_id, round(s, 4) AS bm25, rnk
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+"""

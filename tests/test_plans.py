@@ -309,3 +309,38 @@ def test_pack_sequences_single_key_exchange(t):
     from kafka_streams_repartition_spark.plans import count_key_exchanges
 
     assert count_key_exchanges(tx.pack_sequences(t)) == 1
+
+
+def test_sketch_plans_broadcast_and_prune(t):
+    from kafka_streams_repartition_spark.operators import sketches as sk
+
+    # CMS: the 128-row register table broadcasts into the point-query
+    # join; events scans read only user_id (props/text never loaded).
+    df = sk.cms_heavy_hitters(t)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "events", "props")
+    plan = explain_str(df)
+    # the final top-k is the distributed TakeOrderedAndProject, not a
+    # single-partition global sort
+    assert "TakeOrderedAndProject" in plan
+
+    # Bloom: the bitset broadcasts so the probe side is filtered
+    # map-side; the urgent-orders predicate reaches the orders scan.
+    df = sk.bloom_semi_join(t)
+    assert_broadcast_join(df, at_least=2)  # bitset + summary singletons
+    assert_no_cartesian(df)
+    from kafka_streams_repartition_spark.plans import assert_pushed_filters
+
+    assert_pushed_filters(df, "orders", "o_orderpriority")
+
+
+def test_bm25_single_tokenize_and_broadcast_query_side(t):
+    df = tx.bm25_search(t)
+    # query terms / dfreq / stats all ride broadcasts
+    assert_broadcast_join(df, at_least=3)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    # tf is localCheckpointed: the scan feeding scores is the RDD scan,
+    # not a re-tokenize of documents (one ExistingRDD per checkpoint)
+    assert "ExistingRDD" in plan
