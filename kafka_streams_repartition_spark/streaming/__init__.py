@@ -4,6 +4,7 @@ from .pipelines import (
     run_to_memory_available_now,
     stream_dedup_exact,
     stream_hll_registers,
+    stream_interval_join,
     stream_latest_per_key,
     stream_pickup_orders,
     stream_product_stats,
@@ -18,6 +19,7 @@ __all__ = [
     "run_to_memory_available_now",
     "stream_dedup_exact",
     "stream_hll_registers",
+    "stream_interval_join",
     "stream_latest_per_key",
     "stream_pickup_orders",
     "stream_product_stats",

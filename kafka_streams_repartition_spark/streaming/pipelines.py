@@ -184,6 +184,45 @@ def stream_dedup_exact(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the Structured
+    Streaming analog of Kafka Streams' windowed KStream⋈KStream join
+    (``JoinWindows.of(...)``), the one join class the reference's DSL
+    has that its demo topology never instantiates (SURVEY §2.4): right
+    rows join left rows with the same ``key`` whose event time falls in
+    ``[left_ts, left_ts + within]`` (the ad-impression→click
+    attribution shape).
+
+    Both sides carry a watermark, which is what BOUNDS THE STATE: each
+    side buffers only rows newer than (watermark + within) — Spark
+    derives the eviction horizon from the join's time condition — so an
+    infinite stream joins in finite state, the exact property the
+    reference gets from its windowed store retention. Inner joins emit
+    in append mode; rows arriving behind the watermark are dropped.
+
+    ``left_ts`` and ``right_ts`` must be distinct names (both survive
+    into the output); ``key`` is emitted once. Scale: one shuffle per
+    side keyed on ``key`` — co-partitioned state store join, same shape
+    as the reference's co-partitioning contract.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).drop(r[key])
+
+
 def stream_hll_registers(events: DataFrame) -> DataFrame:
     """Streaming HyperLogLog register build: update/complete-mode
     ``groupBy(bucket).max(rho)`` over an unbounded user stream.

@@ -562,3 +562,97 @@ def test_stream_hll_registers_equal_batch(spark, tmp_path):
     )
     want = {(r["bucket"], r["m_j"]) for r in batch.collect()}
     assert got == want and 0 < len(want) <= 16
+
+
+def test_stream_interval_join_attribution_window(spark, tmp_path):
+    """Stream-stream interval join: clicks attribute to impressions of
+    the same user within 1 hour; outside-window and wrong-user clicks
+    don't join. Inner join emits in append mode."""
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_interval_join,
+    )
+
+    from datetime import datetime as dt
+
+    ts = lambda h, m: dt(2026, 1, 1, h, m)
+    imps = spark.createDataFrame(
+        [
+            (ts(10, 0), 1, "ad-a"),
+            (ts(10, 0), 2, "ad-b"),
+            (ts(12, 0), 1, "ad-c"),
+        ],
+        "imp_ts timestamp, user_id bigint, ad_id string",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (ts(10, 30), 1, 5.0),  # joins ad-a (within 1h)
+            (ts(11, 30), 1, 7.0),  # joins nothing (ad-a window closed)
+            (ts(12, 10), 1, 9.0),  # joins ad-c
+            (ts(10, 10), 3, 1.0),  # no matching user
+        ],
+        "click_ts timestamp, user_id bigint, click_value double",
+    )
+    imp_src, click_src = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imps.coalesce(1).write.parquet(imp_src)
+    clicks.coalesce(1).write.parquet(click_src)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(imps.schema).parquet(imp_src),
+        spark.readStream.schema(clicks.schema).parquet(click_src),
+        key="user_id",
+        left_ts="imp_ts",
+        right_ts="click_ts",
+        within="1 hour",
+    )
+    rows = run_foreach_batch_available_now(
+        spark, joined, str(tmp_path / "ckpt"), mode="append"
+    )
+    got = sorted((r["ad_id"], r["click_value"]) for r in rows)
+    assert got == [("ad-a", 5.0), ("ad-c", 9.0)]
+
+
+def test_stream_interval_join_equals_batch_on_events(spark, sf_dir, tmp_path):
+    """Driver events table, view→click attribution per user within 30
+    minutes: the streaming interval join over the drained table equals
+    the batch join with the identical condition (on-time data — the
+    equivalence contract every streaming form in this repo meets)."""
+    from kafka_streams_repartition_spark.sources.tables import load_table
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("view_ts"), "user_id", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), "user_id", F.col("event_id").alias("click_id")
+    )
+    v_src, c_src = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(v_src)
+    clicks.write.parquet(c_src)
+
+    streamed = stream_interval_join(
+        spark.readStream.schema(views.schema).parquet(v_src),
+        spark.readStream.schema(clicks.schema).parquet(c_src),
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        within="30 minutes",
+        watermark="0 seconds",
+    )
+    rows = run_foreach_batch_available_now(
+        spark, streamed, str(tmp_path / "ckpt"), mode="append"
+    )
+    got = sorted((r["view_id"], r["click_id"]) for r in rows)
+
+    batch = views.join(
+        clicks,
+        (views["user_id"] == clicks["user_id"])
+        & (clicks["click_ts"] >= views["view_ts"])
+        & (clicks["click_ts"] <= views["view_ts"] + F.expr("INTERVAL 30 minutes")),
+    )
+    want = sorted((r["view_id"], r["click_id"]) for r in batch.collect())
+    assert got == want and len(want) > 0
