@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_stats_v2": _q(ps.product_stats_v2),
         "restore_merge": _q(rst.restore_merge),
         "ktable_latest_event": _q(win.ktable_latest_event),
+        "scd2_history": _q(win.scd2_history),
         "tumbling_events": _q(win.tumbling_events),
         "hopping_events": _q(win.hopping_events),
         "session_events": _q(win.session_events),
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "product_stats_v2": ps.PRODUCT_STATS_V2_ORACLE,
         "restore_merge": rst.RESTORE_MERGE_ORACLE,
         "ktable_latest_event": win.KTABLE_LATEST_EVENT_ORACLE,
+        "scd2_history": win.SCD2_HISTORY_ORACLE,
         "tumbling_events": win.TUMBLING_EVENTS_ORACLE,
         "hopping_events": win.HOPPING_EVENTS_ORACLE,
         "session_events": win.SESSION_EVENTS_ORACLE,

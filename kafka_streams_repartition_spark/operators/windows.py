@@ -344,3 +344,85 @@ SELECT v.user_id,
        p.purchase_ms - v.view_ms AS conversion_ms
 FROM v JOIN c USING (user_id) JOIN p USING (user_id)
 """
+
+
+SCD2_END_MS = 253402300799000  # 9999-12-31: the open-interval sentinel
+
+
+def scd2_history(t: dict[str, DataFrame]) -> DataFrame:
+    """Type-2 slowly-changing history of each user's event_type state:
+    consecutive runs of the same type collapse to one validity
+    interval [valid_from_ms, valid_to_ms). ``ktable_latest_event`` is
+    the type-1 (latest-wins) materialization of the changelog; this is
+    the type-2 — the full history a warehouse keeps when the
+    reference's compacted topic would have discarded it.
+
+    Gaps-and-islands, fully declarative: a null-safe lag() marks state
+    changes, a running sum over the SAME window numbers the runs, one
+    aggregation per (user, run) takes the interval start, and lead()
+    closes each interval with the next run's start (open intervals get
+    the 9999-12-31 sentinel — no nullable column for the hash gate).
+
+    Scale shape: ONE shuffle — every window partitions by user_id, so
+    lag, the running sum, and lead all reuse a single exchange+sort
+    (check: one Exchange in the plan), and the per-user partition is
+    bounded by that user's history, never corpus-hot. The per-run
+    aggregation partial-combines map-side within the same
+    partitioning.
+    """
+    ev = _with_ms(t["events"]).select("user_id", "ms", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(~prev.eqNullSafe(F.col("event_type")), 1).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    nxt = Window.partitionBy("user_id").orderBy("valid_from_ms")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from_ms",
+        F.coalesce(
+            F.lead("valid_from_ms").over(nxt), F.lit(SCD2_END_MS)
+        ).alias("valid_to_ms"),
+        "n_events",
+    )
+
+
+SCD2_HISTORY_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events
+),
+chg AS (
+    -- DuckDB forbids nesting window calls in one expression: lag here,
+    -- the running sum in the next level
+    SELECT user_id, ms, event_id, event_type,
+           CASE WHEN lag(event_type)
+                         OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                     IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_chg
+    FROM ev
+),
+runs AS (
+    SELECT user_id, ms, event_type,
+           sum(is_chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM chg
+),
+hist AS (
+    SELECT user_id, run_id, event_type,
+           min(ms) AS valid_from_ms, count(*) AS n_events
+    FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from_ms,
+       coalesce(lead(valid_from_ms)
+                    OVER (PARTITION BY user_id ORDER BY valid_from_ms),
+                {SCD2_END_MS}) AS valid_to_ms,
+       n_events
+FROM hist
+"""

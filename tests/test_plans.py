@@ -344,3 +344,13 @@ def test_bm25_single_tokenize_and_broadcast_query_side(t):
     # tf is localCheckpointed: the scan feeding scores is the RDD scan,
     # not a re-tokenize of documents (one ExistingRDD per checkpoint)
     assert "ExistingRDD" in plan
+
+
+def test_scd2_single_user_exchange(t):
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = win.scd2_history(t)
+    # lag + running sum + per-run agg + lead all reuse ONE user_id
+    # exchange (the agg keys are supersets of the window partitioning)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "events", "props")
