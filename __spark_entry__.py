@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q(dd.dedup_ngram_jaccard),
         "dedup_minhash_lsh": _q(dd.dedup_minhash_lsh),
         "dedup_simhash": _q(dd.dedup_simhash),
+        "dedup_edit_distance": _q(dd.dedup_edit_distance),
         "dedup_embedding": _q(dd.dedup_embedding),
         "ann_topk_bruteforce": _q(sim.ann_topk_bruteforce),
         "ann_topk_vectorized": _q(sim.ann_topk_vectorized),
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": _q(sk.hll_distinct_users),
         "hll_union_daily": _q(sk.hll_union_daily),
         "bm25_search": _q(tx.bm25_search),
+        "unigram_logprob": _q(tx.unigram_logprob),
         "cms_heavy_hitters": _q(sk.cms_heavy_hitters),
         "bloom_semi_join": _q(sk.bloom_semi_join),
         "pagerank_copurchase": _q(gr.pagerank_copurchase),
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dd.DEDUP_NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": dd.DEDUP_MINHASH_LSH_ORACLE,
         "dedup_simhash": dd.DEDUP_SIMHASH_ORACLE,
+        "dedup_edit_distance": dd.DEDUP_EDIT_DISTANCE_ORACLE,
         "dedup_embedding": dd.DEDUP_EMBEDDING_ORACLE,
         "ann_topk_bruteforce": sim.ANN_TOPK_BRUTEFORCE_ORACLE,
         "ann_topk_vectorized": sim.ANN_TOPK_VECTORIZED_ORACLE,
@@ -162,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": sk.HLL_DISTINCT_USERS_ORACLE,
         "hll_union_daily": sk.HLL_UNION_DAILY_ORACLE,
         "bm25_search": tx.BM25_SEARCH_ORACLE,
+        "unigram_logprob": tx.UNIGRAM_LOGPROB_ORACLE,
         "cms_heavy_hitters": sk.CMS_HEAVY_HITTERS_ORACLE,
         "bloom_semi_join": sk.BLOOM_SEMI_JOIN_ORACLE,
         "pagerank_copurchase": gr.PAGERANK_COPURCHASE_ORACLE,

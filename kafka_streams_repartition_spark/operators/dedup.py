@@ -651,3 +651,61 @@ JOIN norms nq ON query_id = nq.vec_id
 JOIN norms nc ON cand_id = nc.vec_id
 WHERE round(dp / (nq.nrm * nc.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+EDIT_DUP_THRESHOLD = 0.8  # normalized similarity above which a pair is a dup
+
+
+def dedup_edit_distance(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact Levenshtein verification of the MinHash-LSH candidate
+    pairs: the character-level second opinion next to the set-level
+    Jaccard — shingle sets can agree while edit structure differs
+    (reorderings), so real dedup pipelines gate on both.
+
+    Scale shape: the O(len²) dynamic program runs ONLY on LSH
+    candidates (bounded by band collisions, never all-pairs — the
+    whole point of LSH is to make this verifiable set small); texts
+    attach via two keyed joins against documents. ``levenshtein`` is
+    a JVM built-in on both engines — no Python in the loop.
+    """
+    docs = t["documents"].select("doc_id", "text")
+    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    sim = 1 - lev / F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_distance"),
+            F.round(sim, 4).alias("edit_similarity"),
+            (F.round(sim, 4) >= EDIT_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )
+
+
+DEDUP_EDIT_DISTANCE_ORACLE = f"""
+WITH pairs AS ({{LSH}}
+)
+SELECT p.doc_a, p.doc_b,
+       levenshtein(a.text, b.text) AS edit_distance,
+       round(1 - levenshtein(a.text, b.text)
+                 / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE),
+             4) AS edit_similarity,
+       round(1 - levenshtein(a.text, b.text)
+                 / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE),
+             4) >= {EDIT_DUP_THRESHOLD} AS is_dup
+FROM pairs p
+JOIN documents a ON p.doc_a = a.doc_id
+JOIN documents b ON p.doc_b = b.doc_id
+"""
+DEDUP_EDIT_DISTANCE_ORACLE = DEDUP_EDIT_DISTANCE_ORACLE.replace(
+    "{LSH}", DEDUP_MINHASH_LSH_ORACLE
+)

@@ -857,3 +857,81 @@ ranked AS (
 SELECT q_doc_id, doc_id, round(s, 4) AS bm25, rnk
 FROM ranked WHERE rnk <= {BM25_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus'
+    own unigram LM — the CCNet-style (Wenzek et al. 2020) statistical
+    quality score: boilerplate/repetitive documents score high,
+    vocabulary-heavy outliers score low. Complements the rule-based
+    ``text_stats`` gate with a model-based signal.
+
+    Scale shape: one tokenize pass builds tf (``localCheckpoint``ed —
+    term counts and per-doc scoring both read it); corpus term counts
+    come from a groupBy(term) whose partial sums collapse hot terms
+    map-side. The tf⋈counts join is a keyed shuffle on term — the
+    vocabulary of a 100 TB corpus does NOT broadcast; only the 1-row
+    total does. Per-token contributions ``tf·ln(c/T)`` sum as
+    DECIMAL(28,10): shuffle-order double addition can never diverge
+    from the oracle's sequential sum.
+    """
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = ct.agg(F.sum("c").alias("tot"))
+    lp = (
+        F.col("tf")
+        * F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+    ).cast("decimal(28,10)")
+    per_doc = (
+        tf.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(lp).cast("double").alias("lp_sum"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("lp_sum") / F.col("n_tokens"), 4).alias("avg_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS tot FROM ct),
+per_doc AS (
+    SELECT tf.doc_id,
+           sum(CAST(tf.tf * ln(CAST(ct.c AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+                    AS DECIMAL(28,10))) AS lp_sum,
+           sum(tf.tf) AS n_tokens
+    FROM tf JOIN ct USING (term) CROSS JOIN tot
+    GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(lp_sum AS DOUBLE) / n_tokens, 4) AS avg_logprob
+FROM per_doc
+"""
