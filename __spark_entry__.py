@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q(tx.unigram_logprob),
         "cms_heavy_hitters": _q(sk.cms_heavy_hitters),
         "bloom_semi_join": _q(sk.bloom_semi_join),
+        "histogram_quantiles": _q(sk.histogram_quantiles),
         "pagerank_copurchase": _q(gr.pagerank_copurchase),
     }
 
@@ -168,5 +169,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": tx.UNIGRAM_LOGPROB_ORACLE,
         "cms_heavy_hitters": sk.CMS_HEAVY_HITTERS_ORACLE,
         "bloom_semi_join": sk.BLOOM_SEMI_JOIN_ORACLE,
+        "histogram_quantiles": sk.HISTOGRAM_QUANTILES_ORACLE,
         "pagerank_copurchase": gr.PAGERANK_COPURCHASE_ORACLE,
     }

@@ -415,3 +415,140 @@ SELECT n.n_fact_keys, e.n_exact_match, p.n_bloom_pass,
        p.n_bloom_pass - e.n_exact_match AS false_positives
 FROM n, e, p
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: percentile estimation in HIST_BINS counters
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+HIST_QS = [0.5, 0.95, 0.99]
+
+
+def histogram_quantiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Approximate per-event-type percentiles from a fixed-width
+    histogram — the mergeable quantile sketch that completes the
+    family (HLL = distinct, CMS = frequency, Bloom = membership,
+    histogram = quantiles): the estimate is linear interpolation
+    inside the first bin whose cumulative count reaches q·n.
+
+    This is the shape ``quantile_stats`` documents as the 100 TB swap
+    for its exact sort-based percentiles, made concrete and
+    oracle-checked: raw values collapse map-side to ≤ HIST_BINS
+    counters per group (associative sum — partitions/days merge like
+    the HLL registers), the cumulative window runs over ≤ 64 rows per
+    group, and nothing ever sorts the data. Two passes (min/max then
+    counts) — a production build would fold pass one into ingest
+    metadata. The min/max range table is a broadcast; bin edges are
+    pure double arithmetic shared with the oracle.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"].select("event_type", "value")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(HIST_BINS - 1).cast("long"),
+                F.floor((F.col("value") - F.col("lo")) / width),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = counts.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    targets = rng.select(
+        "event_type",
+        "lo",
+        "hi",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in HIST_QS])).alias("q"),
+    )
+    hit = (
+        targets.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo")
+        + width
+        * (
+            F.col("bin")
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
+            / F.col("c")
+        )
+    )
+    return hit.select(
+        "event_type", "q", F.round(est, 4).alias("est"), "n"
+    )
+
+
+# q literals carry an e0 suffix so DuckDB parses them as DOUBLE (a bare
+# 0.95 is DECIMAL there; 0.95·n would then be exact where Spark's
+# double multiply rounds — the e0 keeps both engines on the identical
+# IEEE path).
+HISTOGRAM_QUANTILES_ORACLE = f"""
+WITH ev AS (SELECT event_type, value FROM events),
+rng AS (
+    SELECT event_type, min(value) AS lo, max(value) AS hi,
+           count(*) AS n
+    FROM ev GROUP BY 1
+),
+binned AS (
+    SELECT ev.event_type,
+           CASE WHEN r.hi = r.lo THEN 0
+                ELSE least({HIST_BINS - 1}, CAST(floor(
+                     (ev.value - r.lo) / ((r.hi - r.lo) / {HIST_BINS}))
+                     AS BIGINT)) END AS bin
+    FROM ev JOIN rng r USING (event_type)
+),
+counts AS (
+    SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM counts
+),
+targets AS (
+    SELECT r.event_type, r.lo, r.hi, r.n, tq.q
+    FROM rng r CROSS JOIN (VALUES {", ".join(f"({q}e0)" for q in HIST_QS)})
+         tq(q)
+),
+hit AS (
+    SELECT t.event_type, t.q, t.lo, t.hi, t.n, c.bin, c.c, c.cum,
+           row_number() OVER (PARTITION BY t.event_type, t.q
+                              ORDER BY c.bin) AS rk
+    FROM targets t JOIN cum c USING (event_type)
+    WHERE c.cum >= t.q * t.n
+)
+SELECT event_type, q,
+       round(CASE WHEN hi = lo THEN lo
+                  ELSE lo + ((hi - lo) / {HIST_BINS})
+                       * (bin + (q * n - (cum - c)) / c) END, 4) AS est,
+       CAST(n AS BIGINT) AS n
+FROM hit WHERE rk = 1
+"""
