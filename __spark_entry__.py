@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q(dd.dedup_minhash_lsh),
         "dedup_simhash": _q(dd.dedup_simhash),
         "dedup_edit_distance": _q(dd.dedup_edit_distance),
+        "dedup_incremental": _q(dd.dedup_incremental),
         "dedup_embedding": _q(dd.dedup_embedding),
         "ann_topk_bruteforce": _q(sim.ann_topk_bruteforce),
         "ann_topk_vectorized": _q(sim.ann_topk_vectorized),
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dd.DEDUP_MINHASH_LSH_ORACLE,
         "dedup_simhash": dd.DEDUP_SIMHASH_ORACLE,
         "dedup_edit_distance": dd.DEDUP_EDIT_DISTANCE_ORACLE,
+        "dedup_incremental": dd.DEDUP_INCREMENTAL_ORACLE,
         "dedup_embedding": dd.DEDUP_EMBEDDING_ORACLE,
         "ann_topk_bruteforce": sim.ANN_TOPK_BRUTEFORCE_ORACLE,
         "ann_topk_vectorized": sim.ANN_TOPK_VECTORIZED_ORACLE,

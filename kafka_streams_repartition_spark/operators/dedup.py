@@ -180,22 +180,14 @@ WHERE CAST(inter AS DOUBLE) / (qa.n + qb.n - inter) >= {JACCARD_THRESHOLD}
 # --- MinHash + LSH (the corpus×corpus scale path) -------------------------
 
 
-def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
-    """Corpus×corpus near-dup: MinHash signatures → banded LSH buckets →
-    exact Jaccard verification on candidates only.
+def _lsh_bands(arr: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig): banded MinHash signatures, map-side.
 
     MinHash draw = lexicographic min of ``md5(seed || ':' || gram)``
-    (portable across engines; see functions/hashing.py).
-
-    Plan shape: signatures and bands are map-side passes over the
-    per-doc gram arrays (``array_min`` over a ``transform``, no
-    explode/groupBy shuffle); the only shuffles are the band-bucket
-    self-join and the candidate verification joins, both bounded by
-    collision count, never all-pairs. Verification is
-    ``size(array_intersect(...))`` on the two gram arrays instead of a
-    re-exploded gram join.
+    over the per-doc gram array (``array_min`` of a ``transform`` — no
+    explode/groupBy shuffle); a band's signature is its rows' hashes
+    concatenated.
     """
-    arr = _doc_gram_arrays_cached(t["documents"])
 
     def _minhash(s: int) -> F.Column:
         return F.array_min(
@@ -204,7 +196,7 @@ def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
 
     sig = arr.select("doc_id", *[_minhash(s) for s in range(MINHASH_SEEDS)])
     rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -223,6 +215,25 @@ def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.sig")
+
+
+def dedup_minhash_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus×corpus near-dup: MinHash signatures → banded LSH buckets →
+    exact Jaccard verification on candidates only.
+
+    MinHash draw = lexicographic min of ``md5(seed || ':' || gram)``
+    (portable across engines; see functions/hashing.py).
+
+    Plan shape: signatures and bands are map-side passes over the
+    per-doc gram arrays (``array_min`` over a ``transform``, no
+    explode/groupBy shuffle); the only shuffles are the band-bucket
+    self-join and the candidate verification joins, both bounded by
+    collision count, never all-pairs. Verification is
+    ``size(array_intersect(...))`` on the two gram arrays instead of a
+    re-exploded gram join.
+    """
+    arr = _doc_gram_arrays_cached(t["documents"])
+    bands = _lsh_bands(arr)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "sig"])
@@ -709,3 +720,153 @@ JOIN documents b ON p.doc_b = b.doc_id
 DEDUP_EDIT_DISTANCE_ORACLE = DEDUP_EDIT_DISTANCE_ORACLE.replace(
     "{LSH}", DEDUP_MINHASH_LSH_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs historical corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(t: dict[str, DataFrame]) -> DataFrame:
+    """The production ingest shape: dedup an INCOMING batch against the
+    EXISTING corpus only — never within the batch, never re-pairing the
+    historical corpus against itself. Per new document: exact verdict
+    (md5 text hash seen before), near-dup verdict (MinHash-LSH
+    candidate vs any existing doc verified at Jaccard ≥ threshold),
+    and the resulting keep decision.
+
+    The batch split is a deterministic md5-parity of doc_id (half
+    "existing", half "new") so the oracle reproduces it; in production
+    the existing side's hashes and band signatures are a PERSISTED
+    index — the asymmetry is the point: per ingest batch the work is
+    |batch| signature builds + hash/band equi-joins against the index,
+    not a corpus×corpus pass. Both joins key on hash/band values; the
+    historical side never re-shuffles its text, only its (hash) and
+    (band, sig) index rows.
+    """
+    docs = t["documents"]
+    parity = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("long")
+        % 2
+    )
+    tagged = docs.withColumn("p", parity)
+    new_ids = tagged.filter(F.col("p") == 1).select("doc_id")
+    old_ids = tagged.filter(F.col("p") == 0).select("doc_id")
+
+    hx = docs.select("doc_id", F.md5("text").alias("h"))
+    exact_ids = (
+        hx.join(new_ids, "doc_id")
+        .join(
+            hx.join(old_ids, "doc_id").select(F.col("h").alias("oh")).distinct(),
+            F.col("h") == F.col("oh"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+    arr = _doc_gram_arrays_cached(docs)
+    bands = _lsh_bands(arr)
+    cand = (
+        bands.join(new_ids, "doc_id")
+        .alias("a")
+        .join(
+            bands.join(old_ids, "doc_id").alias("b"),
+            ["band_id", "sig"],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(arr.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(arr.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("inter"),
+            F.col("ga.n").alias("na"),
+            F.col("gb.n").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    near_ids = (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        new_ids.join(exact_ids.withColumn("e", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("nd", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(False)).alias("exact_dup"),
+            F.coalesce("nd", F.lit(False)).alias("near_dup"),
+            (
+                ~(F.coalesce("e", F.lit(False)) | F.coalesce("nd", F.lit(False)))
+            ).alias("kept"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH grams AS ({_GRAMS_SQL}),
+par AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                AS BIGINT) % 2 AS p
+    FROM documents
+),
+newd AS (SELECT doc_id FROM par WHERE p = 1),
+oldd AS (SELECT doc_id FROM par WHERE p = 0),
+hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+exact_ids AS (
+    SELECT DISTINCT n.doc_id
+    FROM hx n
+    JOIN newd USING (doc_id)
+    WHERE n.h IN (SELECT o.h FROM hx o JOIN oldd USING (doc_id))
+),
+mh AS (
+    SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || gram)) AS h
+    FROM grams, unnest([{", ".join(str(s) for s in range(MINHASH_SEEDS))}]) AS t(s)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, s // {MINHASH_SEEDS // MINHASH_BANDS} AS band_id,
+           string_agg(h, '' ORDER BY s) AS sig
+    FROM mh
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN newd na ON a.doc_id = na.doc_id
+    JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+    JOIN oldd ob ON b.doc_id = ob.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+near_ids AS (
+    SELECT DISTINCT i.doc_a AS doc_id
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)
+          >= {JACCARD_THRESHOLD}
+)
+SELECT n.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (nr.doc_id IS NOT NULL) AS near_dup,
+       NOT (e.doc_id IS NOT NULL OR nr.doc_id IS NOT NULL) AS kept
+FROM newd n
+LEFT JOIN exact_ids e ON n.doc_id = e.doc_id
+LEFT JOIN near_ids nr ON n.doc_id = nr.doc_id
+"""

@@ -3,6 +3,7 @@ from .pipelines import (
     run_foreach_batch_available_now,
     run_to_memory_available_now,
     stream_dedup_exact,
+    stream_cms_registers,
     stream_hll_registers,
     stream_interval_join,
     stream_latest_per_key,
@@ -18,6 +19,7 @@ __all__ = [
     "run_foreach_batch_available_now",
     "run_to_memory_available_now",
     "stream_dedup_exact",
+    "stream_cms_registers",
     "stream_hll_registers",
     "stream_interval_join",
     "stream_latest_per_key",

@@ -239,6 +239,27 @@ def stream_hll_registers(events: DataFrame) -> DataFrame:
     return _hll_parts(events).groupBy("bucket").agg(F.max(_rho()).alias("m_j"))
 
 
+def stream_cms_registers(events: DataFrame) -> DataFrame:
+    """Streaming count-min-sketch register build: the frequency
+    counterpart of :func:`stream_hll_registers`. State is AT MOST
+    D×W = 128 counter rows regardless of stream cardinality; counts
+    partial-combine per micro-batch and merge associatively (sum), so
+    the final streaming registers equal the batch registers over the
+    same rows (tested) — persist them and point queries never touch
+    the raw stream again.
+    """
+    from ..operators.sketches import CMS_D, CMS_W, _md5_mod
+
+    buckets = F.array(
+        *[_md5_mod(F.col("user_id"), str(d), CMS_W) for d in range(CMS_D)]
+    )
+    return (
+        events.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def run_foreach_batch_available_now(
     spark: SparkSession, df: DataFrame, checkpoint_dir: str, mode: str = "update"
 ) -> list:

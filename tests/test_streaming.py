@@ -656,3 +656,42 @@ def test_stream_interval_join_equals_batch_on_events(spark, sf_dir, tmp_path):
     )
     want = sorted((r["view_id"], r["click_id"]) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_cms_registers_equal_batch(spark, tmp_path):
+    """Streaming CMS registers across micro-batches == batch registers
+    over the same rows: counts partial-combine per batch and sum
+    associatively, with bounded (≤128-row) state."""
+    from kafka_streams_repartition_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _md5_mod,
+    )
+    from kafka_streams_repartition_spark.streaming import (
+        run_to_memory_available_now,
+        stream_cms_registers,
+    )
+
+    schema = "user_id bigint"
+    a = spark.createDataFrame([(i % 7,) for i in range(40)], schema)
+    b = spark.createDataFrame([(i % 11,) for i in range(70)], schema)
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_cms_registers(spark.readStream.schema(schema).parquet(src))
+    got = {
+        (r["d"], r["bucket"], r["c"])
+        for r in run_to_memory_available_now(spark, stream).collect()
+    }
+    buckets = F.array(
+        *[_md5_mod(F.col("user_id"), str(d), CMS_W) for d in range(CMS_D)]
+    )
+    batch = (
+        a.unionByName(b)
+        .select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = {(r["d"], r["bucket"], r["c"]) for r in batch.collect()}
+    assert got == want and 0 < len(want) <= CMS_D * CMS_W
