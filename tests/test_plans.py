@@ -354,3 +354,29 @@ def test_scd2_single_user_exchange(t):
     # exchange (the agg keys are supersets of the window partitioning)
     assert count_key_exchanges(df) == 1
     assert_read_schema_pruned(df, "events", "props")
+
+
+def test_new_iterative_and_incremental_plans_clean(t):
+    from kafka_streams_repartition_spark.operators import graph as gr
+    from kafka_streams_repartition_spark.operators import sketches as sk
+
+    # PageRank: contribution table checkpointed (iterations read an
+    # ExistingRDD, not the pair-expansion subtree); the only cross
+    # joins are broadcast singletons.
+    df = gr.pagerank_copurchase(t)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # iterations read the checkpointed contribution table, not the
+    # pair-expansion subtree (which is also why no lineitem scan
+    # appears in the final plan)
+    assert "ExistingRDD" in plan
+
+    # Histogram sketch: range table broadcasts; events scan reads only
+    # (event_type, value).
+    df = sk.histogram_quantiles(t)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "events", "props")
+
+    # Incremental dedup: no corpus×corpus anywhere.
+    assert_no_cartesian(dd.dedup_incremental(t))
