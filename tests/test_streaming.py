@@ -695,3 +695,42 @@ def test_stream_cms_registers_equal_batch(spark, tmp_path):
     )
     want = {(r["d"], r["bucket"], r["c"]) for r in batch.collect()}
     assert got == want and 0 < len(want) <= CMS_D * CMS_W
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """The parquet file sink's manifest gives exactly-once output
+    across query restarts: a restart with new source data appends only
+    the new rows; a restart with nothing new appends nothing. (This is
+    the delivery guarantee the reference approximates with Kafka
+    transactions — documented in README §Design.)"""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v string"
+    b1 = spark.createDataFrame([(i, f"a{i}") for i in range(10)], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+
+    b2 = spark.createDataFrame([(i, f"b{i}") for i in range(10, 15)], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # batch 1 not re-emitted
+    assert got.select("k").distinct().count() == 15
+
+    drain()  # restart with no new data: nothing appended
+    assert spark.read.parquet(out).count() == 15
