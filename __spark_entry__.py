@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_daily": _q(sk.hll_union_daily),
         "bm25_search": _q(tx.bm25_search),
         "unigram_logprob": _q(tx.unigram_logprob),
+        "bpe_pair_stats": _q(tx.bpe_pair_stats),
+        "table_profile": _q(an.table_profile),
         "cms_heavy_hitters": _q(sk.cms_heavy_hitters),
         "bloom_semi_join": _q(sk.bloom_semi_join),
         "histogram_quantiles": _q(sk.histogram_quantiles),
@@ -169,6 +171,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_union_daily": sk.HLL_UNION_DAILY_ORACLE,
         "bm25_search": tx.BM25_SEARCH_ORACLE,
         "unigram_logprob": tx.UNIGRAM_LOGPROB_ORACLE,
+        "bpe_pair_stats": tx.BPE_PAIR_STATS_ORACLE,
+        "table_profile": an.TABLE_PROFILE_ORACLE,
         "cms_heavy_hitters": sk.CMS_HEAVY_HITTERS_ORACLE,
         "bloom_semi_join": sk.BLOOM_SEMI_JOIN_ORACLE,
         "histogram_quantiles": sk.HISTOGRAM_QUANTILES_ORACLE,

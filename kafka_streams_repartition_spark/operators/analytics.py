@@ -402,3 +402,67 @@ UNION ALL
 SELECT 'blind_buy', CAST(count(*) AS BIGINT)
 FROM (SELECT * FROM p EXCEPT SELECT * FROM v)
 """
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profiling
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def table_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-column completeness/cardinality profile of lineitem in ONE
+    scan — the data-quality pass (the Deequ/dbt-test shape) a pipeline
+    runs before trusting 100 TB of input.
+
+    All per-column aggregates ride a single aggregation over a single
+    scan (Catalyst plans multi-distinct via one Expand — row
+    multiplication by |columns|, still one pass over storage), then the
+    1-row result unpivots via ``stack`` into a row per column; nothing
+    shuffles more than the aggregation's own partials. Exact
+    countDistinct is deliberate at this column count; the documented
+    100 TB swap for high-cardinality audits is ``approx_count_distinct``
+    (or the HLL registers in operators/sketches.py, if the profile
+    must merge across partitions/days).
+    """
+    li = t["lineitem"]
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    row = li.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in PROFILE_COLS
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args})"
+        " AS (column_name, n_nonnull, n_distinct)",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nonnull",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+    )
+
+
+TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       count({c}) AS n_nonnull,
+       (SELECT count(*) FROM lineitem) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct
+FROM lineitem"""
+    for c in PROFILE_COLS
+)

@@ -935,3 +935,73 @@ SELECT doc_id,
        round(CAST(lp_sum AS DOUBLE) / n_tokens, 4) AS avg_logprob
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer induction primitive)
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+def bpe_pair_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-weighted adjacent-character-pair frequencies — the
+    statistic one BPE merge round (Sennrich et al. 2016) maximizes.
+    Tokenizer induction is a corpus-scale aggregation, not a library
+    call: this is its Spark shape.
+
+    Scale shape: pair expansion runs over the DISTINCT-token frequency
+    table, not the raw token stream — the corpus collapses to its
+    vocabulary first (one groupBy whose partial counts combine
+    map-side), then each vocab entry expands to len-1 pairs weighted
+    by its frequency. Per merge round that is O(|vocab| · len), not
+    O(corpus tokens). The pair count groupBy partial-aggregates
+    map-side, and the top-k is the distributed TakeOrderedAndProject.
+    ``sequence(1, len-1)`` is guarded by ``length >= 2`` because Spark
+    sequences DESCEND when stop < start.
+    """
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select(F.explode_outer(words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = tf.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.length("tok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+BPE_PAIR_STATS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS tok
+    FROM documents
+),
+tf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+pairs AS (
+    SELECT tf.freq,
+           unnest(list_transform(generate_series(1, len(tok) - 1),
+                                 i -> substring(tok, i, 2))) AS pair
+    FROM tf WHERE len(tok) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP}
+"""
