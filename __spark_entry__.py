@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": _q(sk.bloom_semi_join),
         "histogram_quantiles": _q(sk.histogram_quantiles),
         "pagerank_copurchase": _q(gr.pagerank_copurchase),
+        "knn_graph": _q(sim.knn_graph),
+        "ngram_counts": _q(tx.ngram_counts),
+        "anomaly_zscore": _q(an.anomaly_zscore),
     }
 
 
@@ -177,4 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": sk.BLOOM_SEMI_JOIN_ORACLE,
         "histogram_quantiles": sk.HISTOGRAM_QUANTILES_ORACLE,
         "pagerank_copurchase": gr.PAGERANK_COPURCHASE_ORACLE,
+        "knn_graph": sim.KNN_GRAPH_ORACLE,
+        "ngram_counts": tx.NGRAM_COUNTS_ORACLE,
+        "anomaly_zscore": an.ANOMALY_ZSCORE_ORACLE,
     }

@@ -466,3 +466,70 @@ TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
 FROM lineitem"""
     for c in PROFILE_COLS
 )
+
+
+# --------------------------------------------------------------------------
+# Per-key z-score outlier detection (telemetry/data-quality surface —
+# flag events whose value is anomalous for THAT user)
+# --------------------------------------------------------------------------
+
+Z_THRESH = 2.0
+
+
+def anomaly_zscore(t: dict[str, DataFrame]) -> DataFrame:
+    """Events whose value is ≥ ``Z_THRESH`` sample standard deviations
+    from their user's mean.
+
+    Parity shape: mean/variance are derived from DECIMAL(38,10) sums
+    (exact, order-independent — Spark's partial-agg merge order differs
+    from DuckDB's sequential scan), cast back to double only for the
+    final scalar arithmetic, which is then bit-identical on both
+    engines (see ``salted_event_counts`` for the decimal-sum rule).
+
+    Scale shape: one user-keyed exchange; the window partition is
+    bounded by a single user's event count, never corpus-hot. Degenerate
+    users (n < 2 or zero variance) are excluded by construction.
+    """
+    ev = t["events"].select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)"))
+        .over(w)
+        .cast("double")
+    )
+    mean = s1 / n
+    var = (s2 - n * mean * mean) / (n - 1)
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 3)
+    return (
+        ev.withColumn("n", n)
+        .withColumn("var", var)
+        .withColumn("z", z)
+        .filter((F.col("n") >= 2) & (F.col("var") > 0) & (F.abs(F.col("z")) >= Z_THRESH))
+        .select("event_id", "user_id", "value", "z")
+    )
+
+
+ANOMALY_ZSCORE_ORACLE = f"""
+WITH s AS (
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS s2
+    FROM events
+    GROUP BY 1
+),
+z AS (
+    SELECT e.event_id, e.user_id, e.value,
+           round((e.value - s.s1 / s.n)
+                 / sqrt((s.s2 - s.n * (s.s1 / s.n) * (s.s1 / s.n)) / (s.n - 1)),
+                 3) AS z,
+           s.n,
+           (s.s2 - s.n * (s.s1 / s.n) * (s.s1 / s.n)) / (s.n - 1) AS var
+    FROM events e JOIN s USING (user_id)
+)
+SELECT event_id, user_id, value, z
+FROM z
+WHERE n >= 2 AND var > 0 AND abs(z) >= {Z_THRESH}
+"""

@@ -606,3 +606,128 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cosine
 FROM ranked
 WHERE rank <= {N_PROBE_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Mutual k-NN graph (the neighborhood structure behind semantic dedup /
+# clustering — reference has no graph surface; north-star extension)
+# --------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def _sigs_cte() -> str:
+    """Shared oracle CTE prefix: per-vector hyperplane signature.
+
+    Inlines the SAME ±1 matrix as :func:`_signature` so both engines
+    bucket identically (see ``ANN_TOPK_LSH_ORACLE``).
+    """
+    rows = []
+    for p, row in enumerate(_sign_matrix()):
+        for i, s in enumerate(row):
+            rows.append(f"({p}, {i + 1}, {s})")
+    values = ", ".join(rows)
+    return f"""
+planes(plane, pos, s) AS (VALUES {values}),
+e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+projs AS (
+    SELECT e.vec_id, pl.plane, sum(e.x * pl.s) AS proj
+    FROM e JOIN planes pl ON e.pos = pl.pos
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane)
+               AS sig
+    FROM projs
+    GROUP BY 1
+)"""
+
+
+def knn_graph(t: dict[str, DataFrame]) -> DataFrame:
+    """Mutual k-NN graph over the whole embedding corpus, LSH-blocked.
+
+    Candidate edges come from hyperplane-signature buckets (same
+    inlined ±1 matrix as :func:`ann_topk_lsh`): the self-join is a
+    co-partitioned equi-join on the 8-bit signature, bounded by bucket
+    collision counts — never all-pairs. Each node ranks its in-bucket
+    neighbors by exact cosine and keeps the top ``KNN_K``; an edge
+    survives only if BOTH endpoints keep it (mutual-kNN), emitted once
+    in canonical ``src < dst`` order.
+
+    Scale shape: bucket width is the tuning knob (more planes → smaller
+    buckets); the directed edge set is ≤ n·k rows, so the mutual
+    self-join is trivial next to the bucket join. ``topk`` is
+    localCheckpoint'd because it feeds both sides of that join and the
+    fan_out round-robin upstream blocks ReusedExchange (see
+    ``tfidf_top_terms``).
+    """
+    emb = _corpus(t).withColumn("sig", _signature(F.col("v")))
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("sig").alias("csig"),
+    )
+    cos = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+    ).alias("cosine")
+    pairs = (
+        emb.join(cand, F.col("sig") == F.col("csig"))
+        .filter(F.col("vec_id") != F.col("cand_id"))
+        .select("vec_id", "cand_id", cos)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    topk = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("vec_id", "cand_id", "cosine")
+        .localCheckpoint(eager=False)
+    )
+    rev = topk.select(
+        F.col("cand_id").alias("vec_id"), F.col("vec_id").alias("cand_id")
+    )
+    return (
+        topk.join(rev, ["vec_id", "cand_id"])
+        .filter(F.col("vec_id") < F.col("cand_id"))
+        .select(
+            F.col("vec_id").alias("src"), F.col("cand_id").alias("dst"), "cosine"
+        )
+    )
+
+
+KNN_GRAPH_ORACLE = f"""
+WITH {_sigs_cte()},
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS cand_id
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id != b.vec_id
+),
+scored AS (
+    SELECT p.vec_id, p.cand_id,
+           round(sum(x.x * y.x) / (nx.nrm * ny.nrm), 6) AS cosine
+    FROM pairs p
+    JOIN e x ON x.vec_id = p.vec_id
+    JOIN e y ON y.vec_id = p.cand_id AND x.pos = y.pos
+    JOIN norms nx ON nx.vec_id = p.vec_id
+    JOIN norms ny ON ny.vec_id = p.cand_id
+    GROUP BY 1, 2, nx.nrm, ny.nrm
+),
+topk AS (
+    SELECT vec_id, cand_id, cosine FROM (
+        SELECT vec_id, cand_id, cosine, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, cand_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {KNN_K}
+)
+SELECT a.vec_id AS src, a.cand_id AS dst, a.cosine
+FROM topk a
+JOIN topk b ON a.vec_id = b.cand_id AND a.cand_id = b.vec_id
+WHERE a.vec_id < a.cand_id
+"""

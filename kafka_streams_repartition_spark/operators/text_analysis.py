@@ -1005,3 +1005,79 @@ FROM pairs GROUP BY 1
 ORDER BY n DESC, pair
 LIMIT {BPE_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram frequency table (the raw statistic behind LM data work:
+# contamination audits, memorization probes, gram-level mixture weights)
+# --------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_TOP = 25
+
+
+def ngram_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Top corpus word-trigrams with occurrence and document counts.
+
+    Scale shape: trigrams are built MAP-SIDE per document
+    (:func:`word_ngrams` — transform over an index sequence, no
+    per-gram rows until the explode), then collapsed to per-doc gram
+    counts whose partial aggregation absorbs within-doc repetition
+    before the gram-keyed exchange. The corpus rollup aggregates those
+    (gram, doc) rows — ``sum`` for occurrences, ``count`` for document
+    frequency — with no DISTINCT expand; hot grams ("the quick brown")
+    collapse map-side in both stages. Top-N is a distributed
+    TakeOrderedAndProject, never a global sort.
+
+    ``explode_outer`` + null filter keeps the tokenize lambda above the
+    fan_out exchange (see ``decontaminate``'s inferred-filter trap).
+    """
+    docs = t["documents"]
+    grams = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(word_ngrams(words(F.col("text")), NGRAM_N)).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    per_doc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    corpus = per_doc.groupBy("gram").agg(
+        F.sum("n").alias("occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        corpus.orderBy(F.col("occurrences").desc(), F.col("gram"))
+        .limit(NGRAM_TOP)
+        .select("gram", F.col("occurrences").cast("long").alias("occurrences"), "n_docs")
+    )
+
+
+NGRAM_COUNTS_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           array_to_string(w[i : i + {NGRAM_N - 1}], ' ') AS gram
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS i
+        FROM w
+        WHERE len(w) >= {NGRAM_N}
+    )
+),
+per_doc AS (
+    SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
+),
+corpus AS (
+    SELECT gram, CAST(sum(n) AS BIGINT) AS occurrences,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM per_doc GROUP BY 1
+)
+SELECT gram, occurrences, n_docs
+FROM corpus
+ORDER BY occurrences DESC, gram
+LIMIT {NGRAM_TOP}
+"""
