@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q(sim.knn_graph),
         "ngram_counts": _q(tx.ngram_counts),
         "anomaly_zscore": _q(an.anomaly_zscore),
+        "zorder_layout": _q(an.zorder_layout),
+        "sample_per_group": _q(tx.sample_per_group),
     }
 
 
@@ -183,4 +185,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": sim.KNN_GRAPH_ORACLE,
         "ngram_counts": tx.NGRAM_COUNTS_ORACLE,
         "anomaly_zscore": an.ANOMALY_ZSCORE_ORACLE,
+        "zorder_layout": an.ZORDER_LAYOUT_ORACLE,
+        "sample_per_group": tx.SAMPLE_PER_GROUP_ORACLE,
     }

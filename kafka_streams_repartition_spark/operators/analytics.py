@@ -533,3 +533,78 @@ SELECT event_id, user_id, value, z
 FROM z
 WHERE n >= 2 AND var > 0 AND abs(z) >= {Z_THRESH}
 """
+
+
+# --------------------------------------------------------------------------
+# Z-order data layout (multi-dimensional clustering for data skipping —
+# the write-side optimization that makes 100 TB scans cheap)
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_BUCKETS_SHIFT = 2 * ZORDER_BITS - 6  # 64 buckets
+
+
+def _z_interleave_spark() -> str:
+    """Spark SQL expression interleaving l_partkey/l_suppkey bits."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"shiftleft(shiftright(l_partkey, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright(l_suppkey, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+def _z_interleave_duck() -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((l_partkey >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((l_suppkey >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_layout(t: dict[str, DataFrame]) -> DataFrame:
+    """Z-order-curve layout audit over lineitem (l_partkey, l_suppkey):
+    interleave the two keys' bits into one locality-preserving value,
+    bucket the curve, and report each bucket's min/max key ranges —
+    the file-level skipping statistics a Z-ordered write would produce.
+
+    At 100 TB the real move is ``repartitionByRange(z)`` + sorted
+    parquet writes so BOTH ``WHERE l_partkey=…`` and ``WHERE
+    l_suppkey=…`` prune most files from the min/max footer stats (a
+    single-key sort gives ranges only for that key). This query
+    computes the layout and its quality evidence declaratively: the
+    z-value is a flat bit-arithmetic expression (JVM codegen, zero
+    Python), the rollup is one partial-agg-friendly exchange of ≤64
+    groups.
+    """
+    li = t["lineitem"].select("l_partkey", "l_suppkey")
+    z = F.expr(_z_interleave_spark()).alias("z")
+    return (
+        li.select("l_partkey", "l_suppkey", z)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"z div {1 << ZORDER_BUCKETS_SHIFT}").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+
+
+ZORDER_LAYOUT_ORACLE = f"""
+WITH z AS (
+    SELECT l_partkey, l_suppkey,
+           ({_z_interleave_duck()}) // {1 << ZORDER_BUCKETS_SHIFT} AS bucket
+    FROM lineitem
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM z
+GROUP BY 1
+"""

@@ -1081,3 +1081,50 @@ FROM corpus
 ORDER BY occurrences DESC, gram
 LIMIT {NGRAM_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group uniform sample (the "N docs per language for
+# eval/inspection" pull — reservoir-equivalent, rerun-stable)
+# --------------------------------------------------------------------------
+
+SAMPLE_PER_GROUP_K = 20
+
+
+def sample_per_group(t: dict[str, DataFrame]) -> DataFrame:
+    """Keep ``SAMPLE_PER_GROUP_K`` documents per language, chosen by
+    md5(doc_id) order — a uniform draw that is deterministic across
+    reruns and engines (no RNG state to coordinate).
+
+    Scale shape: the ``row_number <= k`` filter triggers Spark's
+    ``WindowGroupLimit`` pushdown — every map task pre-prunes to its
+    local top-k per language BEFORE the exchange, so the shuffle
+    carries ≤ k rows per (task, lang), not the corpus. That makes the
+    lang-hot window partition safe at 100 TB (without the pushdown a
+    per-language window would funnel every doc of a language through
+    one task — the trap ``tfidf_top_terms`` documents). Gated in
+    tests/test_plans.py.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_PER_GROUP_K)
+        .select("lang", F.col("sample_rank").cast("long").alias("sample_rank"), "doc_id")
+    )
+
+
+SAMPLE_PER_GROUP_ORACLE = f"""
+SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+FROM (
+    SELECT lang, doc_id, row_number() OVER (
+        PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS sample_rank
+    FROM documents
+)
+WHERE sample_rank <= {SAMPLE_PER_GROUP_K}
+"""

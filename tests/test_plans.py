@@ -380,3 +380,35 @@ def test_new_iterative_and_incremental_plans_clean(t):
 
     # Incremental dedup: no corpus×corpus anywhere.
     assert_no_cartesian(dd.dedup_incremental(t))
+
+
+def test_round2_additions_plans(t):
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    # sample_per_group: the rank<=k filter must push a WindowGroupLimit
+    # below the exchange (map-side per-lang top-k) or a lang-hot window
+    # would funnel each language through one task at scale.
+    df = tx.sample_per_group(t)
+    assert "WindowGroupLimit" in explain_str(df)
+
+    # zorder_layout: flat bit arithmetic — single agg exchange, pruned
+    # scan (2 of lineitem's 11 columns), no joins at all.
+    df = an.zorder_layout(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "lineitem", "l_extendedprice")
+
+    # anomaly_zscore: one user-keyed exchange for the window; events
+    # scan reads only (event_id, user_id, value).
+    df = an.anomaly_zscore(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "events", "props")
+
+    # knn_graph: bucket equi-join only — never an all-pairs cartesian.
+    assert_no_cartesian(sim.knn_graph(t))
+
+    # ngram_counts: gram construction is map-side; the only key
+    # exchanges are the two partial-agg stages ((doc,gram) then gram).
+    df = tx.ngram_counts(t)
+    assert_no_cartesian(df)
+    assert count_key_exchanges(df) <= 2
