@@ -31,29 +31,37 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
+        # Fault-isolated: one broken query records an error and moves on
+        # instead of zeroing the whole artifact (round-2 failure mode:
+        # the harness died at query 6 and emitted nothing).
         best = None
-        for _ in range(repeats):  # report best-of-N: JIT/GC noise is ±20%
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
+        try:
+            for _ in range(repeats):  # report best-of-N: JIT/GC noise is ±20%
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "repeats": repeats,
-            }
-        )
-    )
+    out = {
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeats": repeats,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -48,10 +48,21 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     """Make any session — including a vanilla one we didn't build — able
     to read the driver testdata.
 
-    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
-    vectorized parquet reader refuses unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on (runtime-settable); the
-    bigint is converted back to a timestamp in :func:`load_table`.
+    Two confs, both required for portability:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: some vintages of
+      ``events.parquet`` store ``ts`` as INT64 TIMESTAMP(NANOS), which the
+      vectorized parquet reader refuses unless this is on
+      (runtime-settable); the bigint is converted back to a timestamp in
+      :func:`load_table`.  Harmless when the data is micros.
+    - ``spark.sql.session.timeZone=UTC``: every epoch/date computation in
+      this repo (``unix_millis``, ``date_trunc``, day extraction) must
+      agree with the DuckDB oracle, which treats naive parquet timestamps
+      as UTC.  On a non-UTC session every such comparison would shift by
+      the zone offset.  NOTE: this is a deliberate session-global
+      mutation of a session we may not own — documented here because a
+      host embedding this loader will see its own timestamp
+      formatting/parsing switch to UTC after the first load.
     """
     try:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
@@ -59,6 +70,11 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     except Exception:
         # Conf removed/renamed in some future Spark: let the read proceed
         # and surface its own error instead of masking it here.
+        pass
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
         pass
 
 
@@ -69,16 +85,76 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     _ensure_read_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long nanos (nanosAsLong above); truncate
-        # to micros with integer division (doubles would lose precision
-        # above 2^53 ns) and restore TimestampType.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _normalize_timestamps(spark.read.parquet(path), path)
     per_session[key] = df
     return df
+
+
+def _normalize_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Land every timestamp-ish column on ``TimestampType`` whatever the
+    parquet logical type of the current data vintage.
+
+    The driver regenerates testdata between rounds and has already
+    shipped two encodings for ``events.ts`` — TIMESTAMP(NANOS) (read as
+    ``bigint`` under ``nanosAsLong``, round 1) and naive
+    TIMESTAMP(MICROS) (read as ``timestamp_ntz``, round 2); the round-2
+    switch erred 12 driver-graded queries at analysis time.  Normalizing
+    on the OBSERVED types rather than a remembered vintage means nanos,
+    NTZ, and LTZ all behave identically downstream, for ALL tables
+    (``lineitem.l_shipdate`` / ``orders.o_orderdate`` are naive micros
+    today and could drift the same way).
+
+    - ``timestamp_ntz`` → ``cast("timestamp")``.  With the session tz
+      pinned to UTC in :func:`_ensure_read_confs` this is a zero-shift
+      relabel, matching DuckDB's naive-as-UTC reading.
+    - nanos-as-``bigint``: a bare bigint is indistinguishable from a key
+      column in the Spark schema, so consult the parquet footer (a
+      pyarrow metadata read, no data scan) and convert exactly the
+      columns whose arrow type is ``timestamp[ns]``; truncate to micros
+      with integer division (doubles would lose precision above 2^53 ns).
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    bigint_cols = [c for c, dt in dtypes.items() if dt == "bigint"]
+    if bigint_cols:
+        for col in _nanos_columns(path, bigint_cols):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def _nanos_columns(path: str, candidates: list[str]) -> list[str]:
+    """Which of ``candidates`` are TIMESTAMP(NANOS) per the parquet
+    footer?  Best-effort: an unreadable footer (or a directory layout we
+    don't recognize) returns [] and the bigint passes through untouched,
+    surfacing downstream instead of being mis-cast here."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not files:
+                return []
+            path = files[0]
+        schema = pq.read_schema(path)
+        out = []
+        for field in schema:
+            t = field.type
+            if (
+                field.name in candidates
+                and getattr(t, "unit", None) == "ns"
+                and str(t).startswith("timestamp")
+            ):
+                out.append(field.name)
+        return out
+    except Exception:
+        return []
 
 
 class LazyTables(Mapping):
@@ -129,7 +205,13 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     partition no matter how many byte-range splits the conf requests
     (measured: skipping the probe serialized shingling/hashing and cost
     3-9x on every per-row-heavy query at sf0.1).
+
+    On a real cluster the inputs arrive in many splits and the probe is
+    pure plan-build overhead — set ``SPARK_GRAFT_NO_FANOUT_PROBE=1``
+    there to make ``fan_out`` a declared no-op.
     """
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT_PROBE"):
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
