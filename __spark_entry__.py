@@ -27,6 +27,7 @@ from kafka_streams_repartition_spark.operators import analytics as an
 from kafka_streams_repartition_spark.operators import relational as rel
 from kafka_streams_repartition_spark.operators import sketches as sk
 from kafka_streams_repartition_spark.operators import graph as gr
+from kafka_streams_repartition_spark.operators import tpch as th
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +49,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round, (2) never driver-graded, (3) erred last round, (4) the
     # long-stable block.
     return {
+        # -- new this round ---------------------------------------------
+        "shipping_priority": _q(th.shipping_priority),
+        "order_priority_counts": _q(th.order_priority_counts),
+        "revenue_no_promo": _q(th.revenue_no_promo),
+        "rolling_user_value": _q(rel.rolling_user_value),
+        "user_percentiles": _q(rel.user_percentiles),
+        "pii_scrub": _q(tx.pii_scrub),
+        "duplicate_rate_by_source": _q(tx.duplicate_rate_by_source),
+        "stratified_kfold": _q(tx.stratified_kfold),
+        "embedding_dim_stats": _q(sim.embedding_dim_stats),
         # -- never driver-graded (r2 registry tail) ---------------------
         "pq_codes": _q(sim.pq_codes),
         "retention_cohorts": _q(an.retention_cohorts),
@@ -125,6 +136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "shipping_priority": th.SHIPPING_PRIORITY_ORACLE,
+        "order_priority_counts": th.ORDER_PRIORITY_COUNTS_ORACLE,
+        "revenue_no_promo": th.REVENUE_NO_PROMO_ORACLE,
+        "rolling_user_value": rel.ROLLING_USER_VALUE_ORACLE,
+        "user_percentiles": rel.USER_PERCENTILES_ORACLE,
+        "pii_scrub": tx.PII_SCRUB_ORACLE,
+        "duplicate_rate_by_source": tx.DUPLICATE_RATE_BY_SOURCE_ORACLE,
+        "stratified_kfold": tx.STRATIFIED_KFOLD_ORACLE,
+        "embedding_dim_stats": sim.EMBEDDING_DIM_STATS_ORACLE,
         "pickup_order_summary": po.PICKUP_ORDER_SUMMARY_ORACLE,
         "pickup_order_nested": po.PICKUP_ORDER_NESTED_ORACLE,
         "product_stats_v1": ps.PRODUCT_STATS_V1_ORACLE,

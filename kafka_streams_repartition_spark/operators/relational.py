@@ -258,3 +258,104 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+# --- window frames ----------------------------------------------------------
+
+ROLLING_ROWS = 2  # current row + 2 preceding
+ROLLING_RANGE_MS = 3_600_000  # 1 hour
+
+
+def rolling_user_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event rolling statistics over each user's history: a
+    row-frame average (current + 2 preceding events) and a time-range
+    sum (events within the trailing hour).
+
+    The ROWS/RANGE window-frame surface the reference's DSL lacks
+    entirely (its windows are fixed aggregation buckets, SURVEY §2.5).
+    Both frames share ONE user-keyed exchange + per-partition sort —
+    Catalyst collapses same-spec windows into a single Window operator,
+    so the second frame is free.  At 100 TB this is the shape a
+    feature-engineering pass wants: state bounded by the frame, no
+    self-join (the naive trailing-window formulation is a range
+    self-join that explodes quadratically on hot users).
+    """
+    ev = _events_ms(t["events"]).select("user_id", "event_id", "ms", "value")
+    order = [F.col("ms").asc(), F.col("event_id").asc()]
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-ROLLING_ROWS, Window.currentRow)
+    )
+    # RANGE frames allow exactly one ordering column; ms ties are summed
+    # together on both sides, so the frame stays deterministic.
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ms").asc())
+        .rangeBetween(-ROLLING_RANGE_MS, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w_rows), 4).alias("roll_avg"),
+        F.round(F.sum("value").over(w_range), 4).alias("hour_sum"),
+    )
+
+
+ROLLING_USER_VALUE_ORACLE = f"""
+SELECT user_id,
+       event_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ms(ts), event_id
+           ROWS BETWEEN {ROLLING_ROWS} PRECEDING AND CURRENT ROW
+       ), 4) AS roll_avg,
+       round(sum(value) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ms(ts)
+           RANGE BETWEEN {ROLLING_RANGE_MS} PRECEDING AND CURRENT ROW
+       ), 4) AS hour_sum
+FROM events
+"""
+
+
+NTILE_BUCKETS = 4
+
+
+def user_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Rank every user by total event value: ``percent_rank`` plus an
+    ``ntile`` quartile bucket (the global-ranking analytic surface).
+
+    Two stages: a user-keyed partial-combine aggregate, then a single
+    global sort over the ALREADY-AGGREGATED frame (one row per user —
+    at 100 TB that is |users|, not |events|, so the unpartitioned
+    window is safe; the raw-event equivalent would not be).
+    """
+    per_user = (
+        t["events"]
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    w = Window.orderBy(F.col("total_value").asc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "total_value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(NTILE_BUCKETS).over(w).cast("long").alias("quartile"),
+    )
+
+
+USER_PERCENTILES_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1
+)
+SELECT user_id,
+       total_value,
+       round(percent_rank() OVER (ORDER BY total_value, user_id), 6) AS pct_rank,
+       CAST(ntile({NTILE_BUCKETS}) OVER (ORDER BY total_value, user_id) AS BIGINT)
+           AS quartile
+FROM per_user
+"""

@@ -731,3 +731,45 @@ FROM topk a
 JOIN topk b ON a.vec_id = b.cand_id AND a.cand_id = b.vec_id
 WHERE a.vec_id < a.cand_id
 """
+
+
+# --- embedding column statistics --------------------------------------------
+
+DIM_STATS_N = 4
+
+
+def embedding_dim_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Moment statistics (mean / population variance / min / max) for
+    the leading embedding dimensions — the sanity pass a vector corpus
+    gets before any indexing (collapsed dimensions, scale drift, NaNs).
+
+    ``posexplode(slice(...))`` keeps only the audited dims, then ONE
+    partial-combining aggregate over DIM_STATS_N groups: every executor
+    reduces its slice to DIM_STATS_N moment rows, so the exchange
+    carries ~|tasks|·DIM_STATS_N rows whatever the corpus size.  Floats
+    are widened to double BEFORE summation (both engines accumulate in
+    double; summing in float32 would drift).
+    """
+    emb = t["embeddings"].select(
+        F.posexplode(F.slice("embedding", 1, DIM_STATS_N)).alias("dim", "v")
+    )
+    v = F.col("v").cast("double")
+    return emb.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.var_pop(v), 6).alias("var"),
+        F.round(F.min(v), 6).alias("min_v"),
+        F.round(F.max(v), 6).alias("max_v"),
+    )
+
+
+EMBEDDING_DIM_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT CAST({i} AS BIGINT) AS dim,
+       round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS mean,
+       round(var_pop(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS var,
+       round(min(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS min_v,
+       round(max(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS max_v
+FROM embeddings
+"""
+    for i in range(DIM_STATS_N)
+)

@@ -1128,3 +1128,115 @@ FROM (
 )
 WHERE sample_rank <= {SAMPLE_PER_GROUP_K}
 """
+
+
+# --- PII / compliance scrub -------------------------------------------------
+
+# One alternation, applied in a single regexp pass: emails, long digit
+# runs (phone/account-shaped), and an explicit denylisted term standing
+# in for a dictionary-based entity list.  The testdata's synthetic text
+# contains no real PII, so the denylist term is chosen to actually occur
+# — the plumbing (count + replace + content hash) is what's under test.
+PII_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{7,}|\bcustomer\b"
+PII_TOKEN = "[REDACTED]"
+
+
+def pii_scrub(t: dict[str, DataFrame]) -> DataFrame:
+    """Redact PII-shaped spans from every document; emit the redaction
+    count and an md5 of the scrubbed text (content-hash parity proves
+    the replacement itself, not just the count, matches the oracle).
+
+    Pure per-row expressions — zero shuffle, whole-stage codegen, and
+    at 100 TB it runs at scan speed.  The pattern compiles once per
+    task (Spark caches the regex per expression instance), not per row.
+    """
+    doc = t["documents"]
+    clean = F.regexp_replace("text", PII_PATTERN, PII_TOKEN)
+    return doc.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_PATTERN)).cast("long").alias("n_redactions"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+PII_SCRUB_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERN}')) AS BIGINT)
+           AS n_redactions,
+       CAST(length(regexp_replace(text, '{PII_PATTERN}', '{PII_TOKEN}', 'g'))
+           AS BIGINT) AS clean_len,
+       md5(regexp_replace(text, '{PII_PATTERN}', '{PII_TOKEN}', 'g')) AS clean_md5
+FROM documents
+"""
+
+
+# --- corpus duplication audit ----------------------------------------------
+
+
+def duplicate_rate_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source duplication audit: docs, distinct texts (by md5), and
+    the duplicate rate — the first report a curation pass produces.
+
+    Texts are hashed BEFORE the exchange, so only 16-byte digests
+    shuffle (same discipline as span_dedup); ``count_distinct`` then
+    partial-aggregates per source.  At 100 TB the shuffled bytes are
+    |docs|·16, independent of document length.
+    """
+    doc = t["documents"].select("source", F.md5("text").alias("h"))
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("h").cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("h") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+
+
+DUPLICATE_RATE_BY_SOURCE_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1.0 - count(DISTINCT md5(text)) / count(*), 4) AS dup_rate
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- deterministic k-fold assignment ----------------------------------------
+
+KFOLD_K = 5
+KFOLD_MULT = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
+def stratified_kfold(t: dict[str, DataFrame]) -> DataFrame:
+    """Assign every document a deterministic cross-validation fold via a
+    multiplicative hash of its id, and report the fold × language grid
+    (the stratification audit: folds should be balanced within strata).
+
+    Hash-based assignment is the only split that survives distribution:
+    it needs no global sort, no state, and re-runs identically on any
+    partitioning of the input — row_number()-style assignment would
+    need a total order.  Engine-portable arithmetic (multiply-mod), not
+    an engine hash builtin, so ANY system recomputes the same folds.
+    """
+    doc = t["documents"].select("doc_id", "lang", "n_chars")
+    fold = (F.col("doc_id") * F.lit(KFOLD_MULT)) % F.lit(2**32) % F.lit(KFOLD_K)
+    return (
+        doc.withColumn("fold", fold.cast("long"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+STRATIFIED_KFOLD_ORACLE = f"""
+SELECT CAST((doc_id * {KFOLD_MULT}) % {2**32} % {KFOLD_K} AS BIGINT) AS fold,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY 1, 2
+"""

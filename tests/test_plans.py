@@ -412,3 +412,72 @@ def test_round2_additions_plans(t):
     df = tx.ngram_counts(t)
     assert_no_cartesian(df)
     assert count_key_exchanges(df) <= 2
+
+
+def test_round3_additions_plans(t):
+    from kafka_streams_repartition_spark.operators import relational as rel
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import (
+        assert_pushed_filters,
+        count_key_exchanges,
+    )
+
+    # shipping_priority: both date filters reach their scans, the top-k
+    # is TakeOrderedAndProject (never a global sort), no cartesian.
+    df = th.shipping_priority(t)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+    assert_pushed_filters(df, "orders", "o_orderdate")
+    assert_pushed_filters(df, "lineitem", "l_shipdate")
+
+    # order_priority_counts: EXISTS plans as a semi join (no row
+    # multiplication), with the returnflag filter pushed to lineitem.
+    df = th.order_priority_counts(t)
+    assert "LeftSemi" in explain_str(df), explain_str(df)
+    assert_pushed_filters(df, "lineitem", "l_returnflag")
+    assert_read_schema_pruned(df, "lineitem", "l_extendedprice")
+
+    # revenue_no_promo: pure scan-filter-aggregate — zero key exchanges
+    # (the single-row final agg is a SinglePartition exchange, not a
+    # hash shuffle of data rows) and every predicate pushed.
+    df = th.revenue_no_promo(t)
+    assert count_key_exchanges(df) == 0
+    assert_pushed_filters(df, "lineitem", "l_discount")
+    assert_read_schema_pruned(df, "lineitem", "l_orderkey")
+
+    # rolling_user_value: both window frames share ONE user-keyed
+    # exchange; events scan skips props/event_type.
+    df = rel.rolling_user_value(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "events", "props")
+
+    # user_percentiles: one hash exchange (the per-user agg); the
+    # global window runs over the aggregated |users|-row frame only.
+    df = rel.user_percentiles(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "events", "props")
+
+    # pii_scrub: pure row expressions — zero key exchanges.
+    assert count_key_exchanges(tx.pii_scrub(t)) == 0
+
+    # duplicate_rate_by_source: distinct-agg is two-phase max; text
+    # itself never crosses a shuffle (only source + md5 digest).
+    df = tx.duplicate_rate_by_source(t)
+    assert count_key_exchanges(df) <= 2
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"raw text crosses a shuffle:\n{ln}"
+
+    # stratified_kfold: one agg exchange and the documents scan must
+    # NOT read the text column at all (audit is metadata-only).
+    df = tx.stratified_kfold(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "documents", "text")
+
+    # embedding_dim_stats: one agg exchange over DIM_STATS_N groups;
+    # label column pruned from the scan.
+    df = sim.embedding_dim_stats(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "embeddings", "label")
