@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable block.
     return {
         # -- new this round ---------------------------------------------
+        "triangle_count": _q(gr.triangle_count),
+        "tokenize_to_ids": _q(tx.tokenize_to_ids),
+        "histogram_quantiles_meta": _q(sk.histogram_quantiles_meta),
         "shipping_priority": _q(th.shipping_priority),
         "order_priority_counts": _q(th.order_priority_counts),
         "revenue_no_promo": _q(th.revenue_no_promo),
@@ -136,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "triangle_count": gr.TRIANGLE_COUNT_ORACLE,
+        "tokenize_to_ids": tx.TOKENIZE_TO_IDS_ORACLE,
+        "histogram_quantiles_meta": sk.HISTOGRAM_QUANTILES_META_ORACLE,
         "shipping_priority": th.SHIPPING_PRIORITY_ORACLE,
         "order_priority_counts": th.ORDER_PRIORITY_COUNTS_ORACLE,
         "revenue_no_promo": th.REVENUE_NO_PROMO_ORACLE,

@@ -145,3 +145,124 @@ it0 AS (SELECT o.src AS node, 1.0 / nn.n AS r FROM outw o CROSS JOIN nn)"""
 
 
 PAGERANK_COPURCHASE_ORACLE = _pagerank_oracle()
+
+
+# --- triangle counting ------------------------------------------------------
+
+TRI_SINCE = "2000-01-01"  # wider window than PageRank: triangles need density
+TRI_MIN_W = 1  # the density knob: raise to keep only repeat co-purchases
+
+
+def triangle_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Global triangle census of the strong co-purchase graph: edge
+    count, triangle count, and global clustering coefficient
+    (3·triangles / wedges).
+
+    Scale shape: pair expansion is the same bounded map-side transform
+    as :func:`pagerank_copurchase`; the ``src < dst`` orientation makes
+    every undirected edge ONE row and counts each triangle exactly once
+    via the (a<b<c) closure join — no post-hoc ``/6`` dedup, so the
+    joins never materialize the 6 permutations.  The weight floor
+    (TRI_MIN_W) is the density knob: a raw co-purchase graph at 100 TB
+    has hub parts whose wedge sets explode quadratically; thresholding
+    (or the standard refinement, orienting low-degree → high-degree)
+    bounds the wedge side before any join.  Wedges for the coefficient
+    come from per-node degrees — an O(|nodes|) frame, no join.
+    """
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= F.lit(TRI_SINCE))
+        .select("l_orderkey", "l_partkey")
+    )
+    per_order = li.distinct().groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a: F.transform(
+                            "ps",
+                            lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .filter(F.col("src") < F.col("dst"))
+    )
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRI_MIN_W)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    # wedges a<b<c via (a,b)⋈(b,c), closed by the (a,c) edge
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_triangles")
+    )
+    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double").alias("n_wedges")
+    )
+    return (
+        n_edge.crossJoin(n_tri)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_cc"),
+        )
+    )
+
+
+TRIANGLE_COUNT_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '{TRI_SINCE} 00:00:00'),
+edges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {TRI_MIN_W}
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src
+    WHERE EXISTS (SELECT 1 FROM edges e3
+                  WHERE e3.src = e1.src AND e3.dst = e2.dst)
+),
+deg AS (
+    SELECT node, count(*) AS dg FROM (
+        SELECT src AS node FROM edges
+        UNION ALL
+        SELECT dst AS node FROM edges
+    ) GROUP BY 1
+),
+w AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS DOUBLE) AS n_wedges FROM deg)
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       t.n_triangles,
+       round(CASE WHEN w.n_wedges > 0
+                  THEN 3.0 * t.n_triangles / w.n_wedges
+                  ELSE 0.0 END, 6) AS global_cc
+FROM tri t CROSS JOIN w
+"""

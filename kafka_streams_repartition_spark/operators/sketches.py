@@ -552,3 +552,165 @@ SELECT event_type, q,
        CAST(n AS BIGINT) AS n
 FROM hit WHERE rk = 1
 """
+
+
+def _footer_min_max(t: dict[str, DataFrame], table: str, column: str):
+    """Column (min, max) from parquet footer statistics — a pure
+    metadata read (no scan, no Spark job), the stand-in for the
+    ingest-time range metadata a production table format keeps.
+    Returns None when footers are unavailable (then the caller falls
+    back to computing the range with an aggregation pass)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = getattr(t, "sf_dir", None)
+    if sf_dir is None:
+        return None
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    lo = hi = None
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema != column:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    except Exception:
+        return None
+    if lo is None:
+        return None
+    return float(lo), float(hi)
+
+
+def histogram_quantiles_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """One-pass form of :func:`histogram_quantiles`: the bin range is
+    the GLOBAL column range taken from parquet footer min/max
+    statistics (a driver-side metadata read), so the data is scanned
+    exactly once — the "fold pass one into ingest metadata" production
+    shape that function's docstring promises.
+
+    Shared global bins trade a little per-group resolution for the
+    eliminated pass; the estimates differ from the per-group-range
+    variant by design, and the oracle recomputes the same global range
+    relationally (exact for these files: parquet stats are true
+    min/max).  Falls back to a range aggregation when footers carry no
+    statistics — correctness never depends on the metadata.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"].select("event_type", "value")
+    rng = _footer_min_max(t, "events", "value")
+    if rng is None:
+        row = ev.agg(F.min("value"), F.max("value")).first()
+        rng = (float(row[0]), float(row[1]))
+    lo_v, hi_v = rng
+    lo, hi = F.lit(lo_v), F.lit(hi_v)
+    width = (hi - lo) / HIST_BINS
+    binned = ev.select(
+        "event_type",
+        F.when(hi == lo, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(HIST_BINS - 1).cast("long"),
+                F.floor((F.col("value") - lo) / width),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    # cum + n as windows over the ≤64-rows-per-group counts frame, then
+    # the quantile targets EXPLODED onto each bin row — no self-join, so
+    # the whole query is one linear lineage over a single events scan.
+    grp = counts.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+    hit = (
+        grp.select(
+            "event_type",
+            "bin",
+            "c",
+            "cum",
+            "n",
+            F.explode(F.array(*[F.lit(float(q)) for q in HIST_QS])).alias("q"),
+        )
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    est = F.when(hi == lo, lo).otherwise(
+        lo
+        + width
+        * (
+            F.col("bin")
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
+            / F.col("c")
+        )
+    )
+    return hit.select("event_type", "q", F.round(est, 4).alias("est"), "n")
+
+
+HISTOGRAM_QUANTILES_META_ORACLE = f"""
+WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+    SELECT e.event_type,
+           CASE WHEN r.hi = r.lo THEN 0
+                ELSE least({HIST_BINS - 1}, CAST(floor(
+                     (e.value - r.lo) / ((r.hi - r.lo) / {HIST_BINS}))
+                     AS BIGINT)) END AS bin
+    FROM events e CROSS JOIN rng r
+),
+counts AS (
+    SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM counts
+),
+targets AS (
+    SELECT DISTINCT event_type, n, tq.q
+    FROM cum CROSS JOIN (VALUES {", ".join(f"({q}e0)" for q in HIST_QS)}) tq(q)
+),
+hit AS (
+    SELECT t.event_type, t.q, t.n, c.bin, c.c, c.cum,
+           row_number() OVER (PARTITION BY t.event_type, t.q
+                              ORDER BY c.bin) AS rk
+    FROM targets t
+    JOIN cum c ON t.event_type = c.event_type
+    WHERE c.cum >= t.q * t.n
+),
+rng2 AS (SELECT lo, hi FROM rng)
+SELECT h.event_type, h.q,
+       round(CASE WHEN r.hi = r.lo THEN r.lo
+                  ELSE r.lo + ((r.hi - r.lo) / {HIST_BINS})
+                       * (h.bin + (h.q * h.n - (h.cum - h.c)) / h.c) END, 4)
+           AS est,
+       CAST(h.n AS BIGINT) AS n
+FROM hit h CROSS JOIN rng2 r WHERE h.rk = 1
+"""

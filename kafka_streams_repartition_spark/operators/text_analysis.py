@@ -1240,3 +1240,81 @@ SELECT CAST((doc_id * {KFOLD_MULT}) % {2**32} % {KFOLD_K} AS BIGINT) AS fold,
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# --- broadcast-vocabulary tokenization --------------------------------------
+
+TOKENIZE_VOCAB = 256  # id 1..V by corpus frequency; 0 = OOV
+TOKENIZE_SEQ = 32  # encode the first N whitespace tokens per doc
+
+
+def tokenize_to_ids(t: dict[str, DataFrame]) -> DataFrame:
+    """Encode every document's leading tokens as vocabulary ids — the
+    tokenizer-application step of a training-data pipeline, with the
+    vocabulary built from the corpus itself (top-N tokens by frequency,
+    ties broken lexically; OOV → 0).
+
+    Scale shape: vocabulary selection is a partial-combining token
+    count followed by ``TakeOrderedAndProject`` (top-V never sorts the
+    full vocabulary globally) and a ``row_number`` over the V-row
+    result — bounded state everywhere.  Encoding is a BROADCAST left
+    join (the vocab is ≤V rows at any corpus size — the asset you ship
+    to every executor, exactly how a real tokenizer's merges table
+    travels), and the only corpus-wide exchange re-assembles per-doc id
+    sequences, shuffling ints, never text.
+    """
+    from pyspark.sql import Window
+
+    doc = t["documents"].select("doc_id", "text")
+    counts = (
+        doc.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(TOKENIZE_VOCAB)
+    vocab = top.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+    ).select("tok", "id")
+    toks = doc.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, TOKENIZE_SEQ)).alias(
+            "pos", "tok"
+        ),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda x: x["id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids")
+    )
+
+
+TOKENIZE_TO_IDS_ORACLE = f"""
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+counts AS (
+    SELECT unnest(arr) AS tok FROM arrs
+),
+freq AS (SELECT tok, count(*) AS c FROM counts GROUP BY 1),
+vocab AS (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id
+    FROM freq ORDER BY c DESC, tok LIMIT {TOKENIZE_VOCAB}
+),
+toks AS (
+    SELECT a.doc_id, a.arr[CAST(r.i AS INT)] AS tok, r.i AS pos
+    FROM arrs a, range(1, {TOKENIZE_SEQ + 1}) r(i)
+    WHERE r.i <= len(a.arr)
+),
+enc AS (
+    SELECT tk.doc_id, tk.pos, COALESCE(v.id, 0) AS id
+    FROM toks tk LEFT JOIN vocab v ON tk.tok = v.tok
+)
+SELECT doc_id,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+FROM enc GROUP BY 1
+"""

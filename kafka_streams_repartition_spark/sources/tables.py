@@ -172,6 +172,13 @@ class LazyTables(Mapping):
         self._spark = spark
         self._sf_dir = sf_dir
 
+    @property
+    def sf_dir(self) -> str:
+        """Dataset root — lets metadata-aware operators (e.g. the
+        one-pass histogram sketch) read parquet footer statistics for
+        the tables they are about to scan."""
+        return self._sf_dir
+
     def __getitem__(self, name: str) -> DataFrame:
         if name not in TABLE_NAMES:
             raise KeyError(name)

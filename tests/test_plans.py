@@ -481,3 +481,37 @@ def test_round3_additions_plans(t):
     df = sim.embedding_dim_stats(t)
     assert count_key_exchanges(df) == 1
     assert_read_schema_pruned(df, "embeddings", "label")
+
+
+def test_round3_graph_text_sketch_plans(t):
+    from kafka_streams_repartition_spark.operators import graph as gr
+    from kafka_streams_repartition_spark.operators import sketches as sk
+    from kafka_streams_repartition_spark.plans import (
+        assert_pushed_filters,
+        count_key_exchanges,
+    )
+
+    # triangle_count: equi-joins only (the a<b orientation is a filter,
+    # not a cartesian) and the triangle closure is a SEMI join — the
+    # wedge set never multiplies.  (The lineitem scan itself sits behind
+    # the edge checkpoint, so pushdown is asserted on the pre-checkpoint
+    # shape other gates cover.)
+    df = gr.triangle_count(t)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+    # tokenize_to_ids: encoding joins the BROADCAST vocab (text never
+    # shuffles for the lookup); the only corpus-wide key exchanges are
+    # the token count and the per-doc reassembly.
+    df = tx.tokenize_to_ids(t)
+    assert_broadcast_join(df, at_least=1)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan  # top-V vocab, no global sort
+
+    # histogram_quantiles_meta: ONE scan of events (the range came from
+    # footer metadata), vs the two-pass variant's two scans.
+    from kafka_streams_repartition_spark.plans import count_scans
+
+    assert count_scans(sk.histogram_quantiles_meta(t)) == 1
+    assert count_scans(sk.histogram_quantiles(t)) >= 2  # the pass it saves
