@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-stable block.
     return {
         # -- new this round ---------------------------------------------
+        "ann_recall_eval": _q(sim.ann_recall_eval),
+        "winnow_fingerprints": _q(tx.winnow_fingerprints),
+        "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
         "tokenize_to_ids": _q(tx.tokenize_to_ids),
         "histogram_quantiles_meta": _q(sk.histogram_quantiles_meta),
@@ -139,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "ann_recall_eval": sim.ANN_RECALL_EVAL_ORACLE,
+        "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
+        "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,
         "tokenize_to_ids": tx.TOKENIZE_TO_IDS_ORACLE,
         "histogram_quantiles_meta": sk.HISTOGRAM_QUANTILES_META_ORACLE,

@@ -313,6 +313,13 @@ def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     that the recursive-CTE oracle reproduces). Edges and labels are
     localCheckpoint()ed: the loop's lineage stays one round deep, and
     rounds scale as O(components' diameter) — tiny for dup clusters.
+
+    API note for GraphFrames users: this is exactly
+    ``GraphFrames(v, e).connectedComponents()`` with ``component`` ==
+    ``cluster_id`` — callers porting from that library can treat the
+    LSH pair table as the edge list and this function as the drop-in;
+    no extra package is required, and large-diameter graphs (not dup
+    clusters) are where GraphFrames' alternating-algorithm would win.
     """
     pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
     # Lazy checkpoints: each round's convergence-check action is the

@@ -773,3 +773,54 @@ FROM embeddings
 """
     for i in range(DIM_STATS_N)
 )
+
+
+# --- index quality evaluation -----------------------------------------------
+
+
+def ann_recall_eval(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the IVF index against the brute-force ground truth —
+    the acceptance gate every ANN index needs before it replaces the
+    exact path in production.
+
+    Pure composition: both sides are this module's own oracle-gated
+    queries, joined on (query, candidate) with a LEFT SEMI (hits never
+    duplicate), reduced to one row.  At 100 TB you run this on a
+    sampled query set — the ground-truth side is the expensive one,
+    which is exactly why the recall number must be known before the
+    exact path is retired.
+    """
+    truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+    approx = ann_topk_ivf(t).select("query_id", "cand_id")
+    hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_approx))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_EVAL_ORACLE = f"""
+WITH bf AS ({ANN_TOPK_BRUTEFORCE_ORACLE}),
+iv AS ({ANN_TOPK_IVF_ORACLE}),
+hits AS (
+    SELECT bf.query_id, bf.cand_id
+    FROM bf WHERE EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.query_id = bf.query_id AND iv.cand_id = bf.cand_id
+    )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS recall
+"""

@@ -714,3 +714,147 @@ SELECT h.event_type, h.q,
        CAST(h.n AS BIGINT) AS n
 FROM hit h CROSS JOIN rng2 r WHERE h.rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+HLL_INTER_TYPE = "purchase"  # set A: users who purchased
+HLL_INTER_VALUE = 250.0  # set B: users with a rare high-value event
+
+
+def hll_intersect_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Estimate the user overlap between two cohorts from their HLL
+    sketches alone: |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union
+    estimate comes from the register-wise ``max`` merge — no raw data
+    re-touched.  A = purchasers, B = users with a high-value event (two
+    genuinely different sets, so the three estimates diverge).  Exact
+    intersection rides along so the inclusion-exclusion error is
+    visible (it compounds the three estimates' errors; the classic
+    trade for never re-scanning 100 TB).
+
+    Scale shape identical to the other HLL queries: each branch is ≤16
+    register rows after the map-side combine; the only exact-side cost
+    is the comparison column itself.
+    """
+    ev = t["events"]
+    set_a = ev.filter(F.col("event_type") == HLL_INTER_TYPE).select("user_id")
+    set_b = ev.filter(F.col("value") >= HLL_INTER_VALUE).select("user_id")
+    branches = set_a.withColumn("branch", F.lit("A")).unionAll(
+        set_b.withColumn("branch", F.lit("B"))
+    )
+    regs = (
+        _hll_parts(branches, "branch")
+        .groupBy("branch", "bucket")
+        .agg(F.max(_rho()).alias("m_j"))
+    )
+    per_branch = _hll_estimate(regs, "branch")
+    est_a = per_branch.filter(F.col("branch") == "A").select(
+        F.col("hll_estimate").alias("est_a")
+    )
+    est_b = per_branch.filter(F.col("branch") == "B").select(
+        F.col("hll_estimate").alias("est_b")
+    )
+    est_u = _hll_estimate(
+        regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    ).select(F.col("hll_estimate").alias("est_union"))
+    exact = (
+        set_a.distinct()
+        .join(set_b.distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_both"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact_both",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+        )
+    )
+
+
+_EST_SQL = (
+    f"round(CASE WHEN {HLL_ALPHA} * {HLL_M * HLL_M} * pow(2.0, {_W_BITS + 1}) / s"
+    f" <= {2.5 * HLL_M} AND v > 0"
+    f" THEN {float(HLL_M)} * ln({float(HLL_M)} / v)"
+    f" ELSE {HLL_ALPHA} * {HLL_M * HLL_M} * pow(2.0, {_W_BITS + 1}) / s END, 4)"
+)
+
+HLL_INTERSECT_TYPES_ORACLE = f"""
+WITH branches AS (
+    SELECT 'A' AS branch, user_id FROM events
+    WHERE event_type = '{HLL_INTER_TYPE}'
+    UNION ALL
+    SELECT 'B' AS branch, user_id FROM events
+    WHERE value >= {HLL_INTER_VALUE}
+),
+parts AS (
+    SELECT branch,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS bucket,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2,
+                                  {_W_BITS // 4}) AS BIGINT) AS v60
+    FROM branches
+),
+regs AS (
+    SELECT branch, bucket,
+           max(CASE WHEN v60 = 0 THEN {_W_BITS + 1}
+                    ELSE {_W_BITS + 1} - length(bin(v60)) END) AS m_j
+    FROM parts GROUP BY 1, 2
+),
+uregs AS (SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY 1),
+agg AS (
+    SELECT branch,
+           sum(CAST(pow(2.0, {_W_BITS + 1} - m_j) AS DECIMAL(24,0)))
+               AS s_present,
+           count(*) AS n_regs
+    FROM regs GROUP BY 1
+),
+uagg AS (
+    SELECT sum(CAST(pow(2.0, {_W_BITS + 1} - m_j) AS DECIMAL(24,0)))
+               AS s_present,
+           count(*) AS n_regs
+    FROM uregs
+),
+est AS (
+    SELECT branch, {_EST_SQL} AS e FROM (
+        SELECT branch,
+               CAST(s_present + ({HLL_M} - n_regs)
+                    * CAST(pow(2.0, {_W_BITS + 1}) AS DECIMAL(24,0))
+                    AS DOUBLE) AS s,
+               {HLL_M} - n_regs AS v
+        FROM agg
+    )
+),
+uest AS (
+    SELECT {_EST_SQL} AS e FROM (
+        SELECT CAST(s_present + ({HLL_M} - n_regs)
+                    * CAST(pow(2.0, {_W_BITS + 1}) AS DECIMAL(24,0))
+                    AS DOUBLE) AS s,
+               {HLL_M} - n_regs AS v
+        FROM uagg
+    )
+),
+ex AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_both FROM (
+        SELECT DISTINCT user_id FROM branches WHERE branch = 'A'
+        INTERSECT
+        SELECT DISTINCT user_id FROM branches WHERE branch = 'B'
+    )
+)
+SELECT ex.n_exact_both,
+       (SELECT e FROM est WHERE branch = 'A') AS est_a,
+       (SELECT e FROM est WHERE branch = 'B') AS est_b,
+       uest.e AS est_union,
+       round((SELECT e FROM est WHERE branch = 'A')
+             + (SELECT e FROM est WHERE branch = 'B')
+             - uest.e, 4) AS est_intersect
+FROM ex CROSS JOIN uest
+"""

@@ -1318,3 +1318,114 @@ SELECT doc_id,
        string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
 FROM enc GROUP BY 1
 """
+
+
+# --- winnowing fingerprints -------------------------------------------------
+
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 5  # winnowing window (consecutive gram hashes)
+
+
+def winnow_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every word k-gram, slide a w-hash window,
+    keep each window's minimum — a position-robust fingerprint set with
+    guaranteed match detection for overlaps ≥ w+k-1 words.  Output is
+    per-doc fingerprint count + an md5 over the sorted fingerprint set
+    (set-content parity, not just cardinality).
+
+    Scale shape: gram construction and hashing are map-side array
+    expressions over the document scan; only ``(doc_id, pos, hash)``
+    triples — never gram text — reach the one doc-keyed exchange for
+    the window pass, and the window state is w hashes.  Docs shorter
+    than w grams winnow to their global minimum (the trailing frame at
+    the last position), so every doc with ≥k words fingerprints.
+    """
+    doc = t["documents"].select("doc_id", "text")
+    arr = F.split(F.col("text"), " ")
+    n_grams = F.size(arr) - WINNOW_K + 1
+    grams = doc.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                n_grams > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.array_join(F.slice(arr, i + 1, WINNOW_K), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gpos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "gpos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("gpos")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    selected = (
+        hashed.select(
+            "doc_id",
+            "gpos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_doc).alias("ng"),
+        )
+        .filter(F.col("gpos") >= F.least(F.lit(WINNOW_W - 1), F.col("ng") - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("fp")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("fp_md5"),
+    )
+
+
+WINNOW_FINGERPRINTS_ORACLE = f"""
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams AS (
+    -- DuckDB range() cannot take lateral column bounds: iterate a
+    -- constant upper bound and filter (8192 words >> any testdata doc)
+    SELECT a.doc_id, r.i AS gpos,
+           array_to_string(
+               a.arr[CAST(r.i + 1 AS INT):CAST(r.i + {WINNOW_K} AS INT)], ' '
+           ) AS gram
+    FROM arrs a, range(0, 8192) r(i)
+    WHERE r.i <= len(a.arr) - {WINNOW_K}
+),
+hashed AS (
+    SELECT doc_id, gpos,
+           CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
+    FROM grams
+),
+winmin AS (
+    SELECT doc_id, gpos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                        ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS ng
+    FROM hashed
+),
+selected AS (
+    SELECT DISTINCT doc_id, fp
+    FROM winmin
+    WHERE gpos >= least({WINNOW_W - 1}, ng - 1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_md5
+FROM selected GROUP BY 1
+"""

@@ -515,3 +515,26 @@ def test_round3_graph_text_sketch_plans(t):
 
     assert count_scans(sk.histogram_quantiles_meta(t)) == 1
     assert count_scans(sk.histogram_quantiles(t)) >= 2  # the pass it saves
+
+
+def test_winnow_and_hll_intersect_plans(t):
+    from kafka_streams_repartition_spark.operators import sketches as sk
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    # winnow_fingerprints: gram text never crosses a shuffle — only
+    # (doc_id, pos, hash) triples reach the doc-keyed window exchange.
+    df = tx.winnow_fingerprints(t)
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "gram" not in ln, f"gram text crosses a shuffle:\n{ln}"
+
+    # hll_intersect_types: both value filters push to the events scans,
+    # and no register exchange carries more than (branch, bucket) keys —
+    # the whole sketch algebra is a handful of ≤16-row frames.
+    df = sk.hll_intersect_types(t)
+    assert_no_cartesian(df)  # 1-row estimate frames cross via broadcast
+    from kafka_streams_repartition_spark.plans import assert_pushed_filters
+
+    assert_pushed_filters(df, "events", "event_type")
+    assert_pushed_filters(df, "events", "value")
