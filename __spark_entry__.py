@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round ---------------------------------------------
         "ann_recall_eval": _q(sim.ann_recall_eval),
+        "basket_rules": _q(gr.basket_rules),
+        "pca_power_iteration": _q(sim.pca_power_iteration),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -143,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sql = {
         "ann_recall_eval": sim.ANN_RECALL_EVAL_ORACLE,
+        "basket_rules": gr.BASKET_RULES_ORACLE,
+        "pca_power_iteration": sim.PCA_POWER_ITERATION_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

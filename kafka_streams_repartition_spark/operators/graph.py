@@ -266,3 +266,108 @@ SELECT (SELECT count(*) FROM edges) AS n_edges,
                   ELSE 0.0 END, 6) AS global_cc
 FROM tri t CROSS JOIN w
 """
+
+
+# --- association rules ------------------------------------------------------
+
+BASKET_MIN_PAIR = 2  # minimum co-occurrence count (support floor)
+BASKET_TOP = 20
+
+
+def basket_rules(t: dict[str, DataFrame]) -> DataFrame:
+    """Market-basket association rules over orders: for every part pair
+    (a < b) co-purchased at least BASKET_MIN_PAIR times, report support,
+    confidence in both directions, and lift — the classic data-mining
+    surface (Agrawal & Srikant 1994) the reference's DSL cannot express.
+
+    Scale shape: pair expansion is the bounded map-side transform shared
+    with :func:`pagerank_copurchase`; item counts are one partial-
+    combining aggregate over the distinct (order, part) frame; the pair
+    table joins the item-count table twice (dimension-sized — Spark
+    broadcasts it), and the top-N is ``TakeOrderedAndProject``.  Lift is
+    computed with the identical association on both engines
+    ``(c_ab * n) / (c_a * c_b)`` from exact integer counts, so ordering
+    is deterministic across engines.
+    """
+    d = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = d.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    per_order = d.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a: F.transform(
+                            "ps",
+                            lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_PAIR)
+    )
+    joined = (
+        pairs.join(
+            item.select(F.col("l_partkey").alias("src"), F.col("c_item").alias("c_a")),
+            "src",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("dst"), F.col("c_item").alias("c_b")),
+            "dst",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (F.col("c_ab").cast("double") * F.col("n")) / (
+        F.col("c_a") * F.col("c_b")
+    )
+    return (
+        joined.select(
+            "src",
+            "dst",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(F.col("c_ab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("c_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("c_ab") / F.col("c_b"), 6).alias("conf_b_to_a"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("src"), F.col("dst"))
+        .limit(BASKET_TOP)
+    )
+
+
+BASKET_RULES_ORACLE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM d),
+item AS (SELECT l_partkey, count(*) AS c_item FROM d GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c_ab
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {BASKET_MIN_PAIR}
+)
+SELECT p.src, p.dst,
+       CAST(p.c_ab AS BIGINT) AS c_ab,
+       round(p.c_ab / n.n, 6) AS support,
+       round(p.c_ab / ia.c_item, 6) AS conf_a_to_b,
+       round(p.c_ab / ib.c_item, 6) AS conf_b_to_a,
+       round((CAST(p.c_ab AS DOUBLE) * n.n) / (ia.c_item * ib.c_item), 4)
+           AS lift
+FROM pairs p
+JOIN item ia ON p.src = ia.l_partkey
+JOIN item ib ON p.dst = ib.l_partkey
+CROSS JOIN n_orders n
+ORDER BY lift DESC, p.src, p.dst
+LIMIT {BASKET_TOP}
+"""

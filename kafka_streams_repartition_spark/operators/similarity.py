@@ -824,3 +824,111 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
        round((SELECT count(*) FROM hits) * 1.0
              / (SELECT count(*) FROM bf), 4) AS recall
 """
+
+
+# --- principal component via power iteration --------------------------------
+
+PCA_D = 16  # leading dims analyzed (Gram matrix is PCA_D² = 256 cells)
+PCA_ITER = 3
+
+
+def pca_power_iteration(t: dict[str, DataFrame]) -> DataFrame:
+    """Top principal direction of the leading embedding dims by power
+    iteration on the Gram matrix — the whitening/decorrelation pass a
+    vector corpus gets before indexing, done without any linear-algebra
+    library.
+
+    The 100 TB shape: the data is touched ONCE — a D²-cell Gram matrix
+    built map-side (per-row outer products, decimal-summed so the
+    reduction is exact and order-independent); every power iteration
+    then runs on the 256-row G and D-row w frames, joins measured in
+    kilobytes.  Iterations are ``localCheckpoint``ed (one join deep,
+    like PageRank/k-means) and re-synchronized at 12 decimals so the
+    unrolled-CTE oracle replays them bit-for-bit.  Output: per-dim
+    loadings of w after PCA_ITER iterations plus the Rayleigh-quotient
+    eigenvalue estimate (the final pre-normalization norm).
+    """
+    emb = t["embeddings"].select(
+        F.slice(to_double_array("embedding"), 1, PCA_D).alias("arr")
+    )
+    e1 = emb.select("arr", F.posexplode("arr").alias("i", "vi"))
+    cells = e1.select("i", "vi", F.posexplode("arr").alias("j", "vj"))
+    gram = (
+        cells.groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("vi") * F.col("vj")).cast("decimal(30,15)")
+            ).alias("gd")
+        )
+        .select("i", "j", F.col("gd").cast("double").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        gram.select(F.col("i").alias("wi"))
+        .distinct()
+        .select("wi", F.lit(1.0 / PCA_D**0.5).alias("w"))
+    )
+    eig = None
+    for _ in range(PCA_ITER):
+        raw = (
+            gram.join(w, gram["j"] == w["wi"])
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("w")).alias("u"))
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
+        w = (
+            raw.crossJoin(F.broadcast(norm))
+            .select(
+                F.col("i").alias("wi"),
+                F.round(F.col("u") / F.col("nm"), 12).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        eig = norm
+    return (
+        w.crossJoin(F.broadcast(eig))
+        .select(
+            F.col("wi").cast("long").alias("dim"),
+            F.round("w", 6).alias("loading"),
+            F.round("nm", 4).alias("eigenvalue"),
+        )
+    )
+
+
+def _pca_oracle() -> str:
+    head = f"""
+WITH cells AS (
+    SELECT r1.i AS i, r2.i AS j,
+           CAST(CAST(e.embedding[CAST(r1.i + 1 AS INT)] AS DOUBLE)
+                * CAST(e.embedding[CAST(r2.i + 1 AS INT)] AS DOUBLE)
+                AS DECIMAL(30,15)) AS p
+    FROM embeddings e, range(0, {PCA_D}) r1(i), range(0, {PCA_D}) r2(i)
+),
+gram AS (
+    SELECT i, j, CAST(sum(p) AS DOUBLE) AS g FROM cells GROUP BY 1, 2
+),
+wit0 AS (SELECT DISTINCT i AS wi, {1.0 / PCA_D**0.5} AS w FROM gram)"""
+    parts = [head]
+    for k in range(1, PCA_ITER + 1):
+        parts.append(f"""
+raw{k} AS (
+    SELECT g.i AS i, sum(g.g * w.w) AS u
+    FROM gram g JOIN wit{k - 1} w ON g.j = w.wi
+    GROUP BY 1
+),
+norm{k} AS (SELECT sqrt(sum(u * u)) AS nm FROM raw{k}),
+wit{k} AS (
+    SELECT i AS wi, round(u / nm, 12) AS w
+    FROM raw{k} CROSS JOIN norm{k}
+)""")
+    return (
+        ",".join(parts)
+        + f"""
+SELECT CAST(wi AS BIGINT) AS dim,
+       round(w, 6) AS loading,
+       round((SELECT nm FROM norm{PCA_ITER}), 4) AS eigenvalue
+FROM wit{PCA_ITER}"""
+    )
+
+
+PCA_POWER_ITERATION_ORACLE = _pca_oracle()

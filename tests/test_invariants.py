@@ -129,3 +129,17 @@ def test_incremental_dedup_verdicts_consistent(t):
         for r in t["documents"].filter(parity == 1).select("doc_id").collect()
     }
     assert {r["doc_id"] for r in rows} == new_ids
+
+
+def test_pca_unit_norm_and_positive_eigenvalue(spark, sf_dir):
+    """The power-iteration output must be a unit vector (L2 norm 1 up
+    to the 12-decimal resync) with a positive eigenvalue — the Gram
+    matrix is PSD, so a negative Rayleigh quotient means a math bug."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+
+    rows = sim.pca_power_iteration(load_tables(spark, sf_dir)).collect()
+    assert len(rows) == sim.PCA_D
+    norm2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-6, norm2
+    assert rows[0]["eigenvalue"] > 0

@@ -538,3 +538,26 @@ def test_winnow_and_hll_intersect_plans(t):
 
     assert_pushed_filters(df, "events", "event_type")
     assert_pushed_filters(df, "events", "value")
+
+
+def test_basket_rules_plan(t):
+    from kafka_streams_repartition_spark.operators import graph as gr
+    from kafka_streams_repartition_spark.plans import explain_str as es
+
+    # top-N by lift must be TakeOrderedAndProject (never a global sort),
+    # the item-count joins broadcast (dimension-sized), no cartesian
+    # beyond the 1-row n_orders broadcast.
+    plan = es(gr.basket_rules(t))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pca_single_data_scan(t):
+    """The corpus is touched once: everything after the Gram build runs
+    on checkpointed 256-row frames, so the physical plan shows at most
+    one embeddings scan (zero once the lazy checkpoint hides it)."""
+    from kafka_streams_repartition_spark.operators import similarity as sim2
+    from kafka_streams_repartition_spark.plans import count_scans
+
+    assert count_scans(sim2.pca_power_iteration(t)) <= 1
