@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": _q(sim.ann_recall_eval),
         "basket_rules": _q(gr.basket_rules),
         "pca_power_iteration": _q(sim.pca_power_iteration),
+        "large_volume_customers": _q(th.large_volume_customers),
+        "returned_item_revenue": _q(th.returned_item_revenue),
+        "hll_running_union": _q(sk.hll_running_union),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -147,6 +150,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": sim.ANN_RECALL_EVAL_ORACLE,
         "basket_rules": gr.BASKET_RULES_ORACLE,
         "pca_power_iteration": sim.PCA_POWER_ITERATION_ORACLE,
+        "large_volume_customers": th.LARGE_VOLUME_CUSTOMERS_ORACLE,
+        "returned_item_revenue": th.RETURNED_ITEM_REVENUE_ORACLE,
+        "hll_running_union": sk.HLL_RUNNING_UNION_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

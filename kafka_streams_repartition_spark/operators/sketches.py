@@ -858,3 +858,115 @@ SELECT ex.n_exact_both,
              - uest.e, 4) AS est_intersect
 FROM ex CROSS JOIN uest
 """
+
+
+def hll_running_union(t: dict[str, DataFrame]) -> DataFrame:
+    """Cumulative users-to-date per day from the persisted daily HLL
+    sketches alone: a running register-wise ``max`` window over the
+    (day × bucket) grid — the dashboard query ("distinct users so far")
+    that exact counting cannot serve at 100 TB without re-scanning all
+    history each day.  Exact cumulative counts ride along, computed the
+    cheap exact way (running sum of first-seen-day counts).
+
+    Scale shape: after the map-side collapse the whole computation
+    lives on |days|·16 register rows; the running merge is a window
+    over ≤16-row partitions, and the exact side aggregates |users|
+    first-seen rows once.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    day = F.expr("unix_millis(ts) div 86400000").alias("day")
+    daily = (
+        _hll_parts(ev.select("user_id", day), "day")
+        .groupBy("day", "bucket")
+        .agg(F.max(_rho()).alias("mj0"))
+    )
+    days = daily.select("day").distinct()
+    buckets = daily.select("bucket").distinct()
+    grid = days.crossJoin(F.broadcast(buckets))
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(daily, ["day", "bucket"], "left")
+        .withColumn("m_j", F.max("mj0").over(w_run))
+        .filter(F.col("m_j").isNotNull())
+        .select("day", "bucket", "m_j")
+    )
+    est = _hll_estimate(cum, "day")
+    first_seen = (
+        ev.select("user_id", day).groupBy("user_id").agg(F.min("day").alias("fd"))
+    )
+    fd_counts = first_seen.groupBy("fd").agg(F.count(F.lit(1)).alias("c"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    exact = (
+        days.join(fd_counts, days["day"] == fd_counts["fd"], "left")
+        .select("day", F.coalesce("c", F.lit(0)).alias("c"))
+        .select(
+            "day", F.sum("c").over(w_days).cast("long").alias("n_exact_cum")
+        )
+    )
+    return est.join(exact, "day").select(
+        F.col("day").cast("long").alias("day"), "n_exact_cum", "hll_estimate"
+    )
+
+
+HLL_RUNNING_UNION_ORACLE = f"""
+WITH parts AS (
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS bucket,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2,
+                                  {_W_BITS // 4}) AS BIGINT) AS v60
+    FROM events
+),
+daily AS (
+    SELECT day, bucket,
+           max(CASE WHEN v60 = 0 THEN {_W_BITS + 1}
+                    ELSE {_W_BITS + 1} - length(bin(v60)) END) AS mj0
+    FROM parts GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+buckets AS (SELECT DISTINCT bucket FROM daily),
+cumgrid AS (
+    SELECT g.day, g.bucket,
+           max(dl.mj0) OVER (PARTITION BY g.bucket ORDER BY g.day
+                             ROWS UNBOUNDED PRECEDING) AS m_j
+    FROM (SELECT d.day, b.bucket FROM days d CROSS JOIN buckets b) g
+    LEFT JOIN daily dl ON g.day = dl.day AND g.bucket = dl.bucket
+),
+agg AS (
+    SELECT day,
+           sum(CAST(pow(2.0, {_W_BITS + 1} - m_j) AS DECIMAL(24,0)))
+               AS s_present,
+           count(*) AS n_regs
+    FROM cumgrid WHERE m_j IS NOT NULL GROUP BY 1
+),
+est AS (
+    SELECT day, {_EST_SQL} AS e FROM (
+        SELECT day,
+               CAST(s_present + ({HLL_M} - n_regs)
+                    * CAST(pow(2.0, {_W_BITS + 1}) AS DECIMAL(24,0))
+                    AS DOUBLE) AS s,
+               {HLL_M} - n_regs AS v
+        FROM agg
+    )
+),
+firstd AS (
+    SELECT user_id, min(epoch_ms(ts) // 86400000) AS fd
+    FROM events GROUP BY 1
+),
+fdc AS (SELECT fd, count(*) AS c FROM firstd GROUP BY 1),
+exact AS (
+    SELECT d.day,
+           CAST(sum(COALESCE(f.c, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_exact_cum
+    FROM days d LEFT JOIN fdc f ON d.day = f.fd
+)
+SELECT CAST(e.day AS BIGINT) AS day, x.n_exact_cum,
+       e.e AS hll_estimate
+FROM est e JOIN exact x ON e.day = x.day
+"""

@@ -158,3 +158,129 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
   AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
   AND l_quantity < {Q6_QTY_MAX}
 """
+
+
+Q18_QTY = 150.0
+Q18_TOP = 20
+Q10_START = "1997-01-01"
+Q10_END = "1997-07-01"
+Q10_TOP = 20
+
+
+def large_volume_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Customers whose single orders exceed a quantity threshold (TPC-H
+    Q18 shape): a HAVING filter over a fact-sized aggregate, then an
+    enrichment join — the aggregate must run BEFORE the join so only
+    qualifying orders (a tiny set) reach it, and the top-k is
+    ``TakeOrderedAndProject``."""
+    big = (
+        t["lineitem"]
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .select(
+            F.col("c_name").alias("customer"),
+            F.col("o_orderkey").alias("orderkey"),
+            "total_qty",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("orderkey"))
+        .limit(Q18_TOP)
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY 1
+    HAVING sum(l_quantity) > {Q18_QTY}
+)
+SELECT c.c_name AS customer,
+       o.o_orderkey AS orderkey,
+       b.total_qty,
+       o.o_totalprice AS totalprice
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, orderkey
+LIMIT {Q18_TOP}
+"""
+
+
+def returned_item_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Top customers by revenue lost to returns in a quarter (TPC-H Q10
+    shape): both date and returnflag predicates pushed to their scans,
+    nation broadcast, one customer-keyed aggregate."""
+    orders = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .filter(
+            (F.col("o_orderdate") >= Q10_START) & (F.col("o_orderdate") < Q10_END)
+        )
+    )
+    returned = (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+        .filter(F.col("l_returnflag") == "R")
+    )
+    rev = (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(
+            t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .select(
+            F.col("c_name").alias("customer"),
+            "nation",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("customer"))
+        .limit(Q10_TOP)
+    )
+
+
+RETURNED_ITEM_REVENUE_ORACLE = f"""
+SELECT c.c_name AS customer,
+       n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q10_END}'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, customer
+LIMIT {Q10_TOP}
+"""

@@ -561,3 +561,20 @@ def test_pca_single_data_scan(t):
     from kafka_streams_repartition_spark.plans import count_scans
 
     assert count_scans(sim2.pca_power_iteration(t)) <= 1
+
+
+def test_tpch_q18_q10_plans(t):
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import assert_pushed_filters
+
+    # Q18: the HAVING aggregate runs before any join (only qualifying
+    # orders reach the enrichment) and the top-k never globally sorts.
+    plan = explain_str(th.large_volume_customers(t))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_read_schema_pruned(th.large_volume_customers(t), "lineitem", "l_shipdate")
+
+    # Q10: both predicates pushed, nation broadcast.
+    df = th.returned_item_revenue(t)
+    assert_pushed_filters(df, "orders", "o_orderdate")
+    assert_pushed_filters(df, "lineitem", "l_returnflag")
+    assert_broadcast_join(df, at_least=1)
