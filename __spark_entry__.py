@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": _q(th.large_volume_customers),
         "returned_item_revenue": _q(th.returned_item_revenue),
         "hll_running_union": _q(sk.hll_running_union),
+        "skyline_parts": _q(an.skyline_parts),
+        "event_transitions": _q(win.event_transitions),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -153,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_customers": th.LARGE_VOLUME_CUSTOMERS_ORACLE,
         "returned_item_revenue": th.RETURNED_ITEM_REVENUE_ORACLE,
         "hll_running_union": sk.HLL_RUNNING_UNION_ORACLE,
+        "skyline_parts": an.SKYLINE_PARTS_ORACLE,
+        "event_transitions": win.EVENT_TRANSITIONS_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -608,3 +608,56 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
 FROM z
 GROUP BY 1
 """
+
+
+def skyline_parts(t: dict[str, DataFrame]) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: every part for which no
+    other part is both cheaper-or-equal AND smaller-or-equal with at
+    least one strict — the multi-objective "best tradeoffs" operator
+    relational engines lack as a built-in.
+
+    Implemented O(n log n), not O(n²): collapse to one row per price
+    level (min size at that price), take the running min of size over
+    STRICTLY cheaper levels (a rows-frame lag-min over the tiny level
+    frame), and keep a part iff no cheaper level ties-or-beats its size
+    and no same-price part strictly beats it.  The naive NOT EXISTS
+    self-join — quadratic per partition at scale — is exactly what the
+    ORACLE uses: an independent formulation, so the gate checks the
+    algorithm, not a replay of it.  The only global structure is the
+    |distinct prices| level frame (sorted once), which at 100 TB is the
+    classic sort-based skyline sweep.
+    """
+    from pyspark.sql import Window
+
+    p = t["part"].select("p_partkey", "p_retailprice", "p_size")
+    levels = p.groupBy("p_retailprice").agg(F.min("p_size").alias("lvl_min"))
+    w_prev = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lv = levels.withColumn("prev_min", F.min("lvl_min").over(w_prev))
+    return (
+        p.join(lv, "p_retailprice")
+        .filter(
+            (F.col("prev_min").isNull() | (F.col("prev_min") > F.col("p_size")))
+            & (F.col("lvl_min") >= F.col("p_size"))
+        )
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )
+
+
+SKYLINE_PARTS_ORACLE = """
+SELECT p.p_partkey,
+       p.p_retailprice AS price,
+       CAST(p.p_size AS BIGINT) AS size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice
+      AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""

@@ -426,3 +426,50 @@ SELECT user_id, event_type, valid_from_ms,
        n_events
 FROM hist
 """
+
+
+def event_transitions(t: dict[str, DataFrame]) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every consecutive (prev → next) event-type pair, the
+    transition count and row-normalized probability — the sequence-
+    mining summary behind funnel design and next-event prediction.
+
+    One user-keyed exchange carries everything: the ``lag`` window and
+    the per-user ordering ride it, the pair counts partial-aggregate
+    map-side into a ≤|types|² frame, and the probability normalization
+    is a window over that tiny matrix — raw events never shuffle twice.
+    """
+    ev = _with_ms(t["events"]).select("user_id", "ms", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("prob"),
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id)
+               AS from_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, event_type AS to_type, count(*) AS n
+    FROM ordered WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM pairs
+"""

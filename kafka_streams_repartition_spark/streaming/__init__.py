@@ -3,6 +3,7 @@ from .pipelines import (
     run_foreach_batch_available_now,
     run_to_memory_available_now,
     stream_dedup_exact,
+    stream_event_transitions,
     stream_cms_registers,
     stream_hll_registers,
     stream_interval_join,
@@ -19,6 +20,7 @@ __all__ = [
     "run_foreach_batch_available_now",
     "run_to_memory_available_now",
     "stream_dedup_exact",
+    "stream_event_transitions",
     "stream_cms_registers",
     "stream_hll_registers",
     "stream_interval_join",

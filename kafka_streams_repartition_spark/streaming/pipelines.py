@@ -293,3 +293,56 @@ def read_state_store(
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
     return reader.load()
+
+
+def stream_event_transitions(events: DataFrame) -> DataFrame:
+    """Streaming form of ``operators.windows.event_transitions``: keyed
+    value state holds each user's LAST event, so consecutive-pair
+    transitions are emitted correctly even when a user's stream spans
+    micro-batches.  Emits per-user per-batch pair counts (update mode);
+    the consumer (or a downstream aggregation) sums them — counts are
+    associative, so the streaming total equals the batch matrix
+    (batch-equivalence tested).
+
+    State per key is ONE (ms, event_id, event_type) triple — bounded
+    regardless of stream length, the minimal sequence-mining state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, from_type string, to_type string, n long"
+    state_schema = "ms long, event_id long, event_type string"
+
+    def fold(key, batches, state: GroupState):
+        last = state.get if state.exists else None
+        pairs: list[tuple[str, str]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ms", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if last is not None:
+                    pairs.append((last[2], row.event_type))
+                last = (int(row.ms), int(row.event_id), row.event_type)
+        if last is not None:
+            state.update(last)
+        if pairs:
+            counts = (
+                pd.DataFrame(pairs, columns=["from_type", "to_type"])
+                .value_counts()
+                .reset_index(name="n")
+            )
+            counts.insert(0, "user_id", key[0])
+            yield counts
+
+    ev = events.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        "event_type",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

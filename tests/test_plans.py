@@ -578,3 +578,21 @@ def test_tpch_q18_q10_plans(t):
     assert_pushed_filters(df, "orders", "o_orderdate")
     assert_pushed_filters(df, "lineitem", "l_returnflag")
     assert_broadcast_join(df, at_least=1)
+
+
+def test_skyline_and_transitions_plans(t):
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    # skyline: the window formulation — NO self-join, no quadratic
+    # BroadcastNestedLoop; just the level aggregate + level-frame window.
+    plan = explain_str(an.skyline_parts(t))
+    assert "BroadcastNestedLoop" not in plan or "Join Inner" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # event_transitions: lag window + pair counts + normalization must
+    # shuffle raw events exactly once (user key); the prob window runs
+    # on the ≤|types|² matrix.
+    df = win.event_transitions(t)
+    assert count_key_exchanges(df) <= 3  # user window, pair agg, from_type window
+    assert_read_schema_pruned(df, "events", "props")

@@ -734,3 +734,44 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
 
     drain()  # restart with no new data: nothing appended
     assert spark.read.parquet(out).count() == 15
+
+
+def test_stream_event_transitions_equals_batch(spark, tmp_path):
+    """The streaming transition counter (keyed last-event state) summed
+    across micro-batches must equal the batch Markov matrix, with the
+    user streams split mid-stream across two batches."""
+    from kafka_streams_repartition_spark.operators import windows as win
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_event_transitions,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    ms = ev.select(F.unix_millis("ts").alias("ms"))
+    cutoff = ms.approxQuantile("ms", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # TIME-ordered split: everything before the median instant in batch
+    # 1, the rest in batch 2 — so each user's stream is cut mid-sequence
+    # but never reordered across batches.
+    ev.filter(F.unix_millis("ts") < cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    stream = lambda: stream_event_transitions(
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+    ev.filter(F.unix_millis("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+
+    from collections import Counter
+
+    got = Counter()
+    for r in first + second:
+        got[(r["from_type"], r["to_type"])] += r["n"]
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in win.event_transitions(t).collect()
+    }
+    assert dict(got) == want
