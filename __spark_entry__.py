@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_running_union": _q(sk.hll_running_union),
         "skyline_parts": _q(an.skyline_parts),
         "event_transitions": _q(win.event_transitions),
+        "sales_cube": _q(an.sales_cube),
+        "small_quantity_revenue": _q(th.small_quantity_revenue),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_running_union": sk.HLL_RUNNING_UNION_ORACLE,
         "skyline_parts": an.SKYLINE_PARTS_ORACLE,
         "event_transitions": win.EVENT_TRANSITIONS_ORACLE,
+        "sales_cube": an.SALES_CUBE_ORACLE,
+        "small_quantity_revenue": th.SMALL_QUANTITY_REVENUE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

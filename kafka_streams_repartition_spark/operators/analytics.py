@@ -661,3 +661,57 @@ WHERE NOT EXISTS (
       AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
 )
 """
+
+
+def sales_cube(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE over (nation, order status): all four grouping-set levels
+    in ONE pass — the companion surface to :func:`sales_rollup`'s
+    hierarchy (ROLLUP emits 3 levels, CUBE emits the status-only slice
+    too).  Same scale shape: Spark expands grouping sets map-side and
+    partially aggregates before the single wide shuffle.
+    """
+    src = (
+        t["orders"]
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+    )
+    return (
+        src.cube("nation", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "revenue",
+            F.col("gid").cast("long").alias("gid"),
+        )
+    )
+
+
+SALES_CUBE_ORACLE = """
+SELECT COALESCE(n.n_name, 'ALL') AS nation,
+       COALESCE(o.o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(grouping(n.n_name) * 2 + grouping(o.o_orderstatus) AS BIGINT)
+           AS gid
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (n.n_name, o.o_orderstatus)
+"""

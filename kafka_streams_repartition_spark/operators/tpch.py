@@ -284,3 +284,39 @@ GROUP BY 1, 2
 ORDER BY revenue DESC, customer
 LIMIT {Q10_TOP}
 """
+
+
+Q17_FRACTION = 0.5
+
+
+def small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Average yearly revenue lost if small orders stopped (TPC-H Q17
+    shape): a CORRELATED scalar subquery — each line item compared to
+    its part's average quantity — which must plan as an aggregate +
+    equi-join, never a per-row subquery execution.  The per-part
+    average is a fact-scan aggregate joined back on the part key; both
+    sides prune to 2-3 columns.
+    """
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * Q17_FRACTION).alias("qty_cut")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("avg_partkey"), "inner")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_ORACLE = f"""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT {Q17_FRACTION} * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""

@@ -596,3 +596,23 @@ def test_skyline_and_transitions_plans(t):
     df = win.event_transitions(t)
     assert count_key_exchanges(df) <= 3  # user window, pair agg, from_type window
     assert_read_schema_pruned(df, "events", "props")
+
+
+def test_cube_and_q17_plans(t):
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    # sales_cube: grouping sets expand map-side — one Expand + one wide
+    # exchange, nation broadcast.
+    df = an.sales_cube(t)
+    plan = explain_str(df)
+    assert "Expand" in plan, plan
+    assert_broadcast_join(df, at_least=1)
+
+    # Q17: the correlated subquery must plan as aggregate + equi-join
+    # (never per-row subquery re-execution); lineitem pruned to 3 cols.
+    df = th.small_quantity_revenue(t)
+    plan = explain_str(df)
+    assert "Join" in plan and "CartesianProduct" not in plan, plan
+    assert_read_schema_pruned(df, "lineitem", "l_shipdate")
