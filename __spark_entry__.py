@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q(win.event_transitions),
         "sales_cube": _q(an.sales_cube),
         "small_quantity_revenue": _q(th.small_quantity_revenue),
+        "daily_value_locf": _q(win.daily_value_locf),
+        "weighted_sample": _q(tx.weighted_sample),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -161,6 +163,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": win.EVENT_TRANSITIONS_ORACLE,
         "sales_cube": an.SALES_CUBE_ORACLE,
         "small_quantity_revenue": th.SMALL_QUANTITY_REVENUE_ORACLE,
+        "daily_value_locf": win.DAILY_VALUE_LOCF_ORACLE,
+        "weighted_sample": tx.WEIGHTED_SAMPLE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -1429,3 +1429,47 @@ SELECT doc_id,
        md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_md5
 FROM selected GROUP BY 1
 """
+
+
+# --- deterministic weighted sampling ----------------------------------------
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Weighted sampling without replacement via the A-Res scheme
+    (Efraimidis & Spirakis 2006): each doc draws a deterministic
+    uniform u from its id hash and competes with key ln(u)/w — the
+    top-k keys are a weighted sample, here weighted by document length
+    (the upsample-long-documents mixture policy, made reproducible).
+
+    Scale shape: the key is a pure row expression over the metadata
+    columns (text never read — the scan prunes to doc_id/n_chars/lang),
+    and top-k is ``TakeOrderedAndProject``.  Keys are compared at
+    round-6 with the id as tiebreak so 1-ulp ``ln`` differences between
+    engines cannot reorder the frontier.
+    """
+    doc = t["documents"].select("doc_id", "lang", "n_chars")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(2**32 + 1))
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        doc.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+                   key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 1.0) / {float(2**32 + 1)}) / n_chars, 6)
+           AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""

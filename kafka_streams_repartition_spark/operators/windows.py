@@ -473,3 +473,80 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
        round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
 FROM pairs
 """
+
+
+def daily_value_locf(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-series gap fill: one row per (user, calendar day) over the
+    observed range, with missing days carrying the last observed daily
+    average forward (LOCF) — the resample-and-fill operator relational
+    engines lack as a built-in and every metrics pipeline re-invents.
+
+    Scale shape: the scaffold is |users| × |days| rows built by a
+    map-side ``sequence``/``explode`` against a 1-row broadcast range —
+    never a shuffled cartesian; the daily averages partial-aggregate
+    into ≤|users|·|days| rows before their one keyed exchange; and the
+    carry-forward is ``last(ignorenulls)`` on the user-keyed window the
+    scaffold join already established.  Observed values are rounded
+    BEFORE the carry so both engines propagate identical doubles.
+    """
+    ev = _with_ms(t["events"]).select(
+        "user_id", (F.col("ms") / F.lit(86400000)).cast("long").alias("day"), "value"
+    )
+    rng = ev.agg(
+        F.min("day").alias("day_lo"), F.max("day").alias("day_hi")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(F.avg("value"), 4).alias("day_avg")
+    )
+    scaffold = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("day_lo"), F.col("day_hi"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scaffold.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_avg").isNotNull().alias("observed"),
+            F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+
+
+DAILY_VALUE_LOCF_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+           value
+    FROM events
+),
+rng AS (SELECT min(day) AS day_lo, max(day) AS day_hi FROM ev),
+daily AS (
+    SELECT user_id, day, round(avg(value), 4) AS day_avg
+    FROM ev GROUP BY 1, 2
+),
+scaffold AS (
+    SELECT u.user_id, CAST(g.d AS BIGINT) AS day
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    CROSS JOIN rng r
+    CROSS JOIN LATERAL unnest(generate_series(r.day_lo, r.day_hi)) g(d)
+)
+SELECT s.user_id, s.day,
+       d.day_avg IS NOT NULL AS observed,
+       last_value(d.day_avg IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS UNBOUNDED PRECEDING
+       ) AS filled
+FROM scaffold s
+LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""

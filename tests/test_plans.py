@@ -616,3 +616,25 @@ def test_cube_and_q17_plans(t):
     plan = explain_str(df)
     assert "Join" in plan and "CartesianProduct" not in plan, plan
     assert_read_schema_pruned(df, "lineitem", "l_shipdate")
+
+
+def test_locf_and_weighted_sample_plans(t):
+    from kafka_streams_repartition_spark.operators import windows as win2
+    from kafka_streams_repartition_spark.plans import (
+        assert_read_schema_pruned as prune,
+        count_key_exchanges,
+    )
+
+    # daily_value_locf: the scaffold is sequence/explode against a
+    # 1-row broadcast range — no shuffled cartesian; props never read.
+    df = win2.daily_value_locf(t)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    prune(df, "events", "props")
+
+    # weighted_sample: metadata-only scan (text never read) + top-k as
+    # TakeOrderedAndProject; zero key exchanges.
+    df = tx.weighted_sample(t)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert count_key_exchanges(df) == 0
+    prune(df, "documents", "text")
