@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": _q(th.small_quantity_revenue),
         "daily_value_locf": _q(win.daily_value_locf),
         "weighted_sample": _q(tx.weighted_sample),
+        "weekly_value_trend": _q(win.weekly_value_trend),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue": th.SMALL_QUANTITY_REVENUE_ORACLE,
         "daily_value_locf": win.DAILY_VALUE_LOCF_ORACLE,
         "weighted_sample": tx.WEIGHTED_SAMPLE_ORACLE,
+        "weekly_value_trend": win.WEEKLY_VALUE_TREND_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -550,3 +550,56 @@ SELECT s.user_id, s.day,
 FROM scaffold s
 LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
+
+
+def weekly_value_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week trend per event type: weekly value totals with
+    the previous week's total and the percent change — the lag-over-
+    aggregated-series reporting shape (the window runs on the tiny
+    (type × week) frame, never on raw events).
+
+    Weeks are epoch-day buckets (``day div 7``), not calendar ISO
+    weeks, so the bucketing is pure integer arithmetic — identical in
+    every engine and timezone-free.  Totals are decimal-summed before
+    the cast so the one wide aggregation is order-independent.
+    """
+    ev = _with_ms(t["events"]).select(
+        "event_type",
+        (F.col("ms") / F.lit(86400000 * 7)).cast("long").alias("week"),
+        "value",
+    )
+    weekly = ev.groupBy("event_type", "week").agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4).alias(
+            "total"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("total").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "total",
+        prev.alias("prev_total"),
+        F.round(
+            F.when(prev > 0, (F.col("total") - prev) / prev), 4
+        ).alias("pct_change"),
+    )
+
+
+WEEKLY_VALUE_TREND_ORACLE = """
+WITH weekly AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS week,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+               AS total
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, total,
+       lag(total) OVER (PARTITION BY event_type ORDER BY week) AS prev_total,
+       round(CASE WHEN lag(total) OVER (PARTITION BY event_type ORDER BY week) > 0
+                  THEN (total - lag(total) OVER (PARTITION BY event_type
+                                                 ORDER BY week))
+                       / lag(total) OVER (PARTITION BY event_type ORDER BY week)
+             END, 4) AS pct_change
+FROM weekly
+"""
