@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_value_locf": _q(win.daily_value_locf),
         "weighted_sample": _q(tx.weighted_sample),
         "weekly_value_trend": _q(win.weekly_value_trend),
+        "ann_topk_pq": _q(sim.ann_topk_pq),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_value_locf": win.DAILY_VALUE_LOCF_ORACLE,
         "weighted_sample": tx.WEIGHTED_SAMPLE_ORACLE,
         "weekly_value_trend": win.WEEKLY_VALUE_TREND_ORACLE,
+        "ann_topk_pq": sim.ANN_TOPK_PQ_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

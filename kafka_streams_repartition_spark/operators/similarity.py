@@ -932,3 +932,128 @@ FROM wit{PCA_ITER}"""
 
 
 PCA_POWER_ITERATION_ORACLE = _pca_oracle()
+
+
+def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
+    """ANN search over the PQ index with asymmetric distance (ADC,
+    Jégou et al. 2011 §III): each query precomputes a tiny (M × K)
+    subspace-distance table against the codebook, and every corpus
+    vector is scored by LOOKUP — summing the M table entries its code
+    words select — never by touching the original floats.  This is the
+    payoff of :func:`pq_codes`: at 100 TB the search scans 16-byte
+    codes, not float32 vectors.
+
+    Scale shape: one shared subvector-distance frame feeds both the
+    code assignment (struct-min per (vec, subspace)) and the query
+    tables (the same frame filtered to query ids — nothing computed
+    twice); the query tables broadcast; ADC contributions sum as exact
+    DECIMAL(18,6) so the 4-term addition is order-independent across
+    engines; per-query top-k is a WindowGroupLimit-prunable rank.
+    """
+    emb_raw = fan_out(t["embeddings"])
+    cent = _centroids(emb_raw)
+    sub_c = cent.select(
+        "label",
+        F.posexplode(
+            F.array(*[F.slice("cv", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "csub"),
+    )
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    sub_v = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "vsub"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+    scored = sub_v.join(F.broadcast(sub_c), "m").select("vec_id", "m", "label", dist)
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "label")).alias("b"))
+        .select("vec_id", "m", F.col("b.label").alias("code"))
+    )
+    qtab = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("label").alias("qlabel"),
+            F.col("dist").cast("decimal(18,6)").alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qlabel")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("qd").cast("double")), 6).alias("adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("cand_id"),
+            "adc",
+        )
+    )
+
+
+ANN_TOPK_PQ_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS c_label, pos, avg(x) AS c
+    FROM e
+    GROUP BY 1, 2
+),
+d AS (
+    SELECT e.vec_id, (e.pos - 1) // {PQ_SUB} AS m, c.c_label,
+           round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+    FROM e JOIN cent c ON e.pos = c.pos
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, c_label AS code FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY dist, c_label
+        ) AS rn
+        FROM d
+    )
+    WHERE rn = 1
+),
+qtab AS (
+    SELECT vec_id AS query_id, m, c_label AS qlabel,
+           CAST(dist AS DECIMAL(18,6)) AS qd
+    FROM d WHERE vec_id % {QUERY_MOD} = 0
+),
+adc AS (
+    SELECT q.query_id, c.vec_id,
+           round(sqrt(CAST(sum(q.qd) AS DOUBLE)), 6) AS adc
+    FROM codes c
+    JOIN qtab q ON c.m = q.m AND c.code = q.qlabel
+    GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, adc FROM (
+    SELECT query_id, vec_id AS cand_id, adc,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, vec_id
+           ) AS rank
+    FROM adc WHERE vec_id != query_id
+)
+WHERE rank <= {TOP_K}
+"""

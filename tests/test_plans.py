@@ -638,3 +638,14 @@ def test_locf_and_weighted_sample_plans(t):
     assert "TakeOrderedAndProject" in explain_str(df)
     assert count_key_exchanges(df) == 0
     prune(df, "documents", "text")
+
+
+def test_ann_topk_pq_plan(t):
+    """ADC search: the query distance tables broadcast (the corpus
+    codes never shuffle against them), no cartesian, and the per-query
+    top-k prunes as WindowGroupLimit."""
+    df = sim.ann_topk_pq(t)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
