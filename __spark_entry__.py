@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q(tx.weighted_sample),
         "weekly_value_trend": _q(win.weekly_value_trend),
         "ann_topk_pq": _q(sim.ann_topk_pq),
+        "bigram_logprob": _q(tx.bigram_logprob),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": tx.WEIGHTED_SAMPLE_ORACLE,
         "weekly_value_trend": win.WEEKLY_VALUE_TREND_ORACLE,
         "ann_topk_pq": sim.ANN_TOPK_PQ_ORACLE,
+        "bigram_logprob": tx.BIGRAM_LOGPROB_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -1473,3 +1473,111 @@ FROM documents
 ORDER BY sample_key DESC, doc_id
 LIMIT {WSAMPLE_K}
 """
+
+
+# --- bigram language-model scoring ------------------------------------------
+
+BIGRAM_K = 0.5  # add-k smoothing
+
+
+def bigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus'
+    own add-k-smoothed bigram LM — the sequence-aware upgrade of
+    :func:`unigram_logprob` (a unigram model cannot see scrambled
+    word order; a bigram model penalizes it).
+
+    P(b|a) = (c(a,b) + k) / (c(a) + k·V) with c(a) summed from the
+    bigram table (so probabilities condition on prefix occurrences and
+    sum to 1), V = |distinct continuations|.
+
+    Scale shape mirrors the unigram form: bigram construction is a
+    map-side array expression (no token-stream shuffle), per-doc counts
+    ``localCheckpoint`` so the corpus count and scoring passes share
+    them, count joins are TERM-KEYED (a 100 TB corpus vocabulary does
+    not broadcast; only the 1-row V does), and contributions
+    ``tf·ln P`` sum as DECIMAL(28,10) — exact, order-independent, and
+    wide enough to absorb 1-ulp ``ln`` differences between engines.
+    """
+    docs = t["documents"]
+    bgs = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(word_ngrams(words(F.col("text")), 2)).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+    )
+    tfb = (
+        bgs.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tfb"))
+        .localCheckpoint()
+    )
+    cb = tfb.groupBy("bg").agg(F.sum("tfb").alias("cab")).select(
+        "bg",
+        "cab",
+        F.split("bg", " ").getItem(0).alias("prev"),
+        F.split("bg", " ").getItem(1).alias("cur"),
+    )
+    ca = cb.groupBy("prev").agg(F.sum("cab").alias("ca"))
+    v = cb.select("cur").distinct().agg(F.count(F.lit(1)).alias("v"))
+    p = (F.col("cab").cast("double") + F.lit(BIGRAM_K)) / (
+        F.col("ca").cast("double") + F.lit(BIGRAM_K) * F.col("v")
+    )
+    contrib = (F.col("tfb") * F.log(p)).cast("decimal(28,10)")
+    per_doc = (
+        tfb.join(cb, "bg")
+        .join(ca, "prev")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("lp_sum"),
+            F.sum("tfb").alias("n_bigrams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("lp_sum") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+bgs AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 2 THEN list_transform(
+            generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+        ELSE [] END
+    ) AS bg
+    FROM base
+),
+tfb AS (SELECT doc_id, bg, count(*) AS tfb FROM bgs GROUP BY 1, 2),
+cb AS (
+    SELECT bg, sum(tfb) AS cab,
+           string_split(bg, ' ')[1] AS prev,
+           string_split(bg, ' ')[2] AS cur
+    FROM tfb GROUP BY 1
+),
+ca AS (SELECT prev, sum(cab) AS ca FROM cb GROUP BY 1),
+v AS (SELECT count(DISTINCT cur) AS v FROM cb),
+per_doc AS (
+    SELECT tfb.doc_id,
+           sum(CAST(tfb.tfb * ln((CAST(cb.cab AS DOUBLE) + {BIGRAM_K})
+                    / (CAST(ca.ca AS DOUBLE) + {BIGRAM_K} * v.v))
+                    AS DECIMAL(28,10))) AS lp_sum,
+           sum(tfb.tfb) AS n_bigrams
+    FROM tfb
+    JOIN cb USING (bg)
+    JOIN ca USING (prev)
+    CROSS JOIN v
+    GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(CAST(lp_sum AS DOUBLE) / n_bigrams, 4) AS avg_logprob
+FROM per_doc
+"""

@@ -649,3 +649,13 @@ def test_ann_topk_pq_plan(t):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bigram_logprob_plan(t):
+    """Bigram construction is map-side (word_ngrams array expr — the
+    token stream never shuffles raw); count joins are term-keyed; only
+    the 1-row V frame broadcasts."""
+    df = tx.bigram_logprob(t)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan, plan
