@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_value_trend": _q(win.weekly_value_trend),
         "ann_topk_pq": _q(sim.ann_topk_pq),
         "bigram_logprob": _q(tx.bigram_logprob),
+        "promo_revenue_share": _q(th.promo_revenue_share),
+        "corpus_token_entropy": _q(tx.corpus_token_entropy),
+        "numeric_corr_profile": _q(an.numeric_corr_profile),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -171,6 +174,9 @@ def oracle_sql() -> dict[str, str]:
         "weekly_value_trend": win.WEEKLY_VALUE_TREND_ORACLE,
         "ann_topk_pq": sim.ANN_TOPK_PQ_ORACLE,
         "bigram_logprob": tx.BIGRAM_LOGPROB_ORACLE,
+        "promo_revenue_share": th.PROMO_REVENUE_SHARE_ORACLE,
+        "corpus_token_entropy": tx.CORPUS_TOKEN_ENTROPY_ORACLE,
+        "numeric_corr_profile": an.NUMERIC_CORR_PROFILE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -715,3 +715,38 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY CUBE (n.n_name, o.o_orderstatus)
 """
+
+
+def numeric_corr_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem measures in ONE
+    scan — the data-profiling companion to :func:`table_profile`
+    (schema drift that preserves types but breaks relationships shows
+    up here first).
+
+    All six correlations are aggregate expressions in a single
+    HashAggregate: every partial (sums, squares, cross-products)
+    combines map-side, so the exchange carries one moment row per task
+    whatever the table size.
+    """
+    li = t["lineitem"].select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}")
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return li.agg(*aggs, F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+NUMERIC_CORR_PROFILE_ORACLE = (
+    "SELECT "
+    + ",\n       ".join(
+        f"round(corr({a}, {b}), 6) AS corr_{a[2:]}_{b[2:]}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + ",\n       CAST(count(*) AS BIGINT) AS n_rows\nFROM lineitem"
+)

@@ -1581,3 +1581,71 @@ SELECT doc_id,
        round(CAST(lp_sum AS DOUBLE) / n_bigrams, 4) AS avg_logprob
 FROM per_doc
 """
+
+
+def corpus_token_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-level unigram entropy — the one-number diversity audit
+    (a collapsing or boilerplate-heavy corpus shows up as entropy far
+    below ln(V)).  Reports Shannon entropy in nats, vocabulary size,
+    token count, and the normalized ratio H/ln(V).
+
+    One tokenize pass → term counts (hot terms partial-combine
+    map-side) → a ≤|vocab|-row reduction whose ``c·ln(c/T)``
+    contributions sum as exact DECIMAL(28,10) — the same cross-engine
+    determinism discipline as the LM scorers.
+    """
+    toks = (
+        fan_out(t["documents"])
+        .select(F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    # The vocab table feeds both the totals and the entropy reduction:
+    # checkpoint it so the corpus is tokenized/scanned once (same
+    # discipline as unigram_logprob's tf table).
+    ct = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = ct.agg(F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v"))
+    contrib = (
+        F.col("c") * F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+    ).cast("decimal(28,10)")
+    agg = ct.crossJoin(F.broadcast(tot)).agg(
+        F.sum(contrib).cast("double").alias("s"),
+        F.first("tot").alias("n_tokens"),
+        F.first("v").alias("vocab_size"),
+    )
+    h = -F.col("s") / F.col("n_tokens")
+    return agg.select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(h, 4).alias("entropy_nats"),
+        F.round(h / F.log(F.col("vocab_size").cast("double")), 4).alias(
+            "entropy_ratio"
+        ),
+    )
+
+
+CORPUS_TOKEN_ENTROPY_ORACLE = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS term
+    FROM documents
+),
+ct AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS tot, count(*) AS v FROM ct),
+agg AS (
+    SELECT CAST(sum(CAST(c * ln(CAST(c AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+                         AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           any_value(tot.tot) AS n_tokens,
+           any_value(tot.v) AS vocab_size
+    FROM ct CROSS JOIN tot
+)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(-s / n_tokens, 4) AS entropy_nats,
+       round((-s / n_tokens) / ln(CAST(vocab_size AS DOUBLE)), 4)
+           AS entropy_ratio
+FROM agg
+"""

@@ -320,3 +320,56 @@ WHERE l.l_quantity < (
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
 )
 """
+
+
+Q14_START = "1997-03-01"
+Q14_END = "1997-04-01"
+
+
+def promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Share of a month's revenue from promotional parts (TPC-H Q14
+    shape): a conditional-aggregate ratio over one fact⋈dimension join —
+    the numerator is a CASE inside the same aggregation pass, never a
+    second scan or self-join; the date filter pushes to the lineitem
+    scan."""
+    li = (
+        t["lineitem"]
+        .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(
+            t["part"].select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "inner",
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_ORACLE = f"""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+           AS promo_share_pct,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+           AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l.l_shipdate < TIMESTAMP '{Q14_END}'
+"""

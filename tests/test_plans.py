@@ -659,3 +659,30 @@ def test_bigram_logprob_plan(t):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan, plan
+
+
+def test_q14_entropy_corr_plans(t):
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import (
+        assert_pushed_filters,
+        count_key_exchanges,
+        count_scans,
+    )
+
+    # Q14: one fact⋈dim join, date filter pushed, single scan of each.
+    df = th.promo_revenue_share(t)
+    assert_pushed_filters(df, "lineitem", "l_shipdate")
+    assert count_scans(df) == 2
+
+    # entropy: the corpus is tokenized once — the vocab table is
+    # checkpointed, so at most one documents scan appears in the plan
+    # (zero once the lazy checkpoint hides the lineage).
+    df = tx.corpus_token_entropy(t)
+    assert count_scans(df) <= 1
+
+    # correlations: ONE HashAggregate pass, zero key exchanges, pruned
+    # scan (only the 4 measure columns).
+    df = an.numeric_corr_profile(t)
+    assert count_key_exchanges(df) == 0
+    assert_read_schema_pruned(df, "lineitem", "l_orderkey")
