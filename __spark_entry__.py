@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": _q(th.promo_revenue_share),
         "corpus_token_entropy": _q(tx.corpus_token_entropy),
         "numeric_corr_profile": _q(an.numeric_corr_profile),
+        "revenue_concentration": _q(an.revenue_concentration),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": th.PROMO_REVENUE_SHARE_ORACLE,
         "corpus_token_entropy": tx.CORPUS_TOKEN_ENTROPY_ORACLE,
         "numeric_corr_profile": an.NUMERIC_CORR_PROFILE_ORACLE,
+        "revenue_concentration": an.REVENUE_CONCENTRATION_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

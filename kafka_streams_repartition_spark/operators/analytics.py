@@ -750,3 +750,99 @@ NUMERIC_CORR_PROFILE_ORACLE = (
     )
     + ",\n       CAST(count(*) AS BIGINT) AS n_rows\nFROM lineitem"
 )
+
+
+def revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue-inequality audit over customers: the Gini coefficient
+    (G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over revenue sorted ascending)
+    and the smallest customer share that carries 80% of revenue — the
+    concentration numbers behind "how skewed is this key?" capacity
+    planning.
+
+    Scale shape: raw orders collapse to one row per customer FIRST
+    (partial-combining aggregate), so the global sort + rank windows
+    run over |customers| rows, not |orders|; sums that feed the exact
+    formula are DECIMAL so rank-weighted addition is order-independent.
+    """
+    from pyspark.sql import Window
+
+    per_cust = (
+        t["orders"]
+        .select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        F.col("rev").cast("decimal(28,10)").alias("rev"),
+        F.row_number().over(w).alias("i"),
+    )
+    w_desc = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_top = ranked.select(
+        "i", F.sum("rev").over(w_desc).alias("top_rev")
+    )
+    totals = ranked.agg(
+        F.sum(F.col("rev") * F.col("i")).alias("iws"),
+        F.sum("rev").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("iws").cast("double")
+        / (F.col("n") * F.col("s").cast("double"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    # smallest top-k customer share with cumulative revenue ≥ 80%
+    k80 = (
+        cum_top.crossJoin(F.broadcast(totals.select("s", "n")))
+        .filter(
+            F.col("top_rev").cast("double") >= 0.8 * F.col("s").cast("double")
+        )
+        .agg(F.max("i").alias("max_i"), F.first("n").alias("n"))
+        .select(
+            F.round((F.col("n") - F.col("max_i") + 1) / F.col("n"), 4).alias(
+                "pct_customers_for_80pct"
+            )
+        )
+    )
+    return (
+        totals.select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.round(gini, 6).alias("gini"),
+        )
+        .crossJoin(F.broadcast(k80))
+    )
+
+
+REVENUE_CONCENTRATION_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT CAST(rev AS DECIMAL(28,10)) AS rev,
+           row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i
+    FROM per_cust
+),
+totals AS (
+    SELECT sum(rev * i) AS iws, sum(rev) AS s, count(*) AS n FROM ranked
+),
+cum_top AS (
+    SELECT i,
+           sum(rev) OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING)
+               AS top_rev
+    FROM ranked
+),
+k80 AS (
+    SELECT round((t.n - max(c.i) + 1.0) / t.n, 4) AS pct_customers_for_80pct
+    FROM cum_top c CROSS JOIN totals t
+    WHERE CAST(c.top_rev AS DOUBLE) >= 0.8 * CAST(t.s AS DOUBLE)
+    GROUP BY t.n
+)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+       round(2.0 * CAST(t.iws AS DOUBLE) / (t.n * CAST(t.s AS DOUBLE))
+             - (t.n + 1.0) / t.n, 6) AS gini,
+       k.pct_customers_for_80pct
+FROM totals t CROSS JOIN k80 k
+"""

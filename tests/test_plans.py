@@ -686,3 +686,15 @@ def test_q14_entropy_corr_plans(t):
     df = an.numeric_corr_profile(t)
     assert count_key_exchanges(df) == 0
     assert_read_schema_pruned(df, "lineitem", "l_orderkey")
+
+
+def test_revenue_concentration_plan(t):
+    """Gini/80-20: the global sort windows run over the PRE-AGGREGATED
+    per-customer frame (|customers| rows), never raw orders; orders
+    scan prunes to 2 columns."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    df = an.revenue_concentration(t)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert_read_schema_pruned(df, "orders", "o_orderdate")

@@ -128,3 +128,35 @@ def test_peek_and_task_info(spark, sf_dir):
     assert observed.count() == li.count()
     tagged = with_task_info(li.limit(10))
     assert all(r["_partition_id"] >= 0 for r in tagged.collect())
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL sink → source round-trip preserves rows; a malformed line
+    lands in quarantine instead of failing the read (the reference's
+    log-and-continue serde behavior, file-based)."""
+    import os
+
+    from kafka_streams_repartition_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    # inject a corrupt line as its own file (appending to a Spark part
+    # file would invalidate its Hadoop .crc checksum sidecar)
+    with open(os.path.join(path, "part-99999-manual.json"), "w") as fh:
+        fh.write('{"doc_id": 999999, "lang": BROKEN\n')
+
+    good, quarantine = read_jsonl(spark, path, docs.schema)
+    assert good.count() == docs.count()
+    assert quarantine.count() == 1
+    assert "BROKEN" in quarantine.first()["raw"]
+    # value-level round trip
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in good.collect())
+    assert a == b
