@@ -158,3 +158,162 @@ def test_latest_per_key_matches_pandas(spark):
         assert got == want
 
     check()
+
+
+# --- winnowing fingerprints vs an independent reference ---------------------
+
+_DOC_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _winnow_ref(text: str) -> set[int]:
+    """Pure-Python winnowing (Schleimer et al. 2003): same k, w, and
+    md5-prefix hash as the Spark implementation, written independently."""
+    import hashlib
+
+    from kafka_streams_repartition_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    arr = text.split(" ")
+    n = len(arr) - WINNOW_K + 1
+    grams = [" ".join(arr[i : i + WINNOW_K]) for i in range(max(n, 0))]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    ng = len(hs)
+    sel: set[int] = set()
+    for p in range(ng):
+        if p >= min(WINNOW_W - 1, ng - 1):
+            sel.add(min(hs[max(0, p - WINNOW_W + 1) : p + 1]))
+    return sel
+
+
+@given(texts=_DOC_TEXTS)
+@settings(**_SETTINGS)
+def test_winnow_fingerprints_match_reference(spark, texts):
+    import hashlib
+
+    from kafka_streams_repartition_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_fp"], r["fp_md5"])
+        for r in winnow_fingerprints({"documents": docs}).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        sel = _winnow_ref(t)
+        if sel:
+            joined = ",".join(str(h) for h in sorted(sel))
+            want[i] = (len(sel), hashlib.md5(joined.encode()).hexdigest())
+    assert got == want
+
+
+# --- skyline vs the quadratic dominance definition --------------------------
+
+_POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**6),  # part id
+        st.integers(min_value=0, max_value=5),  # price (small domain: ties)
+        st.integers(min_value=0, max_value=5),  # size
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(points=_POINTS)
+@settings(**_SETTINGS)
+def test_skyline_matches_quadratic_definition(spark, points):
+    from kafka_streams_repartition_spark.operators.analytics import skyline_parts
+
+    df = spark.createDataFrame(
+        [(pid, f"part{pid}", "B", "T", sz, float(pr)) for pid, pr, sz in points],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    got = {r["p_partkey"] for r in skyline_parts({"part": df}).collect()}
+    want = {
+        pid
+        for pid, pr, sz in points
+        if not any(
+            (qp <= pr and qs <= sz and (qp < pr or qs < sz))
+            for qid, qp, qs in points
+            if qid != pid
+        )
+    }
+    assert got == want
+
+
+# --- LOCF gap fill vs an independent reference ------------------------------
+
+_LOCF_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=4),  # day
+        st.integers(min_value=0, max_value=10),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_LOCF_ROWS)
+@settings(**_SETTINGS)
+def test_daily_value_locf_matches_reference(spark, rows):
+    from datetime import datetime, timezone
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kafka_streams_repartition_spark.operators.windows import daily_value_locf
+
+    ev = spark.createDataFrame(
+        [
+            (
+                i,
+                datetime.fromtimestamp(d * 86400 + 3600, tz=timezone.utc),
+                u,
+                "click",
+                float(v),
+                "{}",
+            )
+            for i, (u, d, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["user_id"], r["day"]): (r["observed"], r["filled"])
+        for r in daily_value_locf({"events": ev}).collect()
+    }
+
+    def r4(x: float) -> float:
+        return float(Decimal(str(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    days = [d for _, d, _ in rows]
+    lo, hi = min(days), max(days)
+    users = sorted({u for u, _, _ in rows})
+    daily: dict[tuple[int, int], list[int]] = {}
+    for u, d, v in rows:
+        daily.setdefault((u, d), []).append(v)
+    want = {}
+    for u in users:
+        carried = None
+        for d in range(lo, hi + 1):
+            vals = daily.get((u, d))
+            if vals is not None:
+                carried = r4(sum(vals) / len(vals))
+                want[(u, d)] = (True, carried)
+            else:
+                want[(u, d)] = (False, carried)
+    assert got == want
