@@ -160,3 +160,30 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     a = sorted(tuple(r) for r in docs.collect())
     b = sorted(tuple(r) for r in good.collect())
     assert a == b
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction collapses a fragmented table into few target-sized
+    files, preserves every row, and survives via write-temp-then-swap
+    (the original is never in a half-written state)."""
+    from kafka_streams_repartition_spark.sources.maintenance import (
+        compact_small_files,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(path)  # simulate micro-batch litter
+
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    report = compact_small_files(spark, path, target_file_mb=128)
+
+    assert report["files_before"] == 64
+    assert report["files_after"] == 1  # tiny table → one target file
+    assert report["rows"] == len(before)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    import os
+
+    assert not os.path.exists(path + ".compact_tmp")
+    assert not os.path.exists(path + ".compact_old")
