@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_entropy": _q(tx.corpus_token_entropy),
         "numeric_corr_profile": _q(an.numeric_corr_profile),
         "revenue_concentration": _q(an.revenue_concentration),
+        "interarrival_stats": _q(win.interarrival_stats),
+        "modal_event_type": _q(win.modal_event_type),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -179,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_entropy": tx.CORPUS_TOKEN_ENTROPY_ORACLE,
         "numeric_corr_profile": an.NUMERIC_CORR_PROFILE_ORACLE,
         "revenue_concentration": an.REVENUE_CONCENTRATION_ORACLE,
+        "interarrival_stats": win.INTERARRIVAL_STATS_ORACLE,
+        "modal_event_type": win.MODAL_EVENT_TYPE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -603,3 +603,95 @@ SELECT event_type, week, total,
              END, 4) AS pct_change
 FROM weekly
 """
+
+
+def interarrival_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user inter-event gap distribution: count, mean, exact
+    p50/p95 of the milliseconds between consecutive events — the
+    arrival-process profile behind session-gap tuning (pick the session
+    timeout where the gap distribution's tail breaks) and rate
+    anomaly detection.
+
+    One user-keyed exchange carries both stages: the ``lag`` diff rides
+    the per-user sort, and the per-user percentile aggregates the ≤|user
+    events| gap list in the same partitioning — no second shuffle.  At
+    100 TB swap ``percentile`` for ``approx_percentile`` (mergeable
+    sketch, same plan) exactly as ``quantile_stats`` documents.
+    """
+    ev = _with_ms(t["events"]).select("user_id", "ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gaps = ev.withColumn("gap", F.col("ms") - F.lag("ms").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap"), 2).alias("mean_gap_ms"),
+        F.round(F.expr("percentile(gap, 0.5)"), 2).alias("p50_gap_ms"),
+        F.round(F.expr("percentile(gap, 0.95)"), 2).alias("p95_gap_ms"),
+    )
+
+
+INTERARRIVAL_STATS_ORACLE = """
+WITH gaps AS (
+    SELECT user_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ) AS gap
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap), 2) AS mean_gap_ms,
+       round(quantile_cont(gap, 0.5), 2) AS p50_gap_ms,
+       round(quantile_cont(gap, 0.95), 2) AS p95_gap_ms
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def modal_event_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Each user's modal (most frequent) event type and its share — the
+    statistical-mode surface, expressed as a lexicographic struct-min
+    AGGREGATE (ties → alphabetically first type) rather than a window,
+    so hot users partial-combine map-side instead of sorting full
+    groups."""
+    counts = (
+        t["events"]
+        .select("user_id", "event_type")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pick = F.min(
+        F.struct((-F.col("n")).alias("negn"), F.col("event_type").alias("et"))
+    ).alias("b")
+    return (
+        counts.groupBy("user_id")
+        .agg(pick, F.sum("n").alias("total"))
+        .select(
+            "user_id",
+            F.col("b.et").alias("modal_type"),
+            (-F.col("b.negn")).cast("long").alias("n_modal"),
+            F.round((-F.col("b.negn")) / F.col("total"), 4).alias("modal_share"),
+        )
+    )
+
+
+MODAL_EVENT_TYPE_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT user_id, event_type, n,
+           sum(n) OVER (PARTITION BY user_id) AS total,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type ASC
+           ) AS rn
+    FROM counts
+)
+SELECT user_id,
+       event_type AS modal_type,
+       CAST(n AS BIGINT) AS n_modal,
+       round(CAST(n AS DOUBLE) / total, 4) AS modal_share
+FROM ranked WHERE rn = 1
+"""

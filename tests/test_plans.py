@@ -698,3 +698,20 @@ def test_revenue_concentration_plan(t):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert_read_schema_pruned(df, "orders", "o_orderdate")
+
+
+def test_interarrival_and_modal_plans(t):
+    from kafka_streams_repartition_spark.operators import windows as win2
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    # interarrival: the lag window and the per-user percentile share
+    # ONE user-keyed exchange; props never read.
+    df = win2.interarrival_stats(t)
+    assert count_key_exchanges(df) == 1
+    assert_read_schema_pruned(df, "events", "props")
+
+    # modal type: struct-min AGGREGATE, not a window — two partial-
+    # combining exchanges max ((user,type) then user), no Window node.
+    df = win2.modal_event_type(t)
+    assert count_key_exchanges(df) <= 2
+    assert "WindowExec" not in explain_str(df)
