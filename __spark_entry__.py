@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": _q(an.revenue_concentration),
         "interarrival_stats": _q(win.interarrival_stats),
         "modal_event_type": _q(win.modal_event_type),
+        "value_trend_regression": _q(an.value_trend_regression),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_concentration": an.REVENUE_CONCENTRATION_ORACLE,
         "interarrival_stats": win.INTERARRIVAL_STATS_ORACLE,
         "modal_event_type": win.MODAL_EVENT_TYPE_ORACLE,
+        "value_trend_regression": an.VALUE_TREND_REGRESSION_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -846,3 +846,41 @@ SELECT CAST(t.n AS BIGINT) AS n_customers,
        k.pct_customers_for_80pct
 FROM totals t CROSS JOIN k80 k
 """
+
+
+def value_trend_regression(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordinary-least-squares trend of event value over time, per event
+    type: slope per day, intercept, and R² via the built-in regression
+    AGGREGATES (``regr_slope``/``regr_intercept``/``regr_r2``) — moment
+    sums that partial-combine map-side, so the trend of a 100 TB stream
+    costs one scan and a 5-row exchange, no window and no collect.
+
+    Time is rescaled to days-since-epoch BEFORE aggregation: regression
+    moments in milliseconds would subtract near-equal 1e23-magnitude
+    sums and lose the slope to cancellation — the rescale is the
+    numerical-stability story, not a cosmetic choice.
+    """
+    ev = t["events"].select(
+        "event_type",
+        (F.unix_millis("ts") / F.lit(86400000.0)).alias("day_x"),
+        "value",
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("regr_slope(value, day_x)"), 4).alias("slope_per_day"),
+        F.round(F.expr("regr_intercept(value, day_x)"), 2).alias("intercept"),
+        F.round(F.expr("regr_r2(value, day_x)"), 6).alias("r2"),
+    )
+
+
+VALUE_TREND_REGRESSION_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_ms(ts) / 86400000.0), 4)
+           AS slope_per_day,
+       round(regr_intercept(value, epoch_ms(ts) / 86400000.0), 2)
+           AS intercept,
+       round(regr_r2(value, epoch_ms(ts) / 86400000.0), 6) AS r2
+FROM events
+GROUP BY 1
+"""

@@ -715,3 +715,15 @@ def test_interarrival_and_modal_plans(t):
     df = win2.modal_event_type(t)
     assert count_key_exchanges(df) <= 2
     assert "WindowExec" not in explain_str(df)
+
+
+def test_value_trend_regression_plan(t):
+    """OLS trend: regression moments are ONE partial-combining
+    aggregate — a single key exchange, no Window, pruned scan."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = an.value_trend_regression(t)
+    assert count_key_exchanges(df) == 1
+    assert "WindowExec" not in explain_str(df)
+    assert_read_schema_pruned(df, "events", "props")
