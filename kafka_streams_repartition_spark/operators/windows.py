@@ -695,3 +695,66 @@ SELECT user_id,
        round(CAST(n AS DOUBLE) / total, 4) AS modal_share
 FROM ranked WHERE rn = 1
 """
+
+
+def seasonal_naive_backtest(t: dict[str, DataFrame]) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster on daily event totals:
+    predict each day's total per event type as the expanding average of
+    all PRIOR same-weekday totals, and report MAE and mean bias — the
+    honest-baseline evaluation every forecasting pipeline needs before
+    anything fancier ships.
+
+    Shapes: raw events collapse to one decimal-summed row per
+    (type, day) first; the expanding-average window runs over the tiny
+    (type, weekday) frames with a ROWS … 1 PRECEDING frame, so no
+    prediction ever sees its own day (no leakage by construction); the
+    error aggregate reduces ≤|types|·|days| rows.
+    """
+    ev = _with_ms(t["events"]).select(
+        "event_type",
+        (F.col("ms") / F.lit(86400000)).cast("long").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4
+        ).alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type", (F.col("day") % 7).alias("weekday"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.withColumn("pred", F.round(F.avg("total").over(w), 4)).filter(
+        F.col("pred").isNotNull()
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(F.abs(F.col("total") - F.col("pred"))), 4).alias("mae"),
+        F.round(F.avg(F.col("total") - F.col("pred")), 4).alias("mean_bias"),
+    )
+
+
+SEASONAL_NAIVE_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+               AS total
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT event_type, day, total,
+           round(avg(total) OVER (
+               PARTITION BY event_type, day % 7 ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 4) AS pred
+    FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(abs(total - pred)), 4) AS mae,
+       round(avg(total - pred), 4) AS mean_bias
+FROM scored WHERE pred IS NOT NULL
+GROUP BY 1
+"""

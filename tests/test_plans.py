@@ -727,3 +727,15 @@ def test_value_trend_regression_plan(t):
     assert count_key_exchanges(df) == 1
     assert "WindowExec" not in explain_str(df)
     assert_read_schema_pruned(df, "events", "props")
+
+
+def test_seasonal_naive_backtest_plan(t):
+    """The expanding-average window must run over the pre-aggregated
+    daily frame (raw events shuffle once into the (type, day) agg) and
+    the ROWS … 1 PRECEDING frame bars same-day leakage by plan shape."""
+    from kafka_streams_repartition_spark.operators import windows as win2
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = win2.seasonal_naive_backtest(t)
+    assert count_key_exchanges(df) <= 3  # day agg, weekday window, type agg
+    assert_read_schema_pruned(df, "events", "props")
