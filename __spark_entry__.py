@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modal_event_type": _q(win.modal_event_type),
         "value_trend_regression": _q(an.value_trend_regression),
         "seasonal_naive_backtest": _q(win.seasonal_naive_backtest),
+        "decile_lift_table": _q(an.decile_lift_table),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "modal_event_type": win.MODAL_EVENT_TYPE_ORACLE,
         "value_trend_regression": an.VALUE_TREND_REGRESSION_ORACLE,
         "seasonal_naive_backtest": win.SEASONAL_NAIVE_BACKTEST_ORACLE,
+        "decile_lift_table": an.DECILE_LIFT_TABLE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

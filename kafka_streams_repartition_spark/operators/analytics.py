@@ -884,3 +884,73 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+def decile_lift_table(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer revenue deciles: customers ranked by spend into 10
+    equal-count buckets, with each decile's revenue share and the
+    cumulative share — the lift table behind every "top 10% of
+    customers drive X%" statement (the reporting companion to
+    :func:`revenue_concentration`'s Gini scalar).
+
+    Raw orders reduce to one row per customer first; ``ntile`` runs on
+    that |customers| frame, and the decile rollup + shares are windows
+    over TEN rows.  Revenue sums are DECIMAL end-to-end so bucket
+    totals cannot drift with shuffle order.
+    """
+    from pyspark.sql import Window
+
+    per_cust = (
+        t["orders"]
+        .select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    bucketed = per_cust.withColumn("decile", F.ntile(10).over(w))
+    per_decile = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").alias("drev"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_customers",
+        F.round(F.col("drev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("drev") / F.sum("drev").over(w_all)).cast("double"), 6
+        ).alias("share"),
+        F.round(
+            (F.sum("drev").over(w_cum) / F.sum("drev").over(w_all)).cast(
+                "double"
+            ),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+DECILE_LIFT_TABLE_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev
+    FROM orders GROUP BY 1
+),
+bucketed AS (
+    SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS decile
+    FROM per_cust
+),
+per_decile AS (
+    SELECT decile, count(*) AS n_customers, sum(rev) AS drev
+    FROM bucketed GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(drev AS DOUBLE), 2) AS revenue,
+       round(CAST(drev / sum(drev) OVER () AS DOUBLE), 6) AS share,
+       round(CAST(sum(drev) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING)
+                  / sum(drev) OVER () AS DOUBLE), 6) AS cum_share
+FROM per_decile
+"""

@@ -739,3 +739,13 @@ def test_seasonal_naive_backtest_plan(t):
     df = win2.seasonal_naive_backtest(t)
     assert count_key_exchanges(df) <= 3  # day agg, weekday window, type agg
     assert_read_schema_pruned(df, "events", "props")
+
+
+def test_decile_lift_plan(t):
+    """ntile + rollup + shares all run over the pre-aggregated
+    per-customer frame; orders scan prunes to 2 columns."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    df = an.decile_lift_table(t)
+    assert "CartesianProduct" not in explain_str(df)
+    assert_read_schema_pruned(df, "orders", "o_orderdate")
