@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend_regression": _q(an.value_trend_regression),
         "seasonal_naive_backtest": _q(win.seasonal_naive_backtest),
         "decile_lift_table": _q(an.decile_lift_table),
+        "chi_square_independence": _q(an.chi_square_independence),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "value_trend_regression": an.VALUE_TREND_REGRESSION_ORACLE,
         "seasonal_naive_backtest": win.SEASONAL_NAIVE_BACKTEST_ORACLE,
         "decile_lift_table": an.DECILE_LIFT_TABLE_ORACLE,
+        "chi_square_independence": an.CHI_SQUARE_INDEPENDENCE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -954,3 +954,75 @@ SELECT CAST(decile AS BIGINT) AS decile,
                   / sum(drev) OVER () AS DOUBLE), 6) AS cum_share
 FROM per_decile
 """
+
+
+def chi_square_independence(t: dict[str, DataFrame]) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    language and source: χ² = Σ (observed − expected)²/expected over
+    the full contingency grid — the categorical-drift detector (a
+    source that changes its language mix between snapshots moves this
+    statistic first).
+
+    The contingency table is one (lang, source) aggregate; marginals
+    are two reductions of THAT table (never a second scan); the grid is
+    a |langs|×|sources| broadcast cross join with zero-observed cells
+    kept (they still contribute their expectation).  All counts are
+    exact integers, so the statistic is deterministic to the rounding.
+    """
+    doc = t["documents"].select("lang", "source")
+    obs = doc.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    col = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        row.crossJoin(F.broadcast(col))
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rl") * F.col("cs") / F.col("n")).alias("e"),
+        )
+    )
+    cells = grid.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    dof = (
+        row.agg(F.count(F.lit(1)).alias("L"))
+        .crossJoin(F.broadcast(col.agg(F.count(F.lit(1)).alias("S"))))
+        .select(((F.col("L") - 1) * (F.col("S") - 1)).cast("long").alias("dof"))
+    )
+    return cells.crossJoin(F.broadcast(dof)).crossJoin(
+        F.broadcast(n.select(F.col("n").cast("long").alias("n_docs")))
+    )
+
+
+CHI_SQUARE_INDEPENDENCE_ORACLE = """
+WITH obs AS (
+    SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+row_t AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY 1),
+col_t AS (SELECT source, sum(o) AS cs FROM obs GROUP BY 1),
+n_t AS (SELECT sum(o) AS n FROM obs),
+grid AS (
+    SELECT r.lang, c.source,
+           COALESCE(ob.o, 0) AS o,
+           r.rl * c.cs / n.n AS e
+    FROM row_t r
+    CROSS JOIN col_t c
+    LEFT JOIN obs ob ON r.lang = ob.lang AND c.source = ob.source
+    CROSS JOIN n_t n
+)
+SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       (SELECT CAST((count(DISTINCT lang) - 1)
+               * (SELECT count(DISTINCT source) - 1 FROM documents)
+               AS BIGINT) FROM documents) AS dof,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+FROM grid
+"""

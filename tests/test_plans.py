@@ -749,3 +749,13 @@ def test_decile_lift_plan(t):
     df = an.decile_lift_table(t)
     assert "CartesianProduct" not in explain_str(df)
     assert_read_schema_pruned(df, "orders", "o_orderdate")
+
+
+def test_chi_square_plan(t):
+    """One documents scan feeds the contingency table; marginals and
+    the grid derive from that aggregate (text never read)."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    df = an.chi_square_independence(t)
+    assert_read_schema_pruned(df, "documents", "text")
+    assert "CartesianProduct" not in explain_str(df)
