@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_backtest": _q(win.seasonal_naive_backtest),
         "decile_lift_table": _q(an.decile_lift_table),
         "chi_square_independence": _q(an.chi_square_independence),
+        "ks_two_sample": _q(an.ks_two_sample),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_backtest": win.SEASONAL_NAIVE_BACKTEST_ORACLE,
         "decile_lift_table": an.DECILE_LIFT_TABLE_ORACLE,
         "chi_square_independence": an.CHI_SQUARE_INDEPENDENCE_ORACLE,
+        "ks_two_sample": an.KS_TWO_SAMPLE_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -1026,3 +1026,80 @@ SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
 FROM grid
 """
+
+
+KS_TYPE_A = "purchase"
+KS_TYPE_B = "view"
+
+
+def ks_two_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic between the value
+    distributions of two event types: D = max |ECDF_A − ECDF_B| — the
+    distribution-drift detector that catches shape changes a mean/
+    variance monitor misses.
+
+    Exact formulation: collapse to per-distinct-value counts first
+    (the ECDF only steps at observed values), then ONE ordered window
+    over the distinct-value frame builds both cumulative counts
+    simultaneously; the ratios divide exact integers so every |diff|
+    is bit-identical across engines before the max.  At 100 TB swap
+    the distinct-value frame for a fixed-grid binned ECDF (same plan,
+    bounded frame) — the exact form sorts |distinct values| rows.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .select(
+            "value",
+            F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0).alias("a"),
+            F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0).alias("b"),
+        )
+    )
+    per_v = ev.groupBy("value").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    tot = per_v.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+        ).alias("d")
+    )
+    return (
+        d.agg(F.round(F.max("d"), 6).alias("ks_stat"))
+        .crossJoin(
+            F.broadcast(
+                tot.select(
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                )
+            )
+        )
+    )
+
+
+KS_TWO_SAMPLE_ORACLE = f"""
+WITH ev AS (
+    SELECT value,
+           CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS a,
+           CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS b
+    FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+per_v AS (SELECT value, sum(a) AS na, sum(b) AS nb FROM ev GROUP BY 1),
+tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM per_v),
+cum AS (
+    SELECT sum(na) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+    FROM per_v
+)
+SELECT round(max(abs(CAST(c.ca AS DOUBLE) / t.n_a
+                     - CAST(c.cb AS DOUBLE) / t.n_b)), 6) AS ks_stat,
+       CAST(any_value(t.n_a) AS BIGINT) AS n_a,
+       CAST(any_value(t.n_b) AS BIGINT) AS n_b
+FROM cum c CROSS JOIN tot t
+"""

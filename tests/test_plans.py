@@ -759,3 +759,14 @@ def test_chi_square_plan(t):
     df = an.chi_square_independence(t)
     assert_read_schema_pruned(df, "documents", "text")
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_ks_two_sample_plan(t):
+    """Both type filters push to the events scan; the ECDF windows run
+    over the per-distinct-value aggregate, never raw rows."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import assert_pushed_filters
+
+    df = an.ks_two_sample(t)
+    assert_pushed_filters(df, "events", "event_type")
+    assert_read_schema_pruned(df, "events", "props")
