@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_lift_table": _q(an.decile_lift_table),
         "chi_square_independence": _q(an.chi_square_independence),
         "ks_two_sample": _q(an.ks_two_sample),
+        "group_size_histogram": _q(an.group_size_histogram),
         "winnow_fingerprints": _q(tx.winnow_fingerprints),
         "hll_intersect_types": _q(sk.hll_intersect_types),
         "triangle_count": _q(gr.triangle_count),
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "decile_lift_table": an.DECILE_LIFT_TABLE_ORACLE,
         "chi_square_independence": an.CHI_SQUARE_INDEPENDENCE_ORACLE,
         "ks_two_sample": an.KS_TWO_SAMPLE_ORACLE,
+        "group_size_histogram": an.GROUP_SIZE_HISTOGRAM_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,
         "triangle_count": gr.TRIANGLE_COUNT_ORACLE,

@@ -1103,3 +1103,48 @@ SELECT round(max(abs(CAST(c.ca AS DOUBLE) / t.n_a
        CAST(any_value(t.n_b) AS BIGINT) AS n_b
 FROM cum c CROSS JOIN tot t
 """
+
+
+def group_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Distribution of order sizes (how many orders have k line items)
+    — the key-skew diagnostic read before choosing a partition/salting
+    strategy: a heavy tail here is exactly what blows up pair
+    expansions and hot-key reducers.
+
+    Two partial-combining aggregates back to back (per-order count,
+    then per-size count) — each exchange carries pre-combined rows, and
+    the second one is ≤|distinct sizes| rows total.
+    """
+    # The per-order frame feeds both the total and the histogram:
+    # checkpoint it so the fact table is scanned and shuffled once.
+    per_order = (
+        t["lineitem"]
+        .select("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_order.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("items_per_order"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(F.col("n") / F.col("n_orders"), 6).alias("frac"),
+        )
+    )
+
+
+GROUP_SIZE_HISTOGRAM_ORACLE = """
+WITH per_order AS (
+    SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_orders FROM per_order)
+SELECT CAST(p.k AS BIGINT) AS items_per_order,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(count(*) / any_value(t.n_orders), 6) AS frac
+FROM per_order p CROSS JOIN tot t
+GROUP BY 1
+"""

@@ -770,3 +770,16 @@ def test_ks_two_sample_plan(t):
     df = an.ks_two_sample(t)
     assert_pushed_filters(df, "events", "event_type")
     assert_read_schema_pruned(df, "events", "props")
+
+
+def test_group_size_histogram_plan(t):
+    """Two back-to-back partial-combining aggregates; lineitem scan
+    reads only the order key."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = an.group_size_histogram(t)
+    # the per-order frame is checkpointed (fact scanned once); what
+    # remains downstream is the one per-size exchange
+    assert count_key_exchanges(df) <= 2
+    assert "CartesianProduct" not in explain_str(df)
