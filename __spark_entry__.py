@@ -44,12 +44,36 @@ def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver grades registry order and has truncated at
-    # 50 of 69 before (round 2).  Least-proven entries lead: (1) new this
-    # round, (2) never driver-graded, (3) erred last round, (4) the
-    # long-stable block.
+    # ORDER MATTERS: the driver grades registry order and truncates at 50.
+    # Per VERDICT r3 item 1, oracle-UNPROVEN entries lead: (A1) the block
+    # that failed r2 on the since-fixed NTZ timestamp loader bug and was
+    # never re-graded, (A2) entries never driver-graded in any round, then
+    # (B) entries new this round (capped at 31 so A+B fit the 50-window),
+    # then (C) everything with a green CORRECTNESS row in some round.
     return {
-        # -- new this round ---------------------------------------------
+        # -- A1: failed r2 (loader bug, fixed), never re-graded ---------
+        "ktable_latest_event": _q(win.ktable_latest_event),
+        "scd2_history": _q(win.scd2_history),
+        "tumbling_events": _q(win.tumbling_events),
+        "hopping_events": _q(win.hopping_events),
+        "session_events": _q(win.session_events),
+        "sliding_events": _q(win.sliding_events),
+        "event_funnel": _q(win.event_funnel),
+        "asof_join_events": _q(rel.asof_join_events),
+        "range_join_events": _q(rel.range_join_events),
+        # -- A2: never driver-graded in any round -----------------------
+        "table_profile": _q(an.table_profile),
+        "cms_heavy_hitters": _q(sk.cms_heavy_hitters),
+        "bloom_semi_join": _q(sk.bloom_semi_join),
+        "histogram_quantiles": _q(sk.histogram_quantiles),
+        "pagerank_copurchase": _q(gr.pagerank_copurchase),
+        "knn_graph": _q(sim.knn_graph),
+        "ngram_counts": _q(tx.ngram_counts),
+        "anomaly_zscore": _q(an.anomaly_zscore),
+        "zorder_layout": _q(an.zorder_layout),
+        "sample_per_group": _q(tx.sample_per_group),
+        # -- B: new this round (INSERT HERE, max 31 entries) ------------
+        # -- C: driver-green in r1/r2/r3 --------------------------------
         "ann_recall_eval": _q(sim.ann_recall_eval),
         "basket_rules": _q(gr.basket_rules),
         "pca_power_iteration": _q(sim.pca_power_iteration),
@@ -91,7 +115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_rate_by_source": _q(tx.duplicate_rate_by_source),
         "stratified_kfold": _q(tx.stratified_kfold),
         "embedding_dim_stats": _q(sim.embedding_dim_stats),
-        # -- never driver-graded (r2 registry tail) ---------------------
         "pq_codes": _q(sim.pq_codes),
         "retention_cohorts": _q(an.retention_cohorts),
         "pivot_event_types": _q(an.pivot_event_types),
@@ -101,27 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q(tx.bm25_search),
         "unigram_logprob": _q(tx.unigram_logprob),
         "bpe_pair_stats": _q(tx.bpe_pair_stats),
-        "table_profile": _q(an.table_profile),
-        "cms_heavy_hitters": _q(sk.cms_heavy_hitters),
-        "bloom_semi_join": _q(sk.bloom_semi_join),
-        "histogram_quantiles": _q(sk.histogram_quantiles),
-        "pagerank_copurchase": _q(gr.pagerank_copurchase),
-        "knn_graph": _q(sim.knn_graph),
-        "ngram_counts": _q(tx.ngram_counts),
-        "anomaly_zscore": _q(an.anomaly_zscore),
-        "zorder_layout": _q(an.zorder_layout),
-        "sample_per_group": _q(tx.sample_per_group),
-        # -- erred in r2 (TIMESTAMP_NTZ loader bug, fixed in tables.py) -
-        "ktable_latest_event": _q(win.ktable_latest_event),
-        "scd2_history": _q(win.scd2_history),
-        "tumbling_events": _q(win.tumbling_events),
-        "hopping_events": _q(win.hopping_events),
-        "session_events": _q(win.session_events),
-        "sliding_events": _q(win.sliding_events),
-        "event_funnel": _q(win.event_funnel),
-        "asof_join_events": _q(rel.asof_join_events),
-        "range_join_events": _q(rel.range_join_events),
-        # -- long-stable, driver-green in r1+r2 -------------------------
         "pickup_order_summary": _q(po.pickup_order_summary),
         "pickup_order_nested": _q(po.pickup_order_nested),
         "product_stats_v1": _q(ps.product_stats_v1),

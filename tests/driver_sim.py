@@ -28,7 +28,12 @@ from tests.oracle import assert_parity  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only=") :].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     # Deliberately NO repo confs: this is the driver's session, not ours.
     # (master/ui/log-level are harness ergonomics, not read semantics.)
     spark = (
@@ -44,6 +49,8 @@ def main() -> int:
     results: dict[str, str] = {}
     failed = 0
     for name in sorted(queries):
+        if only is not None and name not in only:
+            continue
         try:
             df = queries[name](spark, sf_dir)
             sql = oracles.get(name)
@@ -58,7 +65,10 @@ def main() -> int:
             failed += 1
             results[name] = "FAIL: " + traceback.format_exc(limit=3)
 
-    # entry() smoke, same bare session
+    # entry() smoke, same bare session (skipped under --only)
+    if only is not None:
+        print(json.dumps({"failed": failed, "results": results}, indent=1))
+        return 1 if failed else 0
     try:
         n = entrymod.entry(spark).count()
         results["__entry__"] = f"ok ({n} rows)" if n > 0 else "FAIL: 0 rows"
