@@ -1221,7 +1221,20 @@ def stratified_kfold(t: dict[str, DataFrame]) -> DataFrame:
     an engine hash builtin, so ANY system recomputes the same folds.
     """
     doc = t["documents"].select("doc_id", "lang", "n_chars")
-    fold = (F.col("doc_id") * F.lit(KFOLD_MULT)) % F.lit(2**32) % F.lit(KFOLD_K)
+    # Reduce mod 2^32 BEFORE multiplying: (id % 2^32) * MULT < 2^64 stays
+    # exact in DOUBLE-free integer math on both engines, whereas
+    # id * MULT overflows int64 for id > ~3.5e9 (Spark wraps silently,
+    # DuckDB promotes to HUGEINT — silent parity divergence).
+    reduced = F.col("doc_id") % F.lit(2**32)
+    # (a*b) % m with a,b < 2^32: split a into hi/lo 16-bit halves so every
+    # intermediate stays below 2^63.
+    a_hi = (reduced / F.lit(65536)).cast("long")
+    a_lo = reduced % F.lit(65536)
+    m = F.lit(2**32)
+    fold = (
+        ((a_hi * F.lit(KFOLD_MULT) % m) * F.lit(65536) % m
+         + a_lo * F.lit(KFOLD_MULT) % m) % m % F.lit(KFOLD_K)
+    )
     return (
         doc.withColumn("fold", fold.cast("long"))
         .groupBy("fold", "lang")
@@ -1233,7 +1246,12 @@ def stratified_kfold(t: dict[str, DataFrame]) -> DataFrame:
 
 
 STRATIFIED_KFOLD_ORACLE = f"""
-SELECT CAST((doc_id * {KFOLD_MULT}) % {2**32} % {KFOLD_K} AS BIGINT) AS fold,
+-- Same hi/lo 16-bit split as the Spark side: every intermediate stays
+-- below 2^63, so BIGINT never overflows (DuckDB raises on overflow;
+-- Spark would wrap silently — either way parity would break).
+SELECT CAST((((doc_id % {2**32}) // 65536 * {KFOLD_MULT} % {2**32}) * 65536 % {2**32}
+             + (doc_id % {2**32}) % 65536 * {KFOLD_MULT} % {2**32})
+            % {2**32} % {KFOLD_K} AS BIGINT) AS fold,
        lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(n_chars), 2) AS avg_chars

@@ -177,8 +177,9 @@ def large_volume_customers(t: dict[str, DataFrame]) -> DataFrame:
         t["lineitem"]
         .select("l_orderkey", "l_quantity")
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > Q18_QTY)
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > Q18_QTY)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("total_qty"))
     )
     return (
         big.join(

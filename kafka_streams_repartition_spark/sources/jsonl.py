@@ -29,17 +29,10 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def read_jsonl(
+def _read_jsonl_parts(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
-    """Read JSON-lines with PERMISSIVE decode.
-
-    Returns ``(good, quarantine)``: rows that parsed cleanly, and the
-    raw text of rows that did not (for replay/alerting — the reference
-    logs and continues; we keep the evidence).  Both are lazy plans
-    over ONE source; Spark evaluates the corrupt-column split without
-    a second file pass.
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared impl: returns ``(cached_parent, good, quarantine)``."""
     full_schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
     df = (
         spark.read.schema(full_schema)
@@ -56,4 +49,48 @@ def read_jsonl(
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")
     )
+    return df, good, quarantine
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines with PERMISSIVE decode.
+
+    Returns ``(good, quarantine)``: rows that parsed cleanly, and the
+    raw text of rows that did not (for replay/alerting — the reference
+    logs and continues; we keep the evidence).  Both are lazy plans
+    over ONE source; Spark evaluates the corrupt-column split without
+    a second file pass.
+
+    The shared parse is ``.cache()``d and stays cached for the session —
+    only the caller knows when both splits are consumed.  Long-lived
+    sessions doing repeated reads should use :class:`jsonl_split`,
+    which unpersists on exit (or call ``spark.catalog.clearCache()``).
+    """
+    _parent, good, quarantine = _read_jsonl_parts(spark, path, schema)
     return good, quarantine
+
+
+class jsonl_split:
+    """Context-manager form of :func:`read_jsonl` that unpersists the
+    shared cached parse on exit, so long-lived sessions with repeated
+    reads do not accumulate storage memory.
+
+    >>> with jsonl_split(spark, path, schema) as (good, quarantine):
+    ...     good.count(); quarantine.count()
+    """
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        self._parent, self._good, self._quarantine = _read_jsonl_parts(
+            spark, path, schema
+        )
+
+    def __enter__(self) -> tuple[DataFrame, DataFrame]:
+        return self._good, self._quarantine
+
+    def __exit__(self, *exc) -> None:
+        try:
+            self._parent.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to reclaim

@@ -44,12 +44,22 @@ def _data_files(path: str) -> list[str]:
 
 
 def compact_small_files(
-    spark: SparkSession, path: str, target_file_mb: int = 128
+    spark: SparkSession, path: str, target_file_mb: int = 128,
+    keep_backup: bool = False,
 ) -> dict:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(bytes / target_file_mb)`` files.  Returns a report dict
     (files/bytes before and after, rows preserved) for the caller's
-    audit log."""
+    audit log.
+
+    Crash safety: the swap is two plain renames (``path`` -> ``.compact_old``,
+    ``.compact_tmp`` -> ``path``), NOT atomic — a crash between them leaves
+    NO table at ``path`` until an operator restores ``.compact_old`` by
+    hand, and concurrent readers error during the window.  Data is never
+    lost (it survives at ``.compact_old`` / ``.compact_tmp``), but
+    availability is.  With ``keep_backup=True`` the ``.compact_old`` copy
+    is retained after a successful swap for manual rollback; by default
+    it is deleted to reclaim space."""
     before_files = _data_files(path)
     before_bytes = _dir_bytes(path)
     df = spark.read.parquet(path)
@@ -66,7 +76,8 @@ def compact_small_files(
         shutil.rmtree(backup)
     os.rename(path, backup)
     os.rename(tmp, path)
-    shutil.rmtree(backup)
+    if not keep_backup:
+        shutil.rmtree(backup)
 
     after = _data_files(path)
     return {

@@ -14,6 +14,7 @@ time, not assumed from ``session.get_spark``.
 from __future__ import annotations
 
 import os
+import warnings
 import weakref
 from collections.abc import Iterator, Mapping
 
@@ -72,7 +73,17 @@ def _ensure_read_confs(spark: SparkSession) -> None:
         # and surface its own error instead of masking it here.
         pass
     try:
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            # Loud on purpose: we are mutating a session we may not own,
+            # and a host that later resets the zone would re-evaluate
+            # the (lazy) NTZ casts under the new zone — see module doc.
+            warnings.warn(
+                f"load_table: overriding session timeZone {tz!r} -> 'UTC' "
+                "for oracle-consistent timestamp semantics; do not reset "
+                "it while loaded frames are alive",
+                stacklevel=3,
+            )
             spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
@@ -196,6 +207,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Mapping[str, DataFrame]:
     return LazyTables(spark, sf_dir)
 
 
+# DataFrame → observed scan partition count (see fan_out).  PySpark
+# DataFrames hash by identity (no __eq__/__hash__ override), so this is
+# an identity-keyed memo that drops entries when frames are collected.
+_FANOUT_PROBE: weakref.WeakKeyDictionary[DataFrame, int] = weakref.WeakKeyDictionary()
+_fanout_probe_count = 0  # test hook: number of actual plan→RDD probes
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Hash-repartition iff the scan yielded fewer partitions than cores.
 
@@ -221,7 +239,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Memoize the probe per DataFrame object: load_table hands out the
+    # SAME frame for a (session, path) for the session's lifetime, so a
+    # bench run probing 10 tables x ~30 queries would otherwise repeat
+    # the plan->RDD conversion on every query build.  Weak keys: derived
+    # frames passed here die with their callers, nothing leaks.
+    n = _FANOUT_PROBE.get(df)
+    if n is None:
+        global _fanout_probe_count
+        _fanout_probe_count += 1
+        n = df.rdd.getNumPartitions()
+        _FANOUT_PROBE[df] = n
+    if n < target:
         return df.repartition(target)
     return df
 

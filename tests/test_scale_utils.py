@@ -187,3 +187,86 @@ def test_compact_small_files(spark, tmp_path):
 
     assert not os.path.exists(path + ".compact_tmp")
     assert not os.path.exists(path + ".compact_old")
+
+
+def test_jsonl_split_unpersists_cache(spark, tmp_path):
+    """The context-manager form drops the shared cached parse on exit
+    (ADVICE r3: read_jsonl leaked storage memory in long-lived sessions)."""
+    from kafka_streams_repartition_spark.sources.jsonl import (
+        jsonl_split,
+        write_jsonl,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    path = str(tmp_path / "docs_jsonl_cm")
+    write_jsonl(docs, path)
+
+    cm = jsonl_split(spark, path, docs.schema)
+    with cm as (good, quarantine):
+        assert good.count() == docs.count()
+        assert quarantine.count() == 0
+        assert cm._parent.storageLevel.useMemory  # cached inside the block
+    assert not cm._parent.storageLevel.useMemory  # unpersisted on exit
+
+
+def test_compact_keep_backup(spark, tmp_path):
+    """keep_backup=True retains the pre-compaction copy for rollback."""
+    import os
+
+    from kafka_streams_repartition_spark.sources.maintenance import (
+        compact_small_files,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_table
+
+    nat = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_frag")
+    nat.repartition(8).write.parquet(path)
+
+    report = compact_small_files(spark, path, keep_backup=True)
+    assert report["files_after"] == 1
+    backup = path + ".compact_old"
+    assert os.path.exists(backup)
+    assert spark.read.parquet(backup).count() == nat.count()
+
+
+def test_fan_out_probe_memoized(spark):
+    """fan_out probes a given DataFrame's scan partitioning ONCE per
+    frame object (ADVICE r3: the plan->RDD probe ran on every call)."""
+    from kafka_streams_repartition_spark.sources import tables as tb
+
+    df = tb.load_table(spark, "/root/testdata/sf0.001", "documents")
+    tb._FANOUT_PROBE.pop(df, None)
+    base = tb._fanout_probe_count
+    a = tb.fan_out(df)
+    b = tb.fan_out(df)
+    assert tb._fanout_probe_count == base + 1  # second call memoized
+    assert a.rdd.getNumPartitions() == b.rdd.getNumPartitions()
+
+
+def test_stratified_kfold_hash_safe_for_large_ids(spark):
+    """The fold hash must not overflow int64 for doc_id > ~3.5e9
+    (ADVICE r3): compare the Spark column formula against exact Python
+    bignum arithmetic on boundary-sized ids."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_repartition_spark.operators.text_analysis import (
+        KFOLD_K,
+        KFOLD_MULT,
+    )
+
+    ids = [1, 2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**40 + 123, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    reduced = F.col("doc_id") % F.lit(2**32)
+    a_hi = (reduced / F.lit(65536)).cast("long")
+    a_lo = reduced % F.lit(65536)
+    m = F.lit(2**32)
+    fold = (
+        ((a_hi * F.lit(KFOLD_MULT) % m) * F.lit(65536) % m
+         + a_lo * F.lit(KFOLD_MULT) % m) % m % F.lit(KFOLD_K)
+    )
+    got = {r["doc_id"]: r["fold"] for r in df.withColumn("fold", fold).collect()}
+    want = {i: (i % 2**32) * KFOLD_MULT % 2**32 % KFOLD_K for i in ids}
+    assert got == want
