@@ -72,7 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _q(an.anomaly_zscore),
         "zorder_layout": _q(an.zorder_layout),
         "sample_per_group": _q(tx.sample_per_group),
-        # -- B: new this round (INSERT HERE, max 31 entries) ------------
+        # -- B: new this round (max 31 entries) -------------------------
+        "ks_two_sample_binned": _q(an.ks_two_sample_binned),
         # -- C: driver-green in r1/r2/r3 --------------------------------
         "ann_recall_eval": _q(sim.ann_recall_eval),
         "basket_rules": _q(gr.basket_rules),
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "decile_lift_table": an.DECILE_LIFT_TABLE_ORACLE,
         "chi_square_independence": an.CHI_SQUARE_INDEPENDENCE_ORACLE,
         "ks_two_sample": an.KS_TWO_SAMPLE_ORACLE,
+        "ks_two_sample_binned": an.KS_TWO_SAMPLE_BINNED_ORACLE,
         "group_size_histogram": an.GROUP_SIZE_HISTOGRAM_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,

@@ -1105,6 +1105,110 @@ FROM cum c CROSS JOIN tot t
 """
 
 
+KS_BINS = 64
+
+
+def ks_two_sample_binned(t: dict[str, DataFrame]) -> DataFrame:
+    """Binned-ECDF Kolmogorov–Smirnov statistic — the 100 TB form of
+    :func:`ks_two_sample` (documented there as the swap; VERDICT r3
+    item 6 asked for it as a first-class oracle-gated query).
+
+    The exact form's ordered window sorts |distinct values| rows on one
+    partition; here both ECDFs are evaluated on a fixed grid of
+    ``KS_BINS`` equal-width bins over the combined range, so the
+    ordered window sees ≤64 rows no matter the input size.  The map
+    side is one scan + a per-row bin id; the shuffle carries ≤64×2
+    counts.  D_binned ≤ D_exact (binning can only merge steps), with
+    grid-resolution error bounded by the largest per-bin mass — the
+    standard drift-monitor tradeoff.
+
+    Every float expression (bin id, ratio diff) is written identically
+    in the oracle SQL so IEEE doubles agree bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .select(
+            "value",
+            F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0).alias("a"),
+            F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0).alias("b"),
+        )
+    )
+    rng = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(KS_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * KS_BINS
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("bin"),
+        "a",
+        "b",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    tot = per_bin.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")).alias("d")
+    )
+    return d.agg(F.round(F.max("d"), 6).alias("ks_stat_binned")).crossJoin(
+        F.broadcast(
+            tot.select(
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+            )
+        )
+    ).withColumn("n_bins", F.lit(KS_BINS).cast("long"))
+
+
+KS_TWO_SAMPLE_BINNED_ORACLE = f"""
+WITH ev AS (
+    SELECT value,
+           CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS a,
+           CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS b
+    FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+rng AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+binned AS (
+    SELECT CASE WHEN r.mx > r.mn
+                THEN least({KS_BINS - 1},
+                           CAST(floor((e.value - r.mn) * {KS_BINS}
+                                      / (r.mx - r.mn)) AS BIGINT))
+                ELSE 0 END AS bin,
+           e.a, e.b
+    FROM ev e CROSS JOIN rng r
+),
+per_bin AS (SELECT bin, sum(a) AS na, sum(b) AS nb FROM binned GROUP BY 1),
+tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM per_bin),
+cum AS (
+    SELECT sum(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+    FROM per_bin
+)
+SELECT round(max(abs(CAST(c.ca AS DOUBLE) / t.n_a
+                     - CAST(c.cb AS DOUBLE) / t.n_b)), 6) AS ks_stat_binned,
+       CAST(any_value(t.n_a) AS BIGINT) AS n_a,
+       CAST(any_value(t.n_b) AS BIGINT) AS n_b,
+       CAST({KS_BINS} AS BIGINT) AS n_bins
+FROM cum c CROSS JOIN tot t
+"""
+
+
 def group_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
     """Distribution of order sizes (how many orders have k line items)
     — the key-skew diagnostic read before choosing a partition/salting

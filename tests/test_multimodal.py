@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_repartition_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_image_meta,
     documents_as_media,
     extract_features,
@@ -55,15 +56,49 @@ def test_extract_features_shape(spark, tables):
 
 
 def test_codec_stubs_raise_without_fake(spark, tables):
+    from kafka_streams_repartition_spark.operators.multimodal import _PILImage
+
     media = documents_as_media(tables["documents"].limit(1))
-    for stage in (
-        decode_image_meta(media),
+    stages = [
         sample_frames_pandas(media),
         resize_media(media, 4, 4),
         extract_features(media),
-    ):
+    ]
+    if _PILImage is None:  # decode is real when Pillow imports
+        stages.append(decode_image_meta(media))
+    for stage in stages:
         with pytest.raises(Exception, match="NotImplementedError|not available"):
             stage.collect()
+
+
+def test_decode_image_meta_real_or_stub(spark):
+    """Either-path contract: with Pillow installed the decode reads real
+    image bytes (and quarantines undecodable ones as nulls); without it
+    the non-fake path raises — never silently fakes."""
+    from kafka_streams_repartition_spark.operators.multimodal import _PILImage
+
+    if _PILImage is None:
+        media = spark.createDataFrame(
+            [(1, bytearray(b"not an image"), "image/png")], MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="NotImplementedError|requires Pillow"):
+            decode_image_meta(media).collect()
+        return
+
+    import io
+
+    buf = io.BytesIO()
+    _PILImage.new("RGB", (12, 7)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(buf.getvalue()), "image/png"),
+            (2, bytearray(b"corrupt bytes"), "image/png"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (12, 7, 1)
+    assert rows[2]["width"] is None  # log-and-continue, not a crash
 
 
 def test_decode_image_meta_deterministic(spark, tables):
