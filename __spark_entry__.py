@@ -74,6 +74,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": _q(tx.sample_per_group),
         # -- B: new this round (max 31 entries) -------------------------
         "ks_two_sample_binned": _q(an.ks_two_sample_binned),
+        "local_supplier_volume": _q(th.local_supplier_volume),
+        "volume_shipping": _q(th.volume_shipping),
+        "market_share": _q(th.market_share),
+        "customer_order_distribution": _q(th.customer_order_distribution),
+        "part_type_profit": _q(th.part_type_profit),
+        "ship_delay_priority": _q(th.ship_delay_priority),
+        "top_supplier": _q(th.top_supplier),
+        "discounted_revenue_disjunctive": _q(th.discounted_revenue_disjunctive),
+        "idle_rich_customers": _q(th.idle_rich_customers),
         # -- C: driver-green in r1/r2/r3 --------------------------------
         "ann_recall_eval": _q(sim.ann_recall_eval),
         "basket_rules": _q(gr.basket_rules),
@@ -198,6 +207,15 @@ def oracle_sql() -> dict[str, str]:
         "chi_square_independence": an.CHI_SQUARE_INDEPENDENCE_ORACLE,
         "ks_two_sample": an.KS_TWO_SAMPLE_ORACLE,
         "ks_two_sample_binned": an.KS_TWO_SAMPLE_BINNED_ORACLE,
+        "local_supplier_volume": th.LOCAL_SUPPLIER_VOLUME_ORACLE,
+        "volume_shipping": th.VOLUME_SHIPPING_ORACLE,
+        "market_share": th.MARKET_SHARE_ORACLE,
+        "customer_order_distribution": th.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+        "part_type_profit": th.PART_TYPE_PROFIT_ORACLE,
+        "ship_delay_priority": th.SHIP_DELAY_PRIORITY_ORACLE,
+        "top_supplier": th.TOP_SUPPLIER_ORACLE,
+        "discounted_revenue_disjunctive": th.DISCOUNTED_REVENUE_DISJUNCTIVE_ORACLE,
+        "idle_rich_customers": th.IDLE_RICH_CUSTOMERS_ORACLE,
         "group_size_histogram": an.GROUP_SIZE_HISTOGRAM_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,

@@ -374,3 +374,559 @@ JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q14_START}'
   AND l.l_shipdate < TIMESTAMP '{Q14_END}'
 """
+
+
+Q5_REGION = "ASIA"
+Q5_START = "1997-01-01"
+Q5_END = "1998-01-01"
+
+
+def local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """Q5-shaped: revenue per nation where the customer and the
+    line-item's supplier share that nation, one region, one year.
+
+    The scale-defining choice: nation and region are broadcast (tiny
+    dims), customer is joined to orders BEFORE lineitem so the fact
+    shuffle carries only qualifying orders, and the
+    ``c_nationkey = s_nationkey`` co-location predicate is applied as a
+    join condition — expressing it as a post-join filter would first
+    materialize the full customer×supplier row stream.
+    """
+    nr = (
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == Q5_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "inner",
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey").join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"), "inner"
+    )
+    ords = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    co = ords.join(cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+            "inner",
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_ORACLE = f"""
+SELECT n.n_name, round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+           AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_END}'
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+"""
+
+
+Q7_NATION_A = "NATION_2"
+Q7_NATION_B = "NATION_7"
+Q7_START = "1996-01-01"
+Q7_END = "1998-01-01"
+
+
+def volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """Q7-shaped: bilateral trade volume between two nations by ship
+    year — supplier nation on the lineitem side, customer nation on the
+    order side, either direction.
+
+    Both nation lookups broadcast; the symmetric pair condition is ONE
+    disjunctive join predicate evaluated during the broadcast probe, so
+    the fact table is scanned and shuffled once (a UNION of two
+    directional queries would scan twice).
+    """
+    n = t["nation"].select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    sup = t["supplier"].select("s_suppkey", "s_nationkey").join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "inner",
+    ).select("s_suppkey", "supp_nation")
+    cust = t["customer"].select("c_custkey", "c_nationkey").join(
+        F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "inner",
+    ).select("c_custkey", "cust_nation")
+    ords = t["orders"].select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == F.col("c_custkey"), "inner"
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_ORACLE = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q7_START}'
+  AND l.l_shipdate < TIMESTAMP '{Q7_END}'
+  AND ((ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+       OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_3"
+Q8_START = "1996-01-01"
+Q8_END = "1998-01-01"
+
+
+def market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Q8-shaped: one nation's share of a region's revenue for a part
+    type, by order year — the conditional-aggregate-over-join pattern
+    (share = SUM(CASE nation)/SUM(all) in a single grouped pass, never
+    two queries joined back together).
+
+    part is filtered to one type BEFORE its broadcast, so the fact
+    stream is pre-pruned by the most selective dimension first.
+    """
+    pt = t["part"].filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    nr = (
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == Q8_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "inner",
+        )
+        .select("n_nationkey")
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey").join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"), "inner"
+    ).select("c_custkey")
+    ords = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q8_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q8_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
+    )
+    sup_n = t["supplier"].select("s_suppkey", "s_nationkey").join(
+        F.broadcast(
+            t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "inner",
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("region_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN ns.n_name = '{Q8_NATION}'
+                      THEN l.l_extendedprice * (1.0 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS mkt_share,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+           AS region_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{Q8_TYPE}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = '{Q8_REGION}'
+WHERE o.o_orderdate >= TIMESTAMP '{Q8_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q8_END}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def customer_order_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Q13-shaped: how many customers placed k orders, INCLUDING the
+    zero-order customers — the left-outer-join-then-double-aggregate
+    pattern.  The outer join preserves customers with no match; the
+    first aggregate is per-customer (shuffle on c_custkey), the second
+    is per-count (tiny domain), so the wide shuffle happens exactly
+    once on the natural key.
+    """
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_ORACLE = """
+WITH per_cust AS (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q9_PART_TYPE = "PROMO"
+
+
+def part_type_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """Q9-shaped: profit by supplier nation and order year for one part
+    type (the testdata has no partsupp/supplycost, so profit is the
+    discounted revenue — the plan shape, a fact⋈3-dims star with a
+    two-level rollup key, is what's under test).
+
+    part is the most selective dimension → filtered then broadcast
+    FIRST; supplier⋈nation folds into one broadcast; orders arrives
+    last because it only contributes the year column.
+    """
+    pt = t["part"].filter(F.col("p_type") == Q9_PART_TYPE).select("p_partkey")
+    sup_n = (
+        t["supplier"]
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .select("s_suppkey", "nation")
+    )
+    profit = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PART_TYPE_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{Q9_PART_TYPE}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+Q12_DELAY_DAYS = 90
+
+
+def ship_delay_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Q12-shaped: count line items by (late vs on-time) × (critical vs
+    normal order priority) — the conditional two-way rollup the TPC-H
+    shipmode query runs, with lateness defined as shipping more than
+    ``Q12_DELAY_DAYS`` days after the order date (the testdata carries
+    no commit/receipt dates).
+
+    The priority CASE is evaluated AFTER the join but inside the same
+    projection as the lateness CASE, so the aggregate is one pass with
+    a 2×2 key domain — the exchange carries four rows per task.
+    """
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    ords = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q12_DELAY_DAYS
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .select(
+            F.when(late, "late").otherwise("on_time").alias("shipment"),
+            F.when(critical, "critical").otherwise("normal").alias("priority_class"),
+        )
+        .groupBy("shipment", "priority_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy("shipment", "priority_class")
+    )
+
+
+SHIP_DELAY_PRIORITY_ORACLE = f"""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > {Q12_DELAY_DAYS}
+            THEN 'late' ELSE 'on_time' END AS shipment,
+       CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'critical' ELSE 'normal' END AS priority_class,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+Q15_START = "1997-01-01"
+Q15_END = "1997-04-01"
+
+
+def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q15-shaped: the supplier(s) with maximum revenue in a quarter —
+    aggregate, then select WHERE revenue = global max (ties included,
+    exactly as TPC-H specifies; a LIMIT 1 would silently drop ties).
+
+    The max comes from an unpartitioned window over the PER-SUPPLIER
+    aggregate — a dimension-sized frame (|suppliers| rows), not the
+    fact table.  The naive `filter(rev == per_sup.agg(max))` plans as a
+    SECOND full lineitem scan+aggregate (Catalyst does not share the
+    common subplan pre-AQE); the window form scans the fact table
+    exactly once, which is the difference that matters at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    per_sup = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).alias("total_revenue"))
+    )
+    return (
+        per_sup.withColumn(
+            "max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "inner",
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+TOP_SUPPLIER_ORACLE = f"""
+WITH per_sup AS (
+    SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+      AND l_shipdate < TIMESTAMP '{Q15_END}'
+    GROUP BY 1
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS suppkey,
+       s.s_name AS supplier,
+       p.total_revenue
+FROM per_sup p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.total_revenue = (SELECT max(total_revenue) FROM per_sup)
+ORDER BY suppkey
+"""
+
+
+Q19_BRANDS = ("Brand#1", "Brand#7", "Brand#13")
+
+
+def discounted_revenue_disjunctive(t: dict[str, DataFrame]) -> DataFrame:
+    """Q19-shaped: revenue from three disjunctive (brand, size-range,
+    quantity-range) clauses — the OR-of-ANDs predicate that punishes
+    engines which can't evaluate a disjunction during the join probe.
+
+    part is broadcast with ONLY the brand/size filter union applied
+    (each disjunct's part-side predicate), and the per-disjunct
+    quantity bounds evaluate as one boolean expression during the
+    probe; rows failing all three never reach the aggregate.
+    """
+    p = t["part"].select("p_partkey", "p_brand", "p_size").filter(
+        F.col("p_brand").isin(*Q19_BRANDS)
+    )
+    li = t["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    d1 = (
+        (F.col("p_brand") == Q19_BRANDS[0])
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == Q19_BRANDS[1])
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == Q19_BRANDS[2])
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .filter(d1 | d2 | d3)
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+DISCOUNTED_REVENUE_DISJUNCTIVE_ORACLE = f"""
+SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = '{Q19_BRANDS[0]}' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = '{Q19_BRANDS[1]}' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = '{Q19_BRANDS[2]}' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def idle_rich_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Q22-shaped: per-nation count and balance of above-average-balance
+    customers who never placed an order — the correlated-NOT-EXISTS →
+    LEFT ANTI join pattern plus a broadcast scalar threshold.
+
+    The average is computed over positive balances only (TPC-H's
+    definition), broadcast as one row; the anti join removes customers
+    with orders BEFORE the per-nation rollup.
+    """
+    cust = t["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+IDLE_RICH_CUSTOMERS_ORACLE = """
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+CROSS JOIN avg_bal a
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+ORDER BY 1
+"""

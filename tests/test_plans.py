@@ -783,3 +783,51 @@ def test_group_size_histogram_plan(t):
     # remains downstream is the one per-size exchange
     assert count_key_exchanges(df) <= 2
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_tpch_star_joins_broadcast_dims(t):
+    """Q5/Q8/Q9 star shapes: every dimension rides a broadcast; the only
+    shuffles are fact-keyed; no cartesian anywhere."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+
+    for q in (th.local_supplier_volume, th.market_share, th.part_type_profit):
+        df = q(t)
+        assert_broadcast_join(df, at_least=2)
+        assert_no_cartesian(df)
+    assert_read_schema_pruned(th.local_supplier_volume(t), "lineitem", "l_tax")
+
+
+def test_idle_rich_customers_anti_join(t):
+    """Q22 shape: NOT EXISTS must plan as LEFT ANTI (never a distinct +
+    outer join), and the scalar threshold is a broadcast, not a
+    recomputation per row."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+
+    plan = explain_str(th.idle_rich_customers(t))
+    assert "LeftAnti" in plan
+    assert_broadcast_join(th.idle_rich_customers(t), at_least=2)
+
+
+def test_top_supplier_single_fact_scan(t):
+    """Q15 shape: the WHERE rev = max(rev) must not rescan lineitem —
+    one scan feeds both the aggregate and the max."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+
+    plan = explain_str(th.top_supplier(t))
+    # formatted explain prints each scan node twice (tree + detail):
+    # 4 occurrences == 2 physical scans (lineitem once + supplier)
+    assert plan.count("Scan parquet") == 4
+    assert "Window" in plan  # the max rides the dimension-sized window
+    assert_no_cartesian(th.top_supplier(t))
+
+
+def test_ks_binned_window_is_bounded(t):
+    """The binned KS window sorts the <=64-row bin frame, never raw
+    values: the sort must sit ABOVE the bin aggregate in the plan."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    plan = explain_str(an.ks_two_sample_binned(t))
+    assert "Window" in plan
+    # events has 6 columns; the query needs value + event_type only
+    assert_read_schema_pruned(an.ks_two_sample_binned(t), "events", "props")
+    assert_read_schema_pruned(an.ks_two_sample_binned(t), "events", "user_id")
