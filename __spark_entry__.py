@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": _q(th.top_supplier),
         "discounted_revenue_disjunctive": _q(th.discounted_revenue_disjunctive),
         "idle_rich_customers": _q(th.idle_rich_customers),
+        "embedding_centroid_per_label": _q(sim.embedding_centroid_per_label),
+        "embedding_norm_outliers": _q(sim.embedding_norm_outliers),
+        "cosine_sim_histogram": _q(sim.cosine_sim_histogram),
+        "ewma_user_value": _q(win.ewma_user_value),
+        "cusum_changepoint": _q(win.cusum_changepoint),
         # -- C: driver-green in r1/r2/r3 --------------------------------
         "ann_recall_eval": _q(sim.ann_recall_eval),
         "basket_rules": _q(gr.basket_rules),
@@ -216,6 +221,11 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": th.TOP_SUPPLIER_ORACLE,
         "discounted_revenue_disjunctive": th.DISCOUNTED_REVENUE_DISJUNCTIVE_ORACLE,
         "idle_rich_customers": th.IDLE_RICH_CUSTOMERS_ORACLE,
+        "embedding_centroid_per_label": sim.EMBEDDING_CENTROID_PER_LABEL_ORACLE,
+        "embedding_norm_outliers": sim.EMBEDDING_NORM_OUTLIERS_ORACLE,
+        "cosine_sim_histogram": sim.COSINE_SIM_HISTOGRAM_ORACLE,
+        "ewma_user_value": win.EWMA_USER_VALUE_ORACLE,
+        "cusum_changepoint": win.CUSUM_CHANGEPOINT_ORACLE,
         "group_size_histogram": an.GROUP_SIZE_HISTOGRAM_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,

@@ -1057,3 +1057,166 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, adc FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+# --- embedding table diagnostics (training-data pipeline ops) --------------
+
+
+def embedding_centroid_per_label(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the class
+    prototype table behind nearest-centroid classifiers and drift
+    monitors over embedding spaces.
+
+    ``posexplode`` is a narrow 1→64 expansion evaluated map-side; the
+    partial aggregate combines to |labels|×64 rows per task before the
+    single exchange, so the shuffle is prototype-sized regardless of
+    corpus size.
+    """
+    ex = fan_out(t["embeddings"]).select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(to_double_array("embedding")).alias("dim", "x"),
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
+
+
+EMBEDDING_CENTROID_PER_LABEL_ORACLE = """
+WITH e AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       round(avg(x), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM e
+GROUP BY 1, 2
+"""
+
+
+NORM_Z_THRESHOLD = 2.0
+
+
+def embedding_norm_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Vectors whose L2 norm deviates more than ``NORM_Z_THRESHOLD``
+    population z-scores from the corpus mean — the cheap first-pass
+    screen for broken encoders and corrupt rows before any ANN index
+    is built (a zero vector or an unnormalized batch shows up here
+    immediately).
+
+    Norms are JVM-side array folds (no Python); the mean/stddev is a
+    one-row broadcast, so the plan is scan → narrow map → broadcast
+    compare — no shuffle of vectors at any point.
+    """
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", norm(to_double_array("embedding")).alias("nrm")
+    )
+    stats = emb.agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
+    )
+    # Filter on the ROUNDED z so a boundary-straddling value (the two
+    # engines' stddev accumulations differ in the last ulp) can't be
+    # included by one engine and excluded by the other.
+    z = F.round((F.col("nrm") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > NORM_Z_THRESHOLD)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("l2_norm"),
+            z.alias("z_score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_NORM_OUTLIERS_ORACLE = f"""
+WITH norms AS (
+    SELECT vec_id,
+           sqrt(sum(x * x)) AS nrm
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings)
+    GROUP BY 1
+),
+stats AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sigma FROM norms)
+SELECT n.vec_id,
+       round(n.nrm, 6) AS l2_norm,
+       round((n.nrm - s.mu) / s.sigma, 4) AS z_score
+FROM norms n CROSS JOIN stats s
+WHERE abs(round((n.nrm - s.mu) / s.sigma, 4)) > {NORM_Z_THRESHOLD}
+ORDER BY n.vec_id
+"""
+
+
+SIM_HIST_BINS = 20
+
+
+def cosine_sim_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Histogram of query-to-corpus cosine similarities in 20 fixed
+    bins over [-1, 1] — the similarity-distribution profile read before
+    choosing dedup/retrieval thresholds (a bimodal histogram means a
+    near-dup cluster; mass near 0 means the space is healthy).
+
+    Same broadcast-queries shape as the brute-force ANN: the corpus is
+    scanned once, each row emits |queries| binned similarities, and the
+    exchange carries ≤20 counts per task.  Binning uses the exact
+    expression mirrored in the oracle so IEEE doubles agree.
+    """
+    emb = _corpus(t)
+    q = _queries(emb)
+    # round(6) BEFORE binning: the two engines sum the dot product in
+    # different orders, and the rounding collapses that last-ulp noise
+    # so a boundary-adjacent cosine can't land in different bins.
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    binned = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.least(
+                F.lit(SIM_HIST_BINS - 1),
+                F.floor((cos + 1.0) * SIM_HIST_BINS / 2.0),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )
+
+
+COSINE_SIM_HISTOGRAM_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM q
+    JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id
+    JOIN norms nq ON q.vec_id = nq.vec_id
+    JOIN norms nc ON e.vec_id = nc.vec_id
+    GROUP BY 1, 2, nq.nrm, nc.nrm
+)
+SELECT least({SIM_HIST_BINS - 1},
+             CAST(floor((cosine + 1.0) * {SIM_HIST_BINS} / 2.0) AS BIGINT))
+           AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""

@@ -758,3 +758,145 @@ SELECT event_type,
 FROM scored WHERE pred IS NOT NULL
 GROUP BY 1
 """
+
+
+# --- exponentially-weighted smoothing --------------------------------------
+
+EWMA_DECAY = 0.5  # power of two: decay^k is EXACT in IEEE doubles, so the
+# per-engine weight computation cannot differ in the last ulp
+EWMA_USERS_TOP = 50
+
+
+def ewma_user_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Exponentially-weighted mean of each user's event values (latest
+    events weigh most) — the classic smoothed per-entity health score.
+
+    The recurrence ewma_i = d·ewma_{i-1} + (1-d)·v_i is inherently
+    sequential, which is exactly what a distributed engine must NOT
+    compute iteratively.  The closed form ewma_N = Σ w_i·v_i / Σ w_i
+    with w_i = d^(N-i) turns it into ONE grouped aggregate over
+    window-ranked rows: shuffle on user_id once, no recursion, no
+    driver loop.  With d = 0.5 every weight is a power of two, so the
+    weights are bit-identical across engines (the remaining float sums
+    agree after round()).
+
+    The rank window and the aggregate share the same user_id
+    partitioning — Catalyst plans one exchange, the sort feeds both.
+    """
+    ranked = t["events"].select(
+        "user_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("ts").desc(), "event_id"))
+        .alias("rn"),
+    )
+    w = F.pow(F.lit(EWMA_DECAY), F.col("rn") - 1)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.round(F.sum(w * F.col("value")) / F.sum(w), 4).alias("ewma_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("ewma_value").desc(), "user_id")
+        .limit(EWMA_USERS_TOP)
+    )
+
+
+EWMA_USER_VALUE_ORACLE = f"""
+WITH ranked AS (
+    SELECT user_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id
+           ) AS rn
+    FROM events
+)
+SELECT user_id,
+       round(sum(pow({EWMA_DECAY}, rn - 1) * value)
+             / sum(pow({EWMA_DECAY}, rn - 1)), 4) AS ewma_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY 1
+ORDER BY ewma_value DESC, user_id
+LIMIT {EWMA_USERS_TOP}
+"""
+
+
+# --- CUSUM changepoint scan -------------------------------------------------
+
+
+def cusum_changepoint(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type CUSUM scan over the daily mean-value series: the
+    day where the cumulative deviation from the type's overall mean
+    peaks — the standard "when did this metric shift" detector.
+
+    Everything after the daily rollup runs on a |types|×|days| frame
+    (bounded domain), so the ordered windows are cheap; the raw events
+    shuffle exactly once into the rollup.  Statistic and argmax are
+    deterministic: ties on |cusum| break toward the earliest day in
+    both engines.
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("day_avg"))
+    )
+    overall = Window.partitionBy("event_type")
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # Two window steps (a window can't nest inside another's aggregate):
+    # same partitioning for both, so Catalyst plans ONE exchange+sort.
+    dev = daily.select(
+        "event_type",
+        "day",
+        (F.col("day_avg") - F.avg("day_avg").over(overall)).alias("dev"),
+    )
+    scanned = dev.select(
+        "event_type", "day", F.sum("dev").over(cum).alias("cusum")
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.round("cusum", 6)).desc(), "day"
+    )
+    return (
+        scanned.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            F.round("cusum", 4).alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS day_avg
+    FROM events
+    GROUP BY 1, 2
+),
+dev AS (
+    SELECT event_type, day,
+           day_avg - avg(day_avg) OVER (PARTITION BY event_type) AS dev
+    FROM daily
+),
+scanned AS (
+    SELECT event_type, day,
+           sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cusum
+    FROM dev
+),
+picked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY abs(round(cusum, 6)) DESC, day
+    ) AS rk
+    FROM scanned
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS peak_day,
+       round(cusum, 4) AS peak_cusum
+FROM picked
+WHERE rk = 1
+ORDER BY 1
+"""
