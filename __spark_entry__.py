@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_sim_histogram": _q(sim.cosine_sim_histogram),
         "ewma_user_value": _q(win.ewma_user_value),
         "cusum_changepoint": _q(win.cusum_changepoint),
+        "feature_hashing": _q(tx.feature_hashing),
+        "hourly_seasonality": _q(win.hourly_seasonality),
         # -- C: driver-green in r1/r2/r3 --------------------------------
         "ann_recall_eval": _q(sim.ann_recall_eval),
         "basket_rules": _q(gr.basket_rules),
@@ -226,6 +228,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_sim_histogram": sim.COSINE_SIM_HISTOGRAM_ORACLE,
         "ewma_user_value": win.EWMA_USER_VALUE_ORACLE,
         "cusum_changepoint": win.CUSUM_CHANGEPOINT_ORACLE,
+        "feature_hashing": tx.FEATURE_HASHING_ORACLE,
+        "hourly_seasonality": win.HOURLY_SEASONALITY_ORACLE,
         "group_size_histogram": an.GROUP_SIZE_HISTOGRAM_ORACLE,
         "winnow_fingerprints": tx.WINNOW_FINGERPRINTS_ORACLE,
         "hll_intersect_types": sk.HLL_INTERSECT_TYPES_ORACLE,

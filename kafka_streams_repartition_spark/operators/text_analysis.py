@@ -1667,3 +1667,69 @@ SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
            AS entropy_ratio
 FROM agg
 """
+
+
+# --- hashing-trick bag-of-words features ------------------------------------
+
+FEATURE_HASH_DIM = 128  # feature buckets
+FEATURE_HASH_TOP = 40  # report the heaviest buckets
+
+
+def feature_hashing(t: dict[str, DataFrame]) -> DataFrame:
+    """Hashing-trick bag-of-words: every token maps to one of
+    ``FEATURE_HASH_DIM`` buckets via the portable md5 hash family, and
+    the corpus-level bucket weights (doc frequency + total count) are
+    reported for the heaviest buckets — the fixed-width featurizer that
+    needs NO vocabulary shuffle, no fitting pass and no driver state,
+    which is why it is the default at 100 TB (Weinberger et al., ICML
+    2009, "Feature Hashing for Large Scale Multitask Learning").
+
+    Plan: explode tokens map-side → hash to a 128-bucket id (the
+    *token string* never shuffles, only the bucket id) → one partial-
+    combined aggregate.  The exchange carries ≤128 rows per task.
+    """
+    tok = fan_out(t["documents"]).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+            )
+        ).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % FEATURE_HASH_DIM
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_count"),
+            F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), "bucket")
+        .limit(FEATURE_HASH_TOP)
+    )
+
+
+FEATURE_HASHING_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS term
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+               % {FEATURE_HASH_DIM} AS bucket
+    FROM toks
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM hashed
+GROUP BY 1
+ORDER BY total_count DESC, bucket
+LIMIT {FEATURE_HASH_TOP}
+"""

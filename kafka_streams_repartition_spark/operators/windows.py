@@ -900,3 +900,38 @@ FROM picked
 WHERE rk = 1
 ORDER BY 1
 """
+
+
+def hourly_seasonality(t: dict[str, DataFrame]) -> DataFrame:
+    """Hour-of-day × day-of-week activity/value profile — the seasonal
+    fingerprint consumed by anomaly baselines and capacity planning
+    (and the time-feature table a training pipeline joins onto events).
+
+    One scan, two tiny derived keys, one partial-combined aggregate
+    into a ≤168-row result: the canonical bounded-domain rollup.
+    """
+    return (
+        t["events"]
+        .select(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.dayofweek("ts").cast("long").alias("day_of_week"),
+            "value",
+        )
+        .groupBy("hour_of_day", "day_of_week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_of_day", "day_of_week")
+    )
+
+
+HOURLY_SEASONALITY_ORACLE = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(dayofweek(ts) + 1 AS BIGINT) AS day_of_week,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
