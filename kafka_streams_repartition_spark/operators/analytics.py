@@ -1252,3 +1252,160 @@ SELECT CAST(p.k AS BIGINT) AS items_per_order,
 FROM per_order p CROSS JOIN tot t
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles).
+# --------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def rfm_segmentation(t: dict[str, DataFrame]) -> DataFrame:
+    """Classic RFM scoring: per customer, last order date (recency),
+    order count (frequency), and lifetime spend (monetary), each mapped
+    to a 1–5 quintile via ``ntile`` and concatenated into a segment
+    code like ``'545'``.
+
+    Determinism: ntile buckets depend on ROW order, so every ORDER BY
+    carries ``o_custkey`` as the tiebreak — without it, equal-frequency
+    customers could land in different buckets per engine/run.  Monetary
+    sums go through DECIMAL(38,10) so partial-agg merge order cannot
+    produce float drift (the ``salted_event_counts`` decimal-sum rule).
+
+    Scale shape: one customer-keyed aggregate, then three ntile windows
+    over the SAME unpartitioned ordering domain — a global sort each,
+    fine at per-customer cardinality (orders of magnitude below fact
+    rows), and the documented swap at extreme cardinality is bucketing
+    by ``approx_percentile`` cutpoints instead of exact ntile.
+    """
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    return (
+        # ntile yields int32 in Spark but BIGINT in DuckDB: cast so the
+        # driver's schema comparison agrees.
+        per_cust.withColumn(
+            "r_score", F.ntile(RFM_BUCKETS).over(r_w).cast("long")
+        )
+        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(f_w).cast("long"))
+        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(m_w).cast("long"))
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+        )
+    )
+
+
+RFM_SEGMENTATION_ORACLE = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+               AS monetary
+    FROM orders
+    GROUP BY 1
+),
+scored AS (
+    SELECT o_custkey, frequency, monetary,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY last_order, o_custkey)
+               AS r_score,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY frequency, o_custkey)
+               AS f_score,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY monetary, o_custkey)
+               AS m_score
+    FROM per_cust
+)
+SELECT o_custkey AS cust_key,
+       frequency,
+       round(monetary, 2) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (Iglewicz–Hoaglin).
+# --------------------------------------------------------------------------
+
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): scales MAD to sigma for normals
+MAD_THRESH = 3.5          # Iglewicz & Hoaglin's recommended cutoff
+
+
+def mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Events whose modified z-score ``0.6745·(v − median)/MAD`` exceeds
+    3.5 within their user's value distribution — the robust complement
+    to :func:`anomaly_zscore`, which a single extreme value can mask
+    (the outlier inflates the stddev that is supposed to expose it;
+    median/MAD have a 50% breakdown point).
+
+    Two grouped medians (value, then |value − median|) — medians don't
+    compose into one pass.  Both engines compute exact interpolated
+    medians, so results hash identically.
+
+    Scale shape: two user-keyed aggregates plus two co-partitioned
+    joins back to events — all on user_id, so AQE reuses one exchange
+    layout end-to-end.  Exact grouped median is a sort within bounded
+    per-user partitions; at 100 TB per-key cardinality swap in
+    ``approx_percentile`` exactly as documented for ``quantile_stats``.
+    """
+    ev = t["events"].select("event_id", "user_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id", "inner").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("absdev").alias("mad"))
+    rz = F.round(
+        F.lit(MAD_CONSISTENCY)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad"),
+        3,
+    )
+    return (
+        dev.join(mad, "user_id", "inner")
+        .withColumn("rz", rz)
+        .filter((F.col("mad") > 0) & (F.abs(F.col("rz")) >= MAD_THRESH))
+        .select("event_id", "user_id", "value", "rz")
+    )
+
+
+MAD_OUTLIERS_ORACLE = f"""
+WITH med AS (
+    SELECT user_id, median(value) AS med FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_id, e.user_id, e.value, m.med,
+           abs(e.value - m.med) AS absdev
+    FROM events e JOIN med m USING (user_id)
+),
+mad AS (
+    SELECT user_id, median(absdev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.user_id, d.value,
+       round({MAD_CONSISTENCY} * (d.value - d.med) / a.mad, 3) AS rz
+FROM dev d JOIN mad a USING (user_id)
+WHERE a.mad > 0
+  AND abs(round({MAD_CONSISTENCY} * (d.value - d.med) / a.mad, 3))
+      >= {MAD_THRESH}
+"""

@@ -23,7 +23,7 @@ nothing (both sides are fact-sized).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Q3_CUTOFF = "1998-06-01"
@@ -929,4 +929,165 @@ WHERE c.c_acctbal > a.avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY 1
 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21-shaped: suppliers who kept F-status orders waiting.
+# --------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 60
+Q21_TOP_K = 20
+
+
+def waiting_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Q21-shaped: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order (late := shipped more than
+    ``Q21_LATE_DAYS`` days after the order date; the testdata has no
+    commit/receipt dates, so ship-vs-order delay stands in).
+
+    The reference query is a double correlated subquery
+    (EXISTS another supplier / NOT EXISTS another LATE supplier) — the
+    oracle keeps that form.  Executing correlated EXISTS per row is a
+    quadratic disaster at 100 TB, so the Spark plan uses the standard
+    decorrelation: ONE per-order aggregate (distinct suppliers, distinct
+    late suppliers) replaces both subqueries, because
+
+        EXISTS other supplier        <=>  n_supp >= 2
+        NOT EXISTS other late supp   <=>  n_late_supp = 1  (given this
+                                          supplier is late)
+
+    Scale shape: lineitem⋈orders shuffles once on the natural order key;
+    the per-order aggregate reuses that partitioning (no extra
+    exchange); supplier is broadcast; the final top-k is
+    ``TakeOrderedAndProject``, never a global sort.
+    """
+    ord_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_pairs = (
+        lines.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        late_pairs.join(per_order, "l_orderkey", "inner")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "inner",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP_K)
+    )
+
+
+WAITING_SUPPLIERS_ORACLE = f"""
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS is_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late WHERE is_late) l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM late l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late)
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2-shaped: min-cost supplier per part.
+# --------------------------------------------------------------------------
+
+
+def min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q2-shaped: for every part, the supplier that has shipped it at the
+    lowest observed line price (the testdata has no ``partsupp``
+    table, so observed ``min(l_extendedprice)`` per (part, supplier)
+    stands in for ``ps_supplycost``).
+
+    TPC-H Q2 is THE correlated-scalar-subquery benchmark
+    (``ps_supplycost = (SELECT min(...))``); the oracle keeps that
+    form.  Correlated per-part re-scans are quadratic, so the Spark
+    plan decorrelates via one aggregate plus a per-part window
+    ``row_number`` over ``(cost, s_suppkey)`` — ties broken by supplier
+    key so both engines pick the same row deterministically.
+
+    Scale shape: one shuffle for the (part, supplier) aggregate, one
+    part-keyed window whose partitions are per-part supplier counts
+    (bounded, never hot), supplier broadcast.  min(double) is exact —
+    no float-sum drift between engines.
+    """
+    pair_cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("cost"), F.asc("l_suppkey")
+    )
+    return (
+        pair_cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "inner",
+        )
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "s_name",
+            F.round("cost", 2).alias("min_cost"),
+        )
+    )
+
+
+MIN_COST_SUPPLIER_ORACLE = """
+WITH pair_cost AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+    FROM lineitem
+    GROUP BY 1, 2
+)
+SELECT p.l_partkey AS part_key,
+       s.s_name,
+       round(p.cost, 2) AS min_cost
+FROM pair_cost p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.cost = (SELECT min(p2.cost) FROM pair_cost p2
+                WHERE p2.l_partkey = p.l_partkey)
+  AND p.l_suppkey = (SELECT min(p3.l_suppkey) FROM pair_cost p3
+                     WHERE p3.l_partkey = p.l_partkey
+                       AND p3.cost = p.cost)
 """

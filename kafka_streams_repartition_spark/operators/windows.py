@@ -935,3 +935,165 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution: purchase -> most recent prior click.
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_MS = 7 * 24 * 3_600_000  # 7 days
+
+
+def first_touch_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Attribute each ``purchase`` event to the user's most recent
+    STRICTLY PRIOR ``click`` within a 7-day lookback — the marketing
+    attribution join, and the within-one-table form of an as-of join
+    (cf. :func:`...relational.asof_join_events` for the two-table form).
+
+    A naive formulation is a range self-join (click × purchase per
+    user) — quadratic in events-per-user.  The scalable form used here
+    is one pass: per user, ordered by (ms, event_id), carry the last
+    non-null click id/ts with ``last(..., ignorenulls=True)`` over a
+    ROWS frame ending at 1 PRECEDING (strictness: a click at the exact
+    same ms attributes only if it sorts earlier by event_id — both
+    engines use the identical frame, so ties agree).
+
+    Scale shape: one shuffle on user_id, one sort within partitions
+    bounded by per-user event counts; no self-join, no row explosion.
+    At 100 TB this is the difference between a linear pass and an
+    O(n²/users) blowup on power users.
+    """
+    ev = _with_ms(t["events"]).select("event_id", "user_id", "event_type", "ms")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ms = F.when(F.col("event_type") == "click", F.col("ms"))
+    return (
+        ev.withColumn("click_event_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("click_ms", F.last(click_ms, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("click_event_id").isNotNull()
+            & (F.col("ms") - F.col("click_ms") <= ATTRIBUTION_WINDOW_MS)
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "click_event_id",
+            (F.col("ms") - F.col("click_ms")).alias("gap_ms"),
+        )
+    )
+
+
+FIRST_TOUCH_ATTRIBUTION_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+carried AS (
+    SELECT event_id, user_id, event_type, ms,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_event_id,
+           last_value(CASE WHEN event_type = 'click' THEN ms END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_ms
+    FROM ev
+)
+SELECT event_id AS purchase_event_id,
+       user_id,
+       click_event_id,
+       ms - click_ms AS gap_ms
+FROM carried
+WHERE event_type = 'purchase'
+  AND click_event_id IS NOT NULL
+  AND ms - click_ms <= {ATTRIBUTION_WINDOW_MS}
+"""
+
+
+# --------------------------------------------------------------------------
+# Out-of-order arrival audit — the watermark-sizing query.
+# --------------------------------------------------------------------------
+
+
+def out_of_order_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """How disordered is the stream?  Per user, replay events in ingest
+    order (``event_id`` stands in for arrival sequence — the generator
+    assigns ids in emission order) and measure each event's lateness
+    against the running max event-time; report the late fraction and
+    the lateness quantiles.
+
+    This is the query that SIZES A WATERMARK: Structured Streaming's
+    ``withWatermark(delay)`` drops events later than ``delay``, so you
+    set it from the p99/max lateness observed here (e.g. the tumbling/
+    hopping/session queries in this module and the streaming pipelines
+    in ``streaming/pipelines.py``).  Guessing the delay either drops
+    data (too small) or bloats state (too large); this audit replaces
+    the guess with a measurement.
+
+    Scale shape: one shuffle on user_id + per-user sort for the running
+    max (partitions bounded by per-user counts), then a single global
+    aggregate over scalar lateness values.  The quantiles are exact
+    interpolated percentiles — at 100 TB swap in
+    ``approx_percentile`` (the documented sketch path, cf.
+    ``histogram_quantiles``).
+    """
+    ev = _with_ms(t["events"]).select("user_id", "event_id", "ms")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # coalesce handles the first row per user (empty frame -> null max):
+    # identical formulation to the oracle so null semantics can't diverge.
+    late = ev.withColumn(
+        "late_ms",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.max("ms").over(w), F.col("ms")) - F.col("ms"),
+        ),
+    )
+    return late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_frac"),
+        F.round(F.expr("percentile(late_ms, 0.5)"), 3).alias("p50_late_ms"),
+        F.round(F.expr("percentile(late_ms, 0.95)"), 3).alias("p95_late_ms"),
+        F.round(F.expr("percentile(late_ms, 0.99)"), 3).alias("p99_late_ms"),
+        F.max("late_ms").alias("max_late_ms"),
+    )
+
+
+OUT_OF_ORDER_STATS_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+),
+late AS (
+    SELECT greatest(0, coalesce(max(ms) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ms) - ms)
+           AS late_ms
+    FROM ev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) / count(*), 6)
+           AS late_frac,
+       round(quantile_cont(late_ms, 0.5), 3) AS p50_late_ms,
+       round(quantile_cont(late_ms, 0.95), 3) AS p95_late_ms,
+       round(quantile_cont(late_ms, 0.99), 3) AS p99_late_ms,
+       max(late_ms) AS max_late_ms
+FROM late
+"""

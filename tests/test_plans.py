@@ -831,3 +831,86 @@ def test_ks_binned_window_is_bounded(t):
     # events has 6 columns; the query needs value + event_type only
     assert_read_schema_pruned(an.ks_two_sample_binned(t), "events", "props")
     assert_read_schema_pruned(an.ks_two_sample_binned(t), "events", "user_id")
+
+
+def test_waiting_suppliers_decorrelated_plan(t):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair must decorrelate into ONE
+    per-order aggregate (no correlated re-scan), supplier broadcast,
+    top-k as TakeOrderedAndProject (never a global sort)."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+
+    from kafka_streams_repartition_spark.plans import assert_pushed_filters
+
+    df = th.waiting_suppliers(t)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_broadcast_join(df, at_least=1)  # supplier dim
+    assert_no_cartesian(df)
+    # status filter reaches the orders scan; lineitem stays pruned
+    assert_pushed_filters(df, "orders", "o_orderstatus")
+    assert_read_schema_pruned(df, "lineitem", "l_extendedprice")
+
+
+def test_min_cost_supplier_window_not_subquery(t):
+    """Q2 shape: the correlated min-subquery must run as a per-part
+    window over ONE (part, supplier) aggregate — one lineitem scan,
+    supplier broadcast."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+
+    df = th.min_cost_supplier(t)
+    plan = explain_str(df)
+    assert "Window" in plan
+    # one lineitem scan + one supplier scan (each printed twice)
+    assert plan.count("Scan parquet") == 4
+    assert_broadcast_join(df, at_least=1)
+    assert_read_schema_pruned(df, "lineitem", "l_quantity")
+
+
+def test_first_touch_attribution_no_self_join(t):
+    """Attribution must be the single-pass carry (one user-keyed
+    exchange + window), never a click×purchase range self-join."""
+    from kafka_streams_repartition_spark.plans import count_scans
+
+    df = win.first_touch_attribution(t)
+    plan = explain_str(df)
+    assert count_scans(df) == 1  # one events scan, no self-join
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert_read_schema_pruned(df, "events", "props")
+    assert_read_schema_pruned(df, "events", "value")
+
+
+def test_out_of_order_stats_single_pass(t):
+    """The lateness audit is one scan, one user-keyed window, one
+    global aggregate — no joins."""
+    from kafka_streams_repartition_spark.plans import count_scans
+
+    df = win.out_of_order_stats(t)
+    plan = explain_str(df)
+    assert count_scans(df) == 1
+    assert "Join" not in plan
+    assert_read_schema_pruned(df, "events", "props")
+    assert_read_schema_pruned(df, "events", "value")
+
+
+def test_rfm_segmentation_aggregates_before_windows(t):
+    """RFM: the three ntile windows run over the per-CUSTOMER aggregate
+    (dimension-sized), never over raw orders rows."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    df = an.rfm_segmentation(t)
+    plan = explain_str(df)
+    assert "Window" in plan
+    assert plan.count("Scan parquet") == 2  # orders scanned once
+    # aggregate below the window: HashAggregate appears before Window
+    assert plan.index("HashAggregate") > plan.index("Window")  # tree order
+
+
+def test_mad_outliers_co_partitioned_joins(t):
+    """MAD: both join-backs are user_id-keyed so the exchange layout is
+    reused; events is scanned once per branch but never cartesian."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+
+    df = an.mad_outliers(t)
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "events", "props")
