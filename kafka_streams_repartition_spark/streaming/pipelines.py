@@ -346,3 +346,69 @@ def stream_event_transitions(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_first_touch_attribution(events: DataFrame) -> DataFrame:
+    """Streaming form of ``operators.windows.first_touch_attribution``:
+    keyed value state holds each user's most recent click, so a purchase
+    attributes correctly even when the click arrived in an earlier
+    micro-batch.  Emits one attribution row per qualifying purchase
+    (append semantics — each purchase is decided exactly once, at the
+    batch that contains it).
+
+    State per key is ONE (ms, event_id) pair — bounded regardless of
+    stream length, like the reference's KTable-backed enrichments.  Rows
+    inside a batch are replayed in (ms, event_id) order, the same total
+    order the batch window uses, so batch and stream agree exactly
+    (batch-equivalence tested in ``tests/test_streaming.py``).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.windows import ATTRIBUTION_WINDOW_MS
+
+    out_schema = (
+        "purchase_event_id long, user_id long, click_event_id long, gap_ms long"
+    )
+    state_schema = "click_ms long, click_event_id long"
+
+    def fold(key, batches, state: GroupState):
+        click = state.get if state.exists else None  # (ms, event_id)
+        rows: list[tuple[int, int, int, int]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ms", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if row.event_type == "purchase" and click is not None:
+                    gap = int(row.ms) - click[0]
+                    if gap <= ATTRIBUTION_WINDOW_MS:
+                        rows.append(
+                            (int(row.event_id), key[0], click[1], gap)
+                        )
+                elif row.event_type == "click":
+                    click = (int(row.ms), int(row.event_id))
+        if click is not None:
+            state.update(click)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "purchase_event_id",
+                    "user_id",
+                    "click_event_id",
+                    "gap_ms",
+                ],
+            )
+
+    ev = events.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        "event_type",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -775,3 +775,59 @@ def test_stream_event_transitions_equals_batch(spark, tmp_path):
         for r in win.event_transitions(t).collect()
     }
     assert dict(got) == want
+
+
+def test_stream_first_touch_attribution_equals_batch(spark, tmp_path):
+    """The streaming attributor (keyed last-click state) must produce
+    exactly the batch attribution rows, with every user's stream cut
+    mid-sequence across two micro-batches — clicks in batch 1 must
+    attribute purchases in batch 2 via state."""
+    from kafka_streams_repartition_spark.operators import windows as win
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_first_touch_attribution,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    ms = ev.select(F.unix_millis("ts").alias("ms"))
+    cutoff = ms.approxQuantile("ms", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.unix_millis("ts") < cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = lambda: stream_first_touch_attribution(  # noqa: E731
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+    ev.filter(F.unix_millis("ts") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+
+    got = {
+        (r["purchase_event_id"], r["user_id"], r["click_event_id"], r["gap_ms"])
+        for r in first + second
+    }
+    want = {
+        (r["purchase_event_id"], r["user_id"], r["click_event_id"], r["gap_ms"])
+        for r in win.first_touch_attribution(t).collect()
+    }
+    assert got == want and len(got) == len(first + second)
+    # cross-batch state actually exercised: some attribution must span
+    # the cut (purchase in batch 2, click in batch 1)
+    batch2_purchases = {r["purchase_event_id"] for r in second}
+    batch1_ids = {
+        r["event_id"]
+        for r in ev.filter(F.unix_millis("ts") < cutoff).collect()
+    }
+    spanning = {
+        r["click_event_id"]
+        for r in second
+        if r["click_event_id"] in batch1_ids
+        and r["purchase_event_id"] in batch2_purchases
+    }
+    assert spanning, "split produced no cross-batch attribution to test"
