@@ -317,3 +317,186 @@ def test_daily_value_locf_matches_reference(spark, rows):
             else:
                 want[(u, d)] = (False, carried)
     assert got == want
+
+
+# --- first-touch attribution ----------------------------------------------
+
+_ATTR_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**6),  # event_id
+        st.integers(min_value=1, max_value=4),  # user_id
+        st.sampled_from(["click", "purchase", "view"]),
+        st.integers(min_value=0, max_value=9),  # ms (tiny: forces ties)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+def _attribution_reference(rows: list[tuple], window_ms: int) -> dict[int, tuple]:
+    """Brute force: for each purchase, the click with max (ms, event_id)
+    strictly earlier in (ms, event_id) order, within the window."""
+    out = {}
+    for pid, puid, ptyp, pms in rows:
+        if ptyp != "purchase":
+            continue
+        best = None  # (ms, event_id)
+        for cid, cuid, ctyp, cms in rows:
+            if ctyp != "click" or cuid != puid:
+                continue
+            if (cms, cid) < (pms, pid) and (best is None or (cms, cid) > best):
+                best = (cms, cid)
+        if best is not None and pms - best[0] <= window_ms:
+            out[pid] = (puid, best[1], pms - best[0])
+    return out
+
+
+def test_first_touch_attribution_matches_reference(spark):
+    from kafka_streams_repartition_spark.operators.windows import (
+        ATTRIBUTION_WINDOW_MS,
+        first_touch_attribution,
+    )
+
+    @settings(**_SETTINGS)
+    @given(rows=_ATTR_ROWS)
+    def check(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ms long",
+        ).withColumn("ts", F.timestamp_millis("ms")).drop("ms")
+        got = {
+            r["purchase_event_id"]: (
+                r["user_id"],
+                r["click_event_id"],
+                r["gap_ms"],
+            )
+            for r in first_touch_attribution({"events": df}).collect()
+        }
+        assert got == _attribution_reference(rows, ATTRIBUTION_WINDOW_MS)
+
+    check()
+
+
+# --- Q21 waiting suppliers -------------------------------------------------
+
+_Q21_LINES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # orderkey
+        st.integers(min_value=1, max_value=4),  # suppkey
+        st.booleans(),  # late?
+    ),
+    min_size=1,
+    max_size=30,
+)
+_Q21_STATUS = st.lists(
+    st.sampled_from(["F", "O", "P"]), min_size=5, max_size=5
+)
+
+
+def _q21_reference(lines, statuses):
+    """Correlated EXISTS / NOT EXISTS, executed literally."""
+    fset = {ok for ok, _, _ in lines if statuses[ok - 1] == "F"}
+    pairs = {(ok, sk) for ok, sk, _ in lines if ok in fset}
+    late = {(ok, sk) for ok, sk, is_late in lines if ok in fset and is_late}
+    counts = {}
+    for ok, sk in sorted(late):
+        exists_other = any(o == ok and s != sk for o, s in pairs)
+        other_late = any(o == ok and s != sk for o, s in late)
+        if exists_other and not other_late:
+            counts[sk] = counts.get(sk, 0) + 1
+    return counts
+
+
+def test_waiting_suppliers_matches_correlated_reference(spark):
+    from kafka_streams_repartition_spark.operators.tpch import (
+        Q21_LATE_DAYS,
+        waiting_suppliers,
+    )
+
+    @settings(**_SETTINGS)
+    @given(lines=_Q21_LINES, statuses=_Q21_STATUS)
+    def check(lines, statuses):
+        day_ms = 86_400_000
+        base = 10 * day_ms
+        lineitem = spark.createDataFrame(
+            [
+                (ok, sk, base + (Q21_LATE_DAYS + (1 if is_late else -1)) * day_ms)
+                for ok, sk, is_late in lines
+            ],
+            "l_orderkey long, l_suppkey long, ship_ms long",
+        ).withColumn("l_shipdate", F.timestamp_millis("ship_ms")).drop("ship_ms")
+        orders = spark.createDataFrame(
+            [(ok + 1, st_) for ok, st_ in enumerate(statuses)],
+            "o_orderkey long, o_orderstatus string",
+        ).withColumn("o_orderdate", F.timestamp_millis(F.lit(base)))
+        supplier = spark.createDataFrame(
+            [(sk, f"S#{sk}") for sk in range(1, 5)],
+            "s_suppkey long, s_name string",
+        )
+        got = {
+            int(r["s_name"].removeprefix("S#")): r["numwait"]
+            for r in waiting_suppliers(
+                {"lineitem": lineitem, "orders": orders, "supplier": supplier}
+            ).collect()
+        }
+        assert got == _q21_reference(lines, statuses)
+
+    check()
+
+
+# --- MAD outliers ----------------------------------------------------------
+
+_MAD_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**6),  # event_id
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=-50, max_value=50),  # value (ints: exact)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+def _mad_reference(rows):
+    import statistics
+
+    from kafka_streams_repartition_spark.operators.analytics import (
+        MAD_CONSISTENCY,
+        MAD_THRESH,
+    )
+
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for eid, uid, v in rows:
+        by_user.setdefault(uid, []).append((eid, float(v)))
+    out = {}
+    for uid, evs in by_user.items():
+        med = statistics.median([v for _, v in evs])
+        mad = statistics.median([abs(v - med) for _, v in evs])
+        if mad <= 0:
+            continue
+        for eid, v in evs:
+            rz = round(MAD_CONSISTENCY * (v - med) / mad, 3)
+            if abs(rz) >= MAD_THRESH:
+                out[eid] = (uid, v, rz)
+    return out
+
+
+def test_mad_outliers_matches_reference(spark):
+    from kafka_streams_repartition_spark.operators.analytics import mad_outliers
+
+    @settings(**_SETTINGS)
+    @given(rows=_MAD_ROWS)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(eid, uid, float(v)) for eid, uid, v in rows],
+            "event_id long, user_id long, value double",
+        )
+        got = {
+            r["event_id"]: (r["user_id"], r["value"], r["rz"])
+            for r in mad_outliers({"events": df}).collect()
+        }
+        assert got == _mad_reference(rows)
+
+    check()
