@@ -972,8 +972,14 @@ def first_touch_attribution(t: dict[str, DataFrame]) -> DataFrame:
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
     click_ms = F.when(F.col("event_type") == "click", F.col("ms"))
     return (
-        ev.withColumn("click_event_id", F.last(click_id, ignorenulls=True).over(w))
-        .withColumn("click_ms", F.last(click_ms, ignorenulls=True).over(w))
+        # one select, not chained withColumn: both carries land in a
+        # SINGLE Window node (CollapseWindow can't merge across the
+        # intermediate Project a second withColumn introduces)
+        ev.select(
+            "*",
+            F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+            F.last(click_ms, ignorenulls=True).over(w).alias("click_ms"),
+        )
         .filter(
             (F.col("event_type") == "purchase")
             & F.col("click_event_id").isNotNull()
