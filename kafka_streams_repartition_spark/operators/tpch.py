@@ -957,38 +957,40 @@ def waiting_suppliers(t: dict[str, DataFrame]) -> DataFrame:
         NOT EXISTS other late supp   <=>  n_late_supp = 1  (given this
                                           supplier is late)
 
-    Scale shape: lineitem⋈orders shuffles once on the natural order key;
-    the per-order aggregate reuses that partitioning (no extra
-    exchange); supplier is broadcast; the final top-k is
-    ``TakeOrderedAndProject``, never a global sort.
+    Scale shape: the fact is scanned ONCE — lineitem⋈orders collapses
+    straight into a (order, supplier, max(is_late)) aggregate, and both
+    existence conditions come from windows over that already-aggregated
+    frame (suppliers-per-order sized, never fact-sized).  Supplier is
+    broadcast; the final top-k is ``TakeOrderedAndProject``, never a
+    global sort.
     """
     ord_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    lines = (
+    pair = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
-        .withColumn(
-            "is_late",
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+                ).cast("int")
+            ).alias("supp_late")
         )
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
-    late_pairs = (
-        lines.filter(F.col("is_late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        late_pairs.join(per_order, "l_orderkey", "inner")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("supp_late").over(w))
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
