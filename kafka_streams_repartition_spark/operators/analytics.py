@@ -1361,21 +1361,22 @@ def mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
     median/MAD have a 50% breakdown point).
 
     Two grouped medians (value, then |value − median|) — medians don't
-    compose into one pass.  Both engines compute exact interpolated
+    compose into one aggregate, but both CAN ride unordered windows
+    over the same user partitioning: ONE events scan, ONE user-keyed
+    exchange, two Window passes (the groupBy-then-join-back form scans
+    the fact four times).  Both engines compute exact interpolated
     medians, so results hash identically.
 
-    Scale shape: two user-keyed aggregates plus two co-partitioned
-    joins back to events — all on user_id, so AQE reuses one exchange
-    layout end-to-end.  Exact grouped median is a sort within bounded
-    per-user partitions; at 100 TB per-key cardinality swap in
-    ``approx_percentile`` exactly as documented for ``quantile_stats``.
+    Scale shape: per-user window partitions are bounded by per-user
+    event counts; at 100 TB per-key cardinality swap the exact medians
+    for ``approx_percentile`` exactly as documented for
+    ``quantile_stats``.
     """
+    w = Window.partitionBy("user_id")
     ev = t["events"].select("event_id", "user_id", "value")
-    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
-    dev = ev.join(med, "user_id", "inner").withColumn(
+    dev = ev.withColumn("med", F.median("value").over(w)).withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("user_id").agg(F.median("absdev").alias("mad"))
     rz = F.round(
         F.lit(MAD_CONSISTENCY)
         * (F.col("value") - F.col("med"))
@@ -1383,7 +1384,7 @@ def mad_outliers(t: dict[str, DataFrame]) -> DataFrame:
         3,
     )
     return (
-        dev.join(mad, "user_id", "inner")
+        dev.withColumn("mad", F.median("absdev").over(w))
         .withColumn("rz", rz)
         .filter((F.col("mad") > 0) & (F.abs(F.col("rz")) >= MAD_THRESH))
         .select("event_id", "user_id", "value", "rz")

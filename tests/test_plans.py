@@ -906,11 +906,16 @@ def test_rfm_segmentation_aggregates_before_windows(t):
     assert plan.index("HashAggregate") > plan.index("Window")  # tree order
 
 
-def test_mad_outliers_co_partitioned_joins(t):
-    """MAD: both join-backs are user_id-keyed so the exchange layout is
-    reused; events is scanned once per branch but never cartesian."""
+def test_mad_outliers_single_scan_single_exchange(t):
+    """MAD: both medians ride unordered windows over ONE user-keyed
+    exchange — one events scan, no joins (the groupBy-then-join-back
+    form scans the fact four times)."""
     from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import count_scans
 
     df = an.mad_outliers(t)
+    plan = explain_str(df)
+    assert count_scans(df) == 1
+    assert "Join" not in plan
     assert_no_cartesian(df)
     assert_read_schema_pruned(df, "events", "props")
