@@ -1108,25 +1108,10 @@ FROM cum c CROSS JOIN tot t
 KS_BINS = 64
 
 
-def ks_two_sample_binned(t: dict[str, DataFrame]) -> DataFrame:
-    """Binned-ECDF Kolmogorov–Smirnov statistic — the 100 TB form of
-    :func:`ks_two_sample` (documented there as the swap; VERDICT r3
-    item 6 asked for it as a first-class oracle-gated query).
-
-    The exact form's ordered window sorts |distinct values| rows on one
-    partition; here both ECDFs are evaluated on a fixed grid of
-    ``KS_BINS`` equal-width bins over the combined range, so the
-    ordered window sees ≤64 rows no matter the input size.  The map
-    side is one scan + a per-row bin id; the shuffle carries ≤64×2
-    counts.  D_binned ≤ D_exact (binning can only merge steps), with
-    grid-resolution error bounded by the largest per-bin mass — the
-    standard drift-monitor tradeoff.
-
-    Every float expression (bin id, ratio diff) is written identically
-    in the oracle SQL so IEEE doubles agree bit-for-bit.
-    """
-    from pyspark.sql import Window
-
+def _ks_binned_per_bin(t: dict[str, DataFrame]) -> DataFrame:
+    """Pre-checkpoint (bin, na, nb) frame of :func:`ks_two_sample_binned`
+    — exposed so the plan gate can assert scan pruning BELOW the
+    checkpoint barrier (the checkpointed query plan hides its subtree)."""
     ev = (
         t["events"]
         .filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
@@ -1155,9 +1140,37 @@ def ks_two_sample_binned(t: dict[str, DataFrame]) -> DataFrame:
         "a",
         "b",
     )
-    per_bin = binned.groupBy("bin").agg(
+    return binned.groupBy("bin").agg(
         F.sum("a").alias("na"), F.sum("b").alias("nb")
     )
+
+
+def ks_two_sample_binned(t: dict[str, DataFrame]) -> DataFrame:
+    """Binned-ECDF Kolmogorov–Smirnov statistic — the 100 TB form of
+    :func:`ks_two_sample` (documented there as the swap; VERDICT r3
+    item 6 asked for it as a first-class oracle-gated query).
+
+    The exact form's ordered window sorts |distinct values| rows on one
+    partition; here both ECDFs are evaluated on a fixed grid of
+    ``KS_BINS`` equal-width bins over the combined range, so the
+    ordered window sees ≤64 rows no matter the input size.  The map
+    side is one scan + a per-row bin id; the shuffle carries ≤64×2
+    counts.  D_binned ≤ D_exact (binning can only merge steps), with
+    grid-resolution error bounded by the largest per-bin mass — the
+    standard drift-monitor tradeoff.
+
+    Every float expression (bin id, ratio diff) is written identically
+    in the oracle SQL so IEEE doubles agree bit-for-bit.
+
+    The ≤64-row per-bin frame (:func:`_ks_binned_per_bin`, where the
+    plan gate asserts scan pruning) is lazily ``localCheckpoint``ed:
+    its three consumers (totals, the cumulative window, the final
+    projection) would otherwise each re-derive it from the fact scan —
+    6 scans of events instead of the inherent 2 (min/max, then bins).
+    """
+    from pyspark.sql import Window
+
+    per_bin = _ks_binned_per_bin(t).localCheckpoint(eager=False)
     tot = per_bin.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_bin.select(

@@ -828,9 +828,11 @@ def test_ks_binned_window_is_bounded(t):
 
     plan = explain_str(an.ks_two_sample_binned(t))
     assert "Window" in plan
-    # events has 6 columns; the query needs value + event_type only
-    assert_read_schema_pruned(an.ks_two_sample_binned(t), "events", "props")
-    assert_read_schema_pruned(an.ks_two_sample_binned(t), "events", "user_id")
+    # pruning is asserted below the checkpoint barrier (the query plan
+    # hides the checkpointed subtree); events has 6 columns, the query
+    # needs value + event_type only
+    assert_read_schema_pruned(an._ks_binned_per_bin(t), "events", "props")
+    assert_read_schema_pruned(an._ks_binned_per_bin(t), "events", "user_id")
 
 
 def test_waiting_suppliers_decorrelated_plan(t):
