@@ -271,7 +271,15 @@ def cms_heavy_hitters(t: dict[str, DataFrame]) -> DataFrame:
 
     rows = ev.select(F.posexplode(buckets()).alias("d", "bucket"))
     regs = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    # |users| rows, consumed twice (point-query probe + final join):
+    # checkpointed so the second consumer reads the materialization
+    # instead of re-scanning events — 2 fact scans (sketch + baseline),
+    # not 3.
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint(eager=False)
+    )
     est = (
         exact.select("user_id", F.posexplode(buckets()).alias("d", "bucket"))
         .join(F.broadcast(regs), ["d", "bucket"])
@@ -337,6 +345,11 @@ def bloom_semi_join(t: dict[str, DataFrame]) -> DataFrame:
     false positives are saturation-dependent and the whole point of
     reporting them next to the exact count.
     """
+    # The distinct fact-key frame is consumed three times (probe,
+    # count, exact baseline): checkpointed so lineitem is scanned ONCE.
+    # urgent (orders, predicate pushed to the scan) is deliberately NOT
+    # checkpointed: it is 10× smaller, its two scans are filter-pruned,
+    # and keeping it in-plan keeps the pushdown visible/gated.
     urgent = (
         t["orders"]
         .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -354,7 +367,9 @@ def bloom_semi_join(t: dict[str, DataFrame]) -> DataFrame:
         ).alias("pos")
 
     bits = urgent.select(positions("o_orderkey")).distinct()
-    keys = t["lineitem"].select("l_orderkey").distinct()
+    keys = (
+        t["lineitem"].select("l_orderkey").distinct().localCheckpoint(eager=False)
+    )
     passed = (
         keys.select("l_orderkey", positions("l_orderkey"))
         .join(F.broadcast(bits), "pos")
@@ -445,10 +460,18 @@ def histogram_quantiles(t: dict[str, DataFrame]) -> DataFrame:
     from pyspark.sql import Window
 
     ev = t["events"].select("event_type", "value")
-    rng = ev.groupBy("event_type").agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+    # ≤ |event types| rows; checkpointed because both consumers (the
+    # binning join and the quantile-target explode) would otherwise
+    # each re-derive it from its own events scan — 3 scans instead of
+    # the inherent 2 (range pass, then bin pass).
+    rng = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=False)
     )
     width = (F.col("hi") - F.col("lo")) / HIST_BINS
     binned = ev.join(F.broadcast(rng), "event_type").select(
