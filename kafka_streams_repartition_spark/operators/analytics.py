@@ -369,11 +369,19 @@ def user_day_segments(t: dict[str, DataFrame]) -> DataFrame:
         F.expr(f"unix_millis(ts) div {DAY_MS}").alias("day"),
         "event_type",
     )
-    v = ev.filter(F.col("event_type") == "view").select("user_id", "day").distinct()
+    # each deduped side feeds TWO set operations; checkpointed so the
+    # fact is scanned once per side, not once per segment
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "day")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", "day")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def seg(df: DataFrame, name: str) -> DataFrame:
@@ -956,6 +964,18 @@ FROM per_decile
 """
 
 
+def _chi_square_obs(t: dict[str, DataFrame]) -> DataFrame:
+    """Pre-checkpoint contingency table of
+    :func:`chi_square_independence` — exposed so the plan gate can
+    assert scan pruning below the checkpoint barrier."""
+    return (
+        t["documents"]
+        .select("lang", "source")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+
+
 def chi_square_independence(t: dict[str, DataFrame]) -> DataFrame:
     """Pearson chi-square test of independence between document
     language and source: χ² = Σ (observed − expected)²/expected over
@@ -969,8 +989,10 @@ def chi_square_independence(t: dict[str, DataFrame]) -> DataFrame:
     kept (they still contribute their expectation).  All counts are
     exact integers, so the statistic is deterministic to the rounding.
     """
-    doc = t["documents"].select("lang", "source")
-    obs = doc.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # |langs|×|sources| rows with five consumers (marginals, total,
+    # grid join, dof): checkpointed so "never a second scan" is true in
+    # the physical plan, not just the logical one
+    obs = _chi_square_obs(t).localCheckpoint(eager=False)
     row = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
     col = obs.groupBy("source").agg(F.sum("o").alias("cs"))
     n = obs.agg(F.sum("o").alias("n"))

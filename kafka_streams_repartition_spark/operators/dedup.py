@@ -761,7 +761,12 @@ def dedup_incremental(t: dict[str, DataFrame]) -> DataFrame:
     new_ids = tagged.filter(F.col("p") == 1).select("doc_id")
     old_ids = tagged.filter(F.col("p") == 0).select("doc_id")
 
-    hx = docs.select("doc_id", F.md5("text").alias("h"))
+    # (doc_id, 32-byte digest) consumed by both sides of the exact
+    # join: checkpointed so the full text is read and hashed ONCE, not
+    # once per side.
+    hx = docs.select("doc_id", F.md5("text").alias("h")).localCheckpoint(
+        eager=False
+    )
     exact_ids = (
         hx.join(new_ids, "doc_id")
         .join(

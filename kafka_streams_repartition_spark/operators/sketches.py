@@ -747,6 +747,16 @@ HLL_INTER_TYPE = "purchase"  # set A: users who purchased
 HLL_INTER_VALUE = 250.0  # set B: users with a rare high-value event
 
 
+def _hll_cohorts(t: dict[str, DataFrame]):
+    """Pre-checkpoint cohort id-frames of :func:`hll_intersect_types` —
+    exposed so the plan gate can assert the pushed filters below the
+    checkpoint barrier."""
+    ev = t["events"]
+    set_a = ev.filter(F.col("event_type") == HLL_INTER_TYPE).select("user_id")
+    set_b = ev.filter(F.col("value") >= HLL_INTER_VALUE).select("user_id")
+    return set_a, set_b
+
+
 def hll_intersect_types(t: dict[str, DataFrame]) -> DataFrame:
     """Estimate the user overlap between two cohorts from their HLL
     sketches alone: |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union
@@ -761,9 +771,13 @@ def hll_intersect_types(t: dict[str, DataFrame]) -> DataFrame:
     register rows after the map-side combine; the only exact-side cost
     is the comparison column itself.
     """
-    ev = t["events"]
-    set_a = ev.filter(F.col("event_type") == HLL_INTER_TYPE).select("user_id")
-    set_b = ev.filter(F.col("value") >= HLL_INTER_VALUE).select("user_id")
+    # both cohort id-frames feed the sketch build AND the exact
+    # baseline; the ≤32-row register table feeds three estimates.
+    # Checkpoints make each events scan and the HLL expansion happen
+    # once (6 fact scans otherwise).
+    raw_a, raw_b = _hll_cohorts(t)
+    set_a = raw_a.localCheckpoint(eager=False)
+    set_b = raw_b.localCheckpoint(eager=False)
     branches = set_a.withColumn("branch", F.lit("A")).unionAll(
         set_b.withColumn("branch", F.lit("B"))
     )
@@ -771,6 +785,7 @@ def hll_intersect_types(t: dict[str, DataFrame]) -> DataFrame:
         _hll_parts(branches, "branch")
         .groupBy("branch", "bucket")
         .agg(F.max(_rho()).alias("m_j"))
+        .localCheckpoint(eager=False)
     )
     per_branch = _hll_estimate(regs, "branch")
     est_a = per_branch.filter(F.col("branch") == "A").select(

@@ -539,8 +539,11 @@ def test_winnow_and_hll_intersect_plans(t):
     assert_no_cartesian(df)  # 1-row estimate frames cross via broadcast
     from kafka_streams_repartition_spark.plans import assert_pushed_filters
 
-    assert_pushed_filters(df, "events", "event_type")
-    assert_pushed_filters(df, "events", "value")
+    # pushed filters asserted below the checkpoint barrier (cohort
+    # frames are checkpointed; the query plan hides their subtrees)
+    set_a, set_b = sk._hll_cohorts(t)
+    assert_pushed_filters(set_a, "events", "event_type")
+    assert_pushed_filters(set_b, "events", "value")
 
 
 def test_basket_rules_plan(t):
@@ -760,7 +763,9 @@ def test_chi_square_plan(t):
     from kafka_streams_repartition_spark.operators import analytics as an
 
     df = an.chi_square_independence(t)
-    assert_read_schema_pruned(df, "documents", "text")
+    # pruning asserted below the checkpoint barrier (the contingency
+    # table is checkpointed; the query plan hides its subtree)
+    assert_read_schema_pruned(an._chi_square_obs(t), "documents", "text")
     assert "CartesianProduct" not in explain_str(df)
 
 
