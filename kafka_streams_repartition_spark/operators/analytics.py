@@ -260,8 +260,15 @@ def retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
     ev = t["events"].select(
         "user_id", F.expr(f"unix_millis(ts) div {DAY_MS}").alias("day")
     )
-    active = ev.distinct()
-    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # the deduped activity frame is "the only pass over raw events" —
+    # checkpointed so its two consumers don't each redo that pass; the
+    # |users|-row cohort table likewise feeds two consumers
+    active = ev.distinct().localCheckpoint(eager=False)
+    cohort = (
+        active.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .localCheckpoint(eager=False)
+    )
     sizes = cohort.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_users")
     )
@@ -760,6 +767,25 @@ NUMERIC_CORR_PROFILE_ORACLE = (
 )
 
 
+def _revenue_ranked(t: dict[str, DataFrame]) -> DataFrame:
+    """Pre-checkpoint ranked per-customer revenue frame of
+    :func:`revenue_concentration` — exposed so the plan gate can assert
+    scan pruning below the checkpoint barrier."""
+    from pyspark.sql import Window
+
+    per_cust = (
+        t["orders"]
+        .select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    return per_cust.select(
+        F.col("rev").cast("decimal(28,10)").alias("rev"),
+        F.row_number().over(w).alias("i"),
+    )
+
+
 def revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
     """Revenue-inequality audit over customers: the Gini coefficient
     (G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over revenue sorted ascending)
@@ -774,17 +800,10 @@ def revenue_concentration(t: dict[str, DataFrame]) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    per_cust = (
-        t["orders"]
-        .select("o_custkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.select(
-        F.col("rev").cast("decimal(28,10)").alias("rev"),
-        F.row_number().over(w).alias("i"),
-    )
+    # |customers| ranked rows feed both the descending cumulative and
+    # the totals: checkpointed so orders is scanned (and the global
+    # rank computed) once, not three times
+    ranked = _revenue_ranked(t).localCheckpoint(eager=False)
     w_desc = Window.orderBy(F.col("i").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )

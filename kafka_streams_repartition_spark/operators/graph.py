@@ -289,7 +289,15 @@ def basket_rules(t: dict[str, DataFrame]) -> DataFrame:
     ``(c_ab * n) / (c_a * c_b)`` from exact integer counts, so ordering
     is deterministic across engines.
     """
-    d = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # the distinct (order, part) frame feeds three consumers (order
+    # count, item counts, basket build): checkpointed so lineitem is
+    # scanned and deduped once
+    d = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = d.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n")
     )

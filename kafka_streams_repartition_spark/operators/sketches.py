@@ -915,10 +915,14 @@ def hll_running_union(t: dict[str, DataFrame]) -> DataFrame:
 
     ev = t["events"]
     day = F.expr("unix_millis(ts) div 86400000").alias("day")
+    # |days|·16 register rows with three consumers (day list, bucket
+    # list, grid join): checkpointed so the sketch pass over events
+    # runs once, not three times
     daily = (
         _hll_parts(ev.select("user_id", day), "day")
         .groupBy("day", "bucket")
         .agg(F.max(_rho()).alias("mj0"))
+        .localCheckpoint(eager=False)
     )
     days = daily.select("day").distinct()
     buckets = daily.select("bucket").distinct()
