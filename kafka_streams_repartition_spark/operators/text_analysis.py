@@ -201,10 +201,14 @@ def corpus_curation(t: dict[str, DataFrame]) -> DataFrame:
 
     stats = text_stats(t).select("doc_id", "n_tokens", "quality_score")
     survivors = stats.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
+    # (doc_id, digest, stats) rows feed the keeper aggregate AND the
+    # final keeper join: checkpointed so the text is read and hashed
+    # once, not once per consumer
     hashed = (
         t["documents"]
         .select("doc_id", F.md5("text").alias("h"))
         .join(survivors, "doc_id")
+        .localCheckpoint(eager=False)
     )
     keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     near_dup_losers = dedup_minhash_lsh(t).select(F.col("doc_b").alias("doc_id"))
