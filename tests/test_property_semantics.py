@@ -459,6 +459,17 @@ _MAD_ROWS = st.lists(
 )
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark/DuckDB double rounding: HALF_UP on the SHORTEST DECIMAL
+    REPR of the double (BigDecimal.valueOf semantics) — e.g.
+    round(10.1175, 3) = 10.118, where Python's round() yields 10.117
+    from the binary value 10.11749999…."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _mad_reference(rows):
     import statistics
 
@@ -477,7 +488,7 @@ def _mad_reference(rows):
         if mad <= 0:
             continue
         for eid, v in evs:
-            rz = round(MAD_CONSISTENCY * (v - med) / mad, 3)
+            rz = _round_half_up(MAD_CONSISTENCY * (v - med) / mad, 3)
             if abs(rz) >= MAD_THRESH:
                 out[eid] = (uid, v, rz)
     return out
