@@ -882,3 +882,85 @@ FROM newd n
 LEFT JOIN exact_ids e ON n.doc_id = e.doc_id
 LEFT JOIN near_ids nr ON n.doc_id = nr.doc_id
 """
+
+
+# --- LSH recall acceptance gate -------------------------------------------
+
+
+def dedup_recall_eval(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall of the MinHash-LSH near-dup index against exact n-gram
+    Jaccard ground truth — the acceptance gate that makes swapping the
+    banded index in for exact pairing defensible, mirroring
+    ``similarity.ann_recall_eval`` for the ANN index.
+
+    Ground truth is the query-vs-corpus exact pairing
+    (:func:`dedup_ngram_jaccard`, bounded by the 1-in-``QUERY_MOD``
+    query subset); measured is :func:`dedup_minhash_lsh` restricted to
+    pairs touching that subset.  Both verify at the SAME exact Jaccard
+    threshold, so measured ⊆ truth and the single number is pure
+    banding recall: pairs the signature/band scheme failed to surface.
+    Tune ``MINHASH_SEEDS``/``MINHASH_BANDS`` until this gate passes
+    your bar, THEN trust the linear path corpus-wide.
+
+    Scale shape: reuses both operators' bounded plans (broadcast query
+    grams; band-collision joins); the comparison itself is a semi-join
+    on canonical (lo, hi) pairs plus three scalar counts.
+    """
+    truth = (
+        dedup_ngram_jaccard(t)
+        .select(
+            F.least("query_id", "cand_id").alias("lo"),
+            F.greatest("query_id", "cand_id").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the count AND the semi-join
+    )
+    lsh_in_scope = (
+        dedup_minhash_lsh(t)
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .filter(
+            ((F.col("lo") % QUERY_MOD) == 0) | ((F.col("hi") % QUERY_MOD) == 0)
+        )
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    n_hit = (
+        truth.join(lsh_in_scope, ["lo", "hi"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lsh_found"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth_pairs",
+            "n_lsh_found",
+            F.when(
+                F.col("n_truth_pairs") > 0,
+                F.round(F.col("n_lsh_found") / F.col("n_truth_pairs"), 4),
+            ).alias("recall"),
+        )
+    )
+
+
+DEDUP_RECALL_EVAL_ORACLE = f"""
+WITH truth_raw AS ({DEDUP_NGRAM_JACCARD_ORACLE}),
+truth AS (
+    SELECT DISTINCT least(query_id, cand_id) AS lo,
+                    greatest(query_id, cand_id) AS hi
+    FROM truth_raw
+),
+lsh_raw AS ({DEDUP_MINHASH_LSH_ORACLE}),
+lsh AS (
+    SELECT doc_a AS lo, doc_b AS hi FROM lsh_raw
+    WHERE doc_a % {QUERY_MOD} = 0 OR doc_b % {QUERY_MOD} = 0
+),
+n_t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs FROM truth),
+n_h AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_lsh_found
+    FROM truth t
+    WHERE EXISTS (SELECT 1 FROM lsh l WHERE l.lo = t.lo AND l.hi = t.hi)
+)
+SELECT n_truth_pairs, n_lsh_found,
+       CASE WHEN n_truth_pairs > 0
+            THEN round(CAST(n_lsh_found AS DOUBLE) / n_truth_pairs, 4)
+       END AS recall
+FROM n_t CROSS JOIN n_h
+"""

@@ -931,3 +931,14 @@ def test_mad_outliers_single_scan_single_exchange(t):
     assert "Join" not in plan
     assert_no_cartesian(df)
     assert_read_schema_pruned(df, "events", "props")
+
+
+def test_dedup_recall_eval_bounded_plan(t):
+    """The recall gate reuses the bounded shapes of its two inputs:
+    broadcast query grams on the truth side, no cartesian anywhere, and
+    a single-row output."""
+    df = dd.dedup_recall_eval(t)
+    assert_no_cartesian(df)
+    assert df.count() == 1
+    row = df.collect()[0]
+    assert row["n_lsh_found"] <= row["n_truth_pairs"]  # measured ⊆ truth
