@@ -1093,3 +1093,398 @@ WHERE p.cost = (SELECT min(p2.cost) FROM pair_cost p2
                      WHERE p3.l_partkey = p.l_partkey
                        AND p3.cost = p.cost)
 """
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp + the four partsupp-dependent TPC-H shapes
+# (Q2 / Q11 / Q16 / Q20).
+#
+# The driver testdata ships no partsupp table (TESTDATA.md), so the four
+# queries that need one previously had only adapted stand-ins
+# (min_cost_supplier above).  partsupp is DERIVED: one row per observed
+# (l_partkey, l_suppkey) pair, with ps_supplycost / ps_availqty
+# synthesized by a deterministic hash of the keys — pure integer
+# arithmetic that evaluates bit-identically on Spark and DuckDB, so the
+# oracle rebuilds the identical dimension from the same parquet.
+# --------------------------------------------------------------------------
+
+PS_COST_A = 7919  # primes: decorrelate cost/qty from the key lattice
+PS_COST_B = 104729
+PS_COST_MOD = 90000  # cost in [10.00, 910.00)
+PS_QTY_A = 31
+PS_QTY_B = 17
+PS_QTY_MOD = 9999  # availqty in [1, 9999]
+
+PARTSUPP_SQL = f"""
+partsupp AS (
+    SELECT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey,
+           ((l_partkey * {PS_COST_A} + l_suppkey * {PS_COST_B})
+            % {PS_COST_MOD}) / 100.0 + 10.0 AS ps_supplycost,
+           CAST((l_partkey * {PS_QTY_A} + l_suppkey * {PS_QTY_B})
+                % {PS_QTY_MOD} + 1 AS BIGINT) AS ps_availqty
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)"""
+
+
+def derived_partsupp(t: dict[str, DataFrame]) -> DataFrame:
+    """The derived partsupp dimension (see section comment).
+
+    Scale shape: ONE shuffle — the (partkey, suppkey) distinct — whose
+    width is the pair domain (|part|·|supp-per-part|), orders of
+    magnitude under the fact; the synthesized columns are map-side
+    integer hashes, so both engines produce the identical dimension.
+    """
+    cost = (
+        (F.col("l_partkey") * PS_COST_A + F.col("l_suppkey") * PS_COST_B)
+        % PS_COST_MOD
+    ) / 100.0 + 10.0
+    qty = (
+        (F.col("l_partkey") * PS_QTY_A + F.col("l_suppkey") * PS_QTY_B)
+        % PS_QTY_MOD
+        + 1
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            cost.alias("ps_supplycost"),
+            qty.alias("ps_availqty"),
+        )
+    )
+
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_SIZE_MAX = 10  # p_size <= (range predicate: the data has 50 sizes)
+Q2_TOP = 100
+
+
+def min_cost_supplier_region(t: dict[str, DataFrame]) -> DataFrame:
+    """Full TPC-H Q2: for qualifying parts, the regional supplier(s)
+    offering the minimum ps_supplycost (``p_mfgr`` is absent from the
+    testdata part table; ``p_name`` stands in for the output column).
+
+    The spec form is THE correlated-scalar-subquery benchmark
+    (``ps_supplycost = (SELECT min(...) ... WHERE same part/region)``);
+    the oracle keeps that form, the Spark plan decorrelates into a
+    per-part ``min`` window over the region-scoped partsupp.  Unlike
+    :func:`min_cost_supplier` (the partsupp-less adaptation) ties on
+    min cost keep ALL tied suppliers, per spec.
+
+    Scale shape: supplier⋈nation⋈region (dimension-sized) broadcasts
+    into the derived partsupp, the part filter broadcasts and prunes
+    BEFORE the window (per-part min is unaffected by part attributes),
+    the window partitions are per-part regional supplier lists
+    (bounded), and the final top-k is TakeOrderedAndProject under a
+    total order (acctbal, nation, supplier name, part key) so LIMIT is
+    deterministic on both engines.
+    """
+    supp_geo = (
+        t["supplier"]
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(
+            t["nation"].select("n_nationkey", "n_name", "n_regionkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"]
+            .filter(F.col("r_name") == Q2_REGION)
+            .select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        t["part"]
+        .filter((F.col("p_size") <= Q2_SIZE_MAX) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey", "p_name")
+    )
+    regional = (
+        derived_partsupp(t)
+        .join(F.broadcast(supp_geo), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(Q2_TOP)
+    )
+
+
+MIN_COST_SUPPLIER_REGION_ORACLE = f"""
+WITH {PARTSUPP_SQL},
+regional AS (
+    SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+           s.s_name, s.s_acctbal, n.n_name
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q2_REGION}'
+)
+SELECT rg.s_acctbal, rg.s_name, rg.n_name,
+       p.p_partkey, p.p_name,
+       round(rg.ps_supplycost, 2) AS supplycost
+FROM regional rg
+JOIN part p ON rg.ps_partkey = p.p_partkey
+WHERE p.p_size <= {Q2_SIZE_MAX} AND p.p_type = '{Q2_TYPE}'
+  AND rg.ps_supplycost = (SELECT min(r2.ps_supplycost) FROM regional r2
+                          WHERE r2.ps_partkey = rg.ps_partkey)
+ORDER BY rg.s_acctbal DESC, rg.n_name, rg.s_name, p.p_partkey
+LIMIT {Q2_TOP}
+"""
+
+
+Q11_REGION = "ASIA"
+Q11_FACTOR = 1.5  # keep parts whose stock value exceeds FACTOR x mean share
+
+
+def important_stock(t: dict[str, DataFrame]) -> DataFrame:
+    """Full TPC-H Q11: parts whose regional stock value
+    (Σ ps_supplycost·ps_availqty) is an outsized share of the region
+    total.  The spec's absolute fraction (0.0001/SF) is scale-DEPENDENT
+    — it returns nothing at small SF — so the threshold here is
+    relative: ``value > Q11_FACTOR × (total / n_parts)``, the same
+    "above mean share" intent expressed scale-free.  Scoped by REGION
+    rather than the spec's single nation because the smallest testdata
+    tier has 10 suppliers across 25 nations.
+
+    Determinism: per-part values sum in DECIMAL(38,10) (exact,
+    order-independent — the decimal-sum rule from
+    ``salted_event_counts``), so total and threshold are bit-identical
+    across engines and the boundary comparison cannot flip.
+
+    Scale shape: the supplier scope broadcasts into partsupp; ONE
+    shuffle into the per-part aggregate; the (tiny, part-count-rows)
+    aggregate is lazily checkpointed because it feeds both the total
+    and the filter — one derivation, not two.
+    """
+    supp_geo = (
+        t["supplier"]
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            t["nation"].select("n_nationkey", "n_regionkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"]
+            .filter(F.col("r_name") == Q11_REGION)
+            .select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        derived_partsupp(t)
+        .join(F.broadcast(supp_geo), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("value_dec")
+        )
+        .localCheckpoint(eager=False)  # feeds the total AND the filter
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > Q11_FACTOR * F.col("tot").cast("double") / F.col("n_parts")
+        )
+        .select(
+            "ps_partkey",
+            F.round(F.col("value_dec").cast("double"), 2).alias("stock_value"),
+        )
+    )
+
+
+IMPORTANT_STOCK_ORACLE = f"""
+WITH {PARTSUPP_SQL},
+scoped AS (
+    SELECT ps.ps_partkey,
+           CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(38,10)) AS val
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q11_REGION}'
+),
+per_part AS (
+    SELECT ps_partkey, sum(val) AS value_dec FROM scoped GROUP BY 1
+),
+total AS (SELECT sum(value_dec) AS tot, count(*) AS n_parts FROM per_part)
+SELECT ps_partkey, round(CAST(value_dec AS DOUBLE), 2) AS stock_value
+FROM per_part CROSS JOIN total
+WHERE CAST(value_dec AS DOUBLE)
+      > {Q11_FACTOR} * CAST(tot AS DOUBLE) / n_parts
+"""
+
+
+Q16_EXCL_BRAND = "Brand#9"
+Q16_EXCL_TYPE = "MEDIUM"
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+def supplier_part_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Full TPC-H Q16: how many distinct suppliers can provide each
+    qualifying (brand, type, size) bucket, excluding suspect suppliers.
+    The testdata has no ``s_comment`` for the spec's '%Complaints%'
+    predicate; a negative account balance is the suspect-supplier proxy
+    (same NOT-IN-subquery shape).
+
+    Scale shape: the suspect set and the filtered part dimension both
+    broadcast (anti join + inner join, no shuffle on the probe side);
+    the only exchange is the final countDistinct over the
+    (brand, type, size) domain — bounded by the dimension, not the
+    fact.  partsupp's keys have no NULLs, so NOT IN ≡ LEFT ANTI.
+    """
+    parts = (
+        t["part"]
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & (F.col("p_type") != Q16_EXCL_TYPE)
+            & (F.col("p_size").isin(*Q16_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    suspect = t["supplier"].filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        derived_partsupp(t)
+        .select("ps_partkey", "ps_suppkey")
+        .join(
+            F.broadcast(suspect),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_COUNTS_ORACLE = f"""
+WITH {PARTSUPP_SQL}
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type <> '{Q16_EXCL_TYPE}'
+  AND p.p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND ps.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+"""
+
+
+Q20_NATION = "NATION_3"
+Q20_NAME_PREFIX = "red"
+Q20_START = "1997-01-01"
+Q20_END = "1998-01-01"
+Q20_AVAIL_FACTOR = 0.5
+
+
+def promotable_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Full TPC-H Q20: suppliers in one nation holding excess stock of
+    promotable parts — availqty above half the quantity they actually
+    shipped in the year.
+
+    The spec form nests a correlated scalar subquery (per-pair shipped
+    quantity) inside an IN inside an IN; the oracle keeps that nesting.
+    The Spark plan decorrelates: the year's lineitem collapses into a
+    per-(partkey, suppkey) aggregate and INNER-joins the derived
+    partsupp — the spec's ``> 0.5 × NULL`` excludes never-shipped pairs,
+    which is exactly what the inner join does.
+
+    Scale shape: the promotable part set broadcasts and prunes partsupp
+    BEFORE the shipped join; partsupp and the shipped aggregate shuffle
+    on the same (partkey, suppkey) key — co-partitioned join, one
+    exchange each; the year filter pushes to the lineitem scan; the
+    final nation-scoped supplier probe is a broadcast + LEFT SEMI.
+    Quantity sums ride DECIMAL(38,10) so the 0.5× boundary cannot flip
+    between engines.
+    """
+    red = (
+        t["part"]
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= Q20_START) & (F.col("l_shipdate") < Q20_END)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    cand = (
+        derived_partsupp(t)
+        .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > Q20_AVAIL_FACTOR * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    nat = (
+        t["nation"].filter(F.col("n_name") == Q20_NATION).select("n_nationkey")
+    )
+    return (
+        t["supplier"]
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+PROMOTABLE_SUPPLIERS_ORACLE = f"""
+WITH {PARTSUPP_SQL},
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q20_START}'
+      AND l_shipdate < TIMESTAMP '{Q20_END}'
+    GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = '{Q20_NATION}'
+  AND s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM partsupp ps
+      JOIN part p ON ps.ps_partkey = p.p_partkey
+      JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                     AND ps.ps_suppkey = sh.l_suppkey
+      WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'
+        AND ps.ps_availqty > {Q20_AVAIL_FACTOR} * sh.qty
+  )
+"""
