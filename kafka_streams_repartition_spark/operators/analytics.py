@@ -484,6 +484,178 @@ FROM lineitem"""
 
 
 # --------------------------------------------------------------------------
+# Sketch-backed table profiling: the 100 TB form of table_profile
+# --------------------------------------------------------------------------
+
+HLL_PROFILE_BOUND = 0.40  # acceptance bound on |est - exact| / exact.
+# m=16 registers → theoretical σ ≈ 1.04/√16 ≈ 26%; 0.40 ≈ 1.5σ.  A column
+# outside the bound shows within_bound=false on BOTH engines — the gate
+# stays oracle-green either way; the flag is the acceptance signal.
+
+
+def table_profile_approx(t: dict[str, DataFrame]) -> DataFrame:
+    """``table_profile`` with the exact multi-``countDistinct`` replaced
+    by the portable 16-register HLL from ``operators/sketches.py``, plus
+    the error-bound acceptance gate that justifies the swap (mirroring
+    ``dedup_recall_eval`` / ``ann_recall_eval``).
+
+    Why: exact multi-column countDistinct plans ONE Expand — row
+    multiplication by |columns| and a shuffle carrying every distinct
+    value of every column, the one design-level 100 TB risk in
+    ``table_profile``.  The sketch path shuffles ≤16 registers per
+    column instead, whatever the cardinality.  This query computes BOTH
+    (the exact side is the gate's ground truth — run it at audit scale,
+    trust the registers corpus-wide) and flags whether each column's
+    estimate lands within ``HLL_PROFILE_BOUND``.
+
+    Values hash through a CANONICAL string form chosen to evaluate
+    bit-identically on both engines (ints/strings cast directly; doubles
+    via fixed-point round-to-bigint — '%f' formatting would expose
+    HALF_UP-vs-half-even divergence; timestamps via epoch millis).  The
+    exact count is over the same canonical domain, so the gate measures
+    pure sketch error, not cast fidelity.
+    """
+    from .sketches import _hll_estimate, _rho, _W_BITS
+
+    li = t["lineitem"]
+    canon = {
+        "l_orderkey": F.col("l_orderkey").cast("string"),
+        "l_partkey": F.col("l_partkey").cast("string"),
+        "l_quantity": F.round(F.col("l_quantity") * 1000, 0)
+        .cast("bigint")
+        .cast("string"),
+        "l_extendedprice": F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .cast("string"),
+        "l_returnflag": F.col("l_returnflag"),
+        "l_shipdate": F.unix_millis("l_shipdate").cast("string"),
+    }
+    unp = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"), e.alias("canon")
+                        )
+                        for c, e in canon.items()
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.column_name", "p.canon")
+        .filter(F.col("canon").isNotNull())
+    )
+    h = F.md5(F.col("canon"))
+    regs = (
+        unp.select(
+            "column_name",
+            F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("bucket"),
+            F.conv(F.substring(h, 2, _W_BITS // 4), 16, 10)
+            .cast("long")
+            .alias("v60"),
+        )
+        .groupBy("column_name", "bucket")
+        .agg(F.max(_rho()).alias("m_j"))
+    )
+    exact = unp.groupBy("column_name").agg(
+        F.countDistinct("canon").alias("n_distinct_exact")
+    )
+    rel_err = F.round(
+        F.abs(F.col("hll_estimate") - F.col("n_distinct_exact"))
+        / F.col("n_distinct_exact"),
+        4,
+    )
+    return (
+        _hll_estimate(regs, "column_name")
+        .join(exact, "column_name")
+        .select(
+            "column_name",
+            "n_distinct_exact",
+            "hll_estimate",
+            rel_err.alias("rel_err"),
+            (rel_err <= HLL_PROFILE_BOUND).alias("within_bound"),
+        )
+    )
+
+
+def _profile_approx_oracle() -> str:
+    from .sketches import HLL_ALPHA, HLL_M, _W_BITS
+
+    canon_sql = {
+        "l_orderkey": "CAST(l_orderkey AS VARCHAR)",
+        "l_partkey": "CAST(l_partkey AS VARCHAR)",
+        "l_quantity": "CAST(CAST(round(l_quantity * 1000, 0) AS BIGINT) AS VARCHAR)",
+        "l_extendedprice": "CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)",
+        "l_returnflag": "l_returnflag",
+        "l_shipdate": "CAST(epoch_ms(l_shipdate) AS VARCHAR)",
+    }
+    unp = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, {e} AS canon FROM lineitem"
+        for c, e in canon_sql.items()
+    )
+    e_raw = (
+        f"{HLL_ALPHA} * {HLL_M * HLL_M} * pow(2.0, {_W_BITS + 1}) / s"
+    )
+    return f"""
+WITH unp AS (
+{unp}
+),
+parts AS (
+    SELECT column_name,
+           CAST('0x' || substring(md5(canon), 1, 1) AS BIGINT) AS bucket,
+           CAST('0x' || substring(md5(canon), 2, {_W_BITS // 4})
+                AS BIGINT) AS v60
+    FROM unp
+    WHERE canon IS NOT NULL
+),
+regs AS (
+    SELECT column_name, bucket,
+           max(CASE WHEN v60 = 0 THEN {_W_BITS + 1}
+                    ELSE {_W_BITS + 1} - length(bin(v60)) END) AS m_j
+    FROM parts GROUP BY 1, 2
+),
+agg AS (
+    SELECT column_name,
+           sum(CAST(pow(2.0, {_W_BITS + 1} - m_j) AS DECIMAL(24,0)))
+               AS s_present,
+           count(*) AS n_regs
+    FROM regs GROUP BY 1
+),
+est AS (
+    SELECT column_name,
+           CAST(s_present + ({HLL_M} - n_regs)
+                * CAST(pow(2.0, {_W_BITS + 1}) AS DECIMAL(24,0))
+                AS DOUBLE) AS s,
+           {HLL_M} - n_regs AS v
+    FROM agg
+),
+hll AS (
+    SELECT column_name,
+           round(CASE WHEN {e_raw} <= {2.5 * HLL_M} AND v > 0
+                      THEN {float(HLL_M)} * ln({float(HLL_M)} / v)
+                      ELSE {e_raw} END, 4) AS hll_estimate
+    FROM est
+),
+ex AS (
+    SELECT column_name, CAST(count(DISTINCT canon) AS BIGINT)
+               AS n_distinct_exact
+    FROM unp GROUP BY 1
+)
+SELECT h.column_name, ex.n_distinct_exact, h.hll_estimate,
+       round(abs(h.hll_estimate - ex.n_distinct_exact)
+             / ex.n_distinct_exact, 4) AS rel_err,
+       round(abs(h.hll_estimate - ex.n_distinct_exact)
+             / ex.n_distinct_exact, 4) <= {HLL_PROFILE_BOUND}
+           AS within_bound
+FROM hll h JOIN ex USING (column_name)
+"""
+
+
+TABLE_PROFILE_APPROX_ORACLE = _profile_approx_oracle()
+
+
+# --------------------------------------------------------------------------
 # Per-key z-score outlier detection (telemetry/data-quality surface —
 # flag events whose value is anomalous for THAT user)
 # --------------------------------------------------------------------------
