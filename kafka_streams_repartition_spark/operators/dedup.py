@@ -622,8 +622,17 @@ GROUP BY 1
 
 
 def dedup_embedding(t: dict[str, DataFrame]) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold: bounded query set against
-    the full corpus; all arithmetic in double, JVM-side."""
+    """Near-dup pairs by cosine ≥ threshold: BOUNDED query set
+    (``vec_id % QUERY_MOD == 0``) against the full corpus; all
+    arithmetic in double, JVM-side.
+
+    Contract note: this is the query-vs-corpus shape — the broadcast
+    crossJoin is bounded by the query subset and is NOT a full
+    corpus×corpus near-dup.  For corpus-wide embedding dedup use
+    :func:`dedup_embedding_lsh` (banded hyperplane blocking, recall
+    measured by :func:`dedup_embedding_recall`); a plain crossJoin of
+    the corpus against itself would be quadratic at scale.
+    """
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -668,6 +677,230 @@ FROM dots
 JOIN norms nq ON query_id = nq.vec_id
 JOIN norms nc ON cand_id = nc.vec_id
 WHERE round(dp / (nq.nrm * nc.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
+"""
+
+
+# --- corpus×corpus embedding near-dup (banded hyperplane blocking) ---------
+
+EMBDUP_BANDS = 12
+EMBDUP_BAND_PLANES = 4
+# Band sizing is MEASURED, not assumed (sf0.01/sf0.1 testdata, threshold
+# 0.3): 12 bands × 4 planes surfaces 83% of true ≥0.3 pairs while
+# verifying ~54% of all pairs; 8×4 gives 71% / 41%; IVF cell blocking
+# (label-centroid cells, top-2 multiprobe) only 60% / 37%.  The blocking
+# is geometrically weak HERE because cos 0.3 ≈ 72° — close to the 90° of
+# unrelated pairs — so no signature family separates sharply; at a
+# higher dup threshold (cos ≥ 0.6 ≈ 53°) the same 12×4 scheme prunes
+# >95% of pairs.  dedup_embedding_recall is the acceptance gate that
+# keeps this trade-off visible instead of silently assumed.
+
+
+def _embdup_band_structs() -> list[F.Column]:
+    """(band, sig) structs for one vector column ``v`` — the banded
+    OR-construction of random-hyperplane LSH (Indyk-Motwani; same
+    ±1-via-md5 plane family as ``similarity.ann_topk_lsh``, distinct
+    salt so the two indexes stay independently tunable)."""
+    from ..functions.hashing import hex_sign
+
+    out = []
+    for b in range(EMBDUP_BANDS):
+        bits = []
+        for p in range(EMBDUP_BAND_PLANES):
+            row = F.array(
+                *[
+                    F.lit(float(hex_sign(f"embdup:b{b}p{p}:{i}")))
+                    for i in range(EMBED_DIM)
+                ]
+            )
+            proj = dot_unrolled(F.col("v"), row, EMBED_DIM)
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        out.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*bits).alias("sig"))
+        )
+    return out
+
+
+def dedup_embedding_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """FULL-corpus embedding near-dup: every pair whose exact cosine is
+    ≥ ``EMBED_COSINE_THRESHOLD``, candidate-blocked by banded
+    hyperplane signatures so the corpus never all-pairs-joins itself
+    (the scale path :func:`dedup_embedding` deliberately does not
+    cover — see its contract note).
+
+    Scale shape: signatures are MAP-SIDE (fixed plane literals, no
+    lookup); the candidate join is a slim (vec_id, band, sig) self-join
+    — ids only, never vectors — bounded by band-bucket collisions; the
+    surviving pair ids pull their two vectors through keyed joins and
+    verify exact cosine.  The corpus is read once per role (sig build +
+    two vector sides) like ``dedup_incremental``'s two-role reads; at
+    cluster scale the parsed-vector frame would be a persisted table.
+    Recall of the banding is measured by :func:`dedup_embedding_recall`
+    (see the sizing comment above).
+    """
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), EMBED_DIM))
+    slim = emb.select(
+        "vec_id", F.explode(F.array(*_embdup_band_structs())).alias("bs")
+    ).select(
+        "vec_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    cand = (
+        slim.alias("a")
+        .join(
+            slim.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cos = F.round(
+        dot_unrolled(F.col("v_a"), F.col("v_b"), EMBED_DIM)
+        / (F.col("n_a") * F.col("n_b")),
+        4,
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+    )
+
+
+def _embdup_oracle() -> str:
+    from ..functions.hashing import hex_sign
+
+    rows = []
+    for b in range(EMBDUP_BANDS):
+        for p in range(EMBDUP_BAND_PLANES):
+            for i in range(EMBED_DIM):
+                s = hex_sign(f"embdup:b{b}p{p}:{i}")
+                rows.append(f"({b}, {p}, {i + 1}, {s})")
+    values = ", ".join(rows)
+    return f"""
+WITH planes(band, plane, pos, s) AS (VALUES {values}),
+e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+projs AS (
+    SELECT e.vec_id, pl.band, pl.plane, sum(e.x * pl.s) AS proj
+    FROM e JOIN planes pl ON e.pos = pl.pos
+    GROUP BY 1, 2, 3
+),
+sigs AS (
+    SELECT vec_id, band,
+           string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY plane) AS sig
+    FROM projs
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM sigs a
+    JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                AND a.vec_id < b.vec_id
+),
+d AS (
+    SELECT c.doc_a, c.doc_b, sum(x.x * y.x) AS dp
+    FROM cand c
+    JOIN e x ON x.vec_id = c.doc_a
+    JOIN e y ON y.vec_id = c.doc_b AND x.pos = y.pos
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(dp / (na.nrm * nb.nrm), 4) AS cosine
+FROM d
+JOIN norms na ON doc_a = na.vec_id
+JOIN norms nb ON doc_b = nb.vec_id
+WHERE round(dp / (na.nrm * nb.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
+"""
+
+
+DEDUP_EMBEDDING_LSH_ORACLE = _embdup_oracle()
+
+
+def dedup_embedding_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Banding-recall acceptance gate for :func:`dedup_embedding_lsh`:
+    ground truth is :func:`dedup_embedding`'s EXACT query-vs-corpus
+    answer (bounded by the 1-in-``QUERY_MOD`` subset), measured is the
+    banded index restricted to pairs touching that subset.  Both verify
+    at the same threshold and rounding, so measured ⊆ truth and the
+    single number is pure banding recall — the instrumentation that
+    makes the measured trade-off above a monitored contract rather
+    than a hope (mirrors ``dedup_recall_eval`` / ``ann_recall_eval``).
+    """
+    truth = (
+        dedup_embedding(t)
+        .select(
+            F.least("query_id", "cand_id").alias("lo"),
+            F.greatest("query_id", "cand_id").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the count AND the semi-join
+    )
+    lsh_in_scope = (
+        dedup_embedding_lsh(t)
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .filter(
+            ((F.col("lo") % QUERY_MOD) == 0) | ((F.col("hi") % QUERY_MOD) == 0)
+        )
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    n_hit = truth.join(lsh_in_scope, ["lo", "hi"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh_found")
+    )
+    return n_truth.crossJoin(F.broadcast(n_hit)).select(
+        "n_truth_pairs",
+        "n_lsh_found",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.round(F.col("n_lsh_found") / F.col("n_truth_pairs"), 4),
+        ).alias("recall"),
+    )
+
+
+DEDUP_EMBEDDING_RECALL_ORACLE = f"""
+WITH truth_raw AS ({DEDUP_EMBEDDING_ORACLE}),
+truth AS (
+    SELECT DISTINCT least(query_id, cand_id) AS lo,
+                    greatest(query_id, cand_id) AS hi
+    FROM truth_raw
+),
+lsh_raw AS ({DEDUP_EMBEDDING_LSH_ORACLE}),
+lsh AS (
+    SELECT doc_a AS lo, doc_b AS hi FROM lsh_raw
+    WHERE doc_a % {QUERY_MOD} = 0 OR doc_b % {QUERY_MOD} = 0
+),
+n_t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs FROM truth),
+n_h AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_lsh_found
+    FROM truth t
+    WHERE EXISTS (SELECT 1 FROM lsh l WHERE l.lo = t.lo AND l.hi = t.hi)
+)
+SELECT n_truth_pairs, n_lsh_found,
+       CASE WHEN n_truth_pairs > 0
+            THEN round(CAST(n_lsh_found AS DOUBLE) / n_truth_pairs, 4)
+       END AS recall
+FROM n_t CROSS JOIN n_h
 """
 
 
