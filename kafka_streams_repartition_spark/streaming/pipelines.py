@@ -352,15 +352,24 @@ def stream_first_touch_attribution(events: DataFrame) -> DataFrame:
     """Streaming form of ``operators.windows.first_touch_attribution``:
     keyed value state holds each user's most recent click, so a purchase
     attributes correctly even when the click arrived in an earlier
-    micro-batch.  Emits one attribution row per qualifying purchase
-    (append semantics — each purchase is decided exactly once, at the
-    batch that contains it).
+    micro-batch.  Emits one row per qualifying purchase — rows are
+    emit-once FACTS, decided at the batch containing the purchase;
+    ``outputMode="update"`` is used only because
+    ``applyInPandasWithState`` requires it for this pattern, never to
+    revise an emitted row.
 
     State per key is ONE (ms, event_id) pair — bounded regardless of
     stream length, like the reference's KTable-backed enrichments.  Rows
     inside a batch are replayed in (ms, event_id) order, the same total
-    order the batch window uses, so batch and stream agree exactly
-    (batch-equivalence tested in ``tests/test_streaming.py``).
+    order the batch window uses.  Batch equivalence holds for sources
+    whose CROSS-batch arrival respects event time (an in-order or
+    watermark-reordered feed): within a batch order is restored by the
+    sort, the click state only advances (a late-arriving OLDER click
+    can't regress it), and a purchase older than the stored click is
+    dropped (gap < 0) rather than attributed to a future click.  A
+    purchase whose true click arrives in a LATER batch than the
+    purchase is missed — decided-once semantics can't revisit it; size
+    the upstream watermark with ``out_of_order_stats`` if that matters.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -380,12 +389,19 @@ def stream_first_touch_attribution(events: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 if row.event_type == "purchase" and click is not None:
                     gap = int(row.ms) - click[0]
-                    if gap <= ATTRIBUTION_WINDOW_MS:
+                    # 0 <= gap: a disordered purchase older than the
+                    # stored click must NOT attribute to that (future)
+                    # click — drop it instead of emitting a negative gap.
+                    if 0 <= gap <= ATTRIBUTION_WINDOW_MS:
                         rows.append(
                             (int(row.event_id), key[0], click[1], gap)
                         )
                 elif row.event_type == "click":
-                    click = (int(row.ms), int(row.event_id))
+                    # monotonic advance: a click arriving late (cross-
+                    # batch disorder) never regresses "most recent".
+                    cand = (int(row.ms), int(row.event_id))
+                    if click is None or cand > click:
+                        click = cand
         if click is not None:
             state.update(click)
         if rows:

@@ -831,3 +831,59 @@ def test_stream_first_touch_attribution_equals_batch(spark, tmp_path):
         and r["purchase_event_id"] in batch2_purchases
     }
     assert spanning, "split produced no cross-batch attribution to test"
+
+
+def test_stream_first_touch_attribution_out_of_order(spark, tmp_path):
+    """Cross-batch DISORDER must not corrupt attribution: a click
+    arriving one batch late never regresses the stored most-recent
+    click, and a purchase older than the stored click is dropped
+    instead of attributed to a future click with a negative gap."""
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_first_touch_attribution,
+    )
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (uid, F.lit(None), eid, etype, ms)
+                for uid, eid, etype, ms in specs
+            ],
+            "user_id long, _x string, event_id long, event_type string, ms long",
+        ).select(
+            "user_id",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "event_id",
+            "event_type",
+        )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1 (arrives first, but holds the LATER events):
+    #   user 1: click C2 @5000        user 2: click C3 @4000
+    rows((1, 102, "click", 5000), (2, 103, "click", 4000)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = lambda: stream_first_touch_attribution(  # noqa: E731
+        spark.readStream.schema(schema).parquet(src)
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+    # batch 2 (arrives second, holds OLDER events + the purchase):
+    #   user 1: stale click C1 @1000 (must NOT overwrite C2),
+    #           purchase P1 @6000 (must attribute to C2, gap 1000)
+    #   user 2: purchase P2 @2000 — OLDER than stored click C3:
+    #           must be dropped, never a negative gap
+    rows(
+        (1, 101, "click", 1000),
+        (1, 110, "purchase", 6000),
+        (2, 111, "purchase", 2000),
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+
+    got = {
+        (r["purchase_event_id"], r["user_id"], r["click_event_id"], r["gap_ms"])
+        for r in first + second
+    }
+    assert got == {(110, 1, 102, 1000)}
+    assert all(g >= 0 for (_, _, _, g) in got)
