@@ -1,10 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "total_runtime", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+stdout contract — TWO JSON lines (consumers parse line-by-line, not the
+whole capture):
+
+  1. the full result object
+     {"metric": "total_runtime", "value": N, "unit": "sec",
+      "queries": {"q": sec, ...}, "sf": 0.1, ...}
+  2. a compact tail-safe summary (same headline fields, no per-query
+     dict) — guaranteed to fit a ~2 KB stdout tail-capture window, with
+     "queries_in" pointing at the durable bench_results.json artifact.
+
+Per-query timing is the MEDIAN of N repeats (default 3): round 4 showed
+best-of-2 can immortalize one lucky run (the committed r3 artifact read
+~4x faster than every reproduction).  The artifact also records
+os.getloadavg() at start/end so a loaded machine is visible in the
+numbers it produced.
 
 Each query is fully materialized through the noop sink (forces every
 column to compute — a bare count() would let Catalyst prune the work).
@@ -14,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,26 +42,28 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the queries.
     entrymod.entry(spark).count()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE", "") == "1"
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         # Fault-isolated: one broken query records an error and moves on
         # instead of zeroing the whole artifact (round-2 failure mode:
         # the harness died at query 6 and emitted nothing).
-        best = None
+        samples: list[float] = []
         try:
-            for _ in range(repeats):  # report best-of-N: JIT/GC noise is ±20%
+            # median-of-N: robust to one lucky/unlucky run in either
+            # direction (best-of-N let a single outlier set the record).
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                el = time.perf_counter() - t0
-                best = el if best is None or el < best else best
+                samples.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
-        timings[name] = round(best, 3)
+        timings[name] = round(statistics.median(samples), 3)
         if verbose:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
@@ -60,6 +75,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "repeats": repeats,
+        "stat": "median",
+        # first run of each query is cold (scan/JIT warmup); the JVM
+        # itself is warmed once by entry() above
+        "jvm_warm": True,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors

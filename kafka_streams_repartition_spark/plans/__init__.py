@@ -7,6 +7,7 @@ from .checks import (
     count_exchanges,
     count_key_exchanges,
     count_scans,
+    count_scans_of,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "count_exchanges",
     "count_key_exchanges",
     "count_scans",
+    "count_scans_of",
 ]

@@ -42,6 +42,19 @@ def count_scans(df: DataFrame) -> int:
     return explain_str(df).count("Location: InMemoryFileIndex")
 
 
+def count_scans_of(df: DataFrame, table_fragment: str) -> int:
+    """Scans of one table, by its path fragment in the Location line —
+    robust to explain-format drift that substring counts over the whole
+    plan text ("Scan parquet" appears once per mention) are not."""
+    plan = explain_str(df)
+    return sum(
+        1
+        for block in _scan_blocks(plan)
+        for line in block.splitlines()
+        if "Location: InMemoryFileIndex" in line and table_fragment in line
+    )
+
+
 def assert_pushed_filters(df: DataFrame, table_fragment: str, fragment: str) -> None:
     """The named table's scan must push a filter containing ``fragment``."""
     plan = explain_str(df)

