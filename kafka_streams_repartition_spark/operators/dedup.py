@@ -699,8 +699,19 @@ def _embdup_band_structs() -> list[F.Column]:
     """(band, sig) structs for one vector column ``v`` — the banded
     OR-construction of random-hyperplane LSH (Indyk-Motwani; same
     ±1-via-md5 plane family as ``similarity.ann_topk_lsh``, distinct
-    salt so the two indexes stay independently tunable)."""
+    salt so the two indexes stay independently tunable).
+
+    Projections use the loop-form ``dot`` (zip_with + aggregate), NOT
+    ``dot_unrolled``: 48 planes × 64 dims unrolled is a ~3000-term
+    generated method whose janino compilation alone OOMs a default-heap
+    driver (measured — it killed the vanilla-session registry run).
+    The fold is left-associated like the unrolled form and the oracle's
+    ordered SUM, so signatures are bit-identical; the signature build
+    is once per vector, where interpreted HOF cost is noise next to
+    the candidate join it feeds.
+    """
     from ..functions.hashing import hex_sign
+    from ..functions.vectors import dot
 
     out = []
     for b in range(EMBDUP_BANDS):
@@ -712,7 +723,7 @@ def _embdup_band_structs() -> list[F.Column]:
                     for i in range(EMBED_DIM)
                 ]
             )
-            proj = dot_unrolled(F.col("v"), row, EMBED_DIM)
+            proj = dot(F.col("v"), row)
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         out.append(
             F.struct(F.lit(b).alias("band"), F.concat(*bits).alias("sig"))
