@@ -428,3 +428,153 @@ def stream_first_touch_attribution(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ewma_user_value(events: DataFrame) -> DataFrame:
+    """Streaming form of ``operators.windows.ewma_user_value``: the
+    closed-form batch EWMA (latest event weighs most) has an exact
+    incremental recurrence when events arrive in time order —
+
+        S ← d·S + v        W ← d·W + 1        ewma = S / W
+
+    so keyed state is TWO doubles and a count per user, bounded
+    regardless of stream length.  With d = 0.5 every decay multiply is
+    exact in IEEE doubles (exponent decrement), so the streaming fold
+    reproduces the batch weights bit-for-bit; remaining float-sum
+    ordering differences are absorbed by the same round(4) the batch
+    form applies.
+
+    Emits each user's CURRENT (ewma_value, n_events) once per batch
+    that touched the user (update mode — downstream keeps the latest
+    row per user); after draining, the final emission per user equals
+    the batch value (equivalence-tested across a mid-stream cut).
+    Batch equivalence needs event-time-ordered CROSS-batch arrival,
+    same as ``stream_first_touch_attribution``; within a batch rows
+    are replayed in (ms, event_id) order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.windows import EWMA_DECAY
+
+    out_schema = "user_id long, ewma_value double, n_events long"
+    state_schema = "s double, w double, n long"
+
+    def fold(key, batches, state: GroupState):
+        s, w, n = state.get if state.exists else (0.0, 0.0, 0)
+        touched = False
+        for pdf in batches:
+            pdf = pdf.sort_values(["ms", "event_id"])
+            for v in pdf["value"]:
+                s = EWMA_DECAY * s + float(v)
+                w = EWMA_DECAY * w + 1.0
+                n += 1
+                touched = True
+        state.update((s, w, n))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "ewma_value": [round(s / w, 4)],
+                    "n_events": [n],
+                }
+            )
+
+    ev = events.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Streaming form of ``operators.windows.cusum_changepoint``: the
+    CUSUM statistic needs the series' OVERALL mean, so the keyed state
+    carries each event type's per-day (sum, count) pairs — bounded by
+    the CALENDAR (one entry per day the type was seen), not by stream
+    length; the raw events are never retained.
+
+    Each batch folds its rows into the day registers (commutative —
+    within-batch order is irrelevant), then re-derives the full CUSUM
+    scan from the registers and emits the type's CURRENT peak (update
+    mode — the last emission per type is the answer and equals the
+    batch query on the same data; equivalence-tested across a
+    mid-stream cut).  This is the register pattern of
+    ``stream_hll_registers``: state is a mergeable summary, the
+    statistic is recomputed from the summary, never from raw history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, peak_day string, peak_cusum double"
+    state_schema = "days array<long>, sums array<double>, counts array<long>"
+
+    def fold(key, batches, state: GroupState):
+        if state.exists:
+            days, sums, counts = state.get
+            regs = {
+                d: [s, c] for d, s, c in zip(days, sums, counts)
+            }
+        else:
+            regs = {}
+        touched = False
+        for pdf in batches:
+            for day, v in zip(pdf["epoch_day"], pdf["value"]):
+                r = regs.setdefault(int(day), [0.0, 0])
+                r[0] += float(v)
+                r[1] += 1
+                touched = True
+        items = sorted(regs.items())
+        state.update(
+            (
+                [d for d, _ in items],
+                [s for _, (s, _) in items],
+                [c for _, (_, c) in items],
+            )
+        )
+        if not touched:
+            return
+        day_avg = [s / c for _, (s, c) in items]
+        overall = sum(day_avg) / len(day_avg)
+        cusum, acc = [], 0.0
+        for a in day_avg:
+            acc += a - overall
+            cusum.append(acc)
+        # argmax by (|round(cusum,6)| desc, day asc) — the batch tie rule
+        best = max(
+            range(len(items)),
+            key=lambda i: (abs(round(cusum[i], 6)), -items[i][0]),
+        )
+        peak_day = (
+            pd.Timestamp(items[best][0], unit="D").strftime("%Y-%m-%d")
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "peak_day": [peak_day],
+                "peak_cusum": [round(cusum[best], 4)],
+            }
+        )
+
+    ev = events.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias(
+            "epoch_day"
+        ),
+        F.col("value").cast("double").alias("value"),
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

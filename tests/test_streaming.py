@@ -887,3 +887,84 @@ def test_stream_first_touch_attribution_out_of_order(spark, tmp_path):
     }
     assert got == {(110, 1, 102, 1000)}
     assert all(g >= 0 for (_, _, _, g) in got)
+
+
+def test_stream_ewma_equals_batch(spark, tmp_path):
+    """The streaming EWMA recurrence (keyed running S/W state) must end
+    at the batch closed-form values, with every user's stream cut
+    mid-sequence across two time-ordered micro-batches."""
+    from kafka_streams_repartition_spark.operators import windows as win
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_ewma_user_value,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = t["events"].select("user_id", "ts", "event_id", "value")
+    cutoff = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )[0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.unix_millis("ts") < cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = lambda: stream_ewma_user_value(  # noqa: E731
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+    ev.filter(F.unix_millis("ts") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+
+    final: dict[int, tuple[float, int]] = {}
+    for r in first + second:  # update mode: last emission per user wins
+        final[r["user_id"]] = (r["ewma_value"], r["n_events"])
+    # batch result (top-50 users) must agree with the streaming state
+    for r in win.ewma_user_value(t).collect():
+        assert final[r["user_id"]] == (r["ewma_value"], r["n_events"])
+    # the cut actually spanned state: some user must appear in both runs
+    assert {r["user_id"] for r in first} & {r["user_id"] for r in second}
+
+
+def test_stream_cusum_equals_batch(spark, tmp_path):
+    """The streaming CUSUM (per-type day-register state) must end at
+    the batch changepoint rows after draining both micro-batches."""
+    from kafka_streams_repartition_spark.operators import windows as win
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_cusum_changepoint,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = t["events"].select("event_type", "ts", "value")
+    cutoff = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )[0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.unix_millis("ts") < cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = lambda: stream_cusum_changepoint(  # noqa: E731
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    first = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+    ev.filter(F.unix_millis("ts") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = run_foreach_batch_available_now(spark, stream(), ckpt, mode="update")
+
+    final = {}
+    for r in first + second:
+        final[r["event_type"]] = (r["peak_day"], r["peak_cusum"])
+    want = {
+        r["event_type"]: (r["peak_day"], r["peak_cusum"])
+        for r in win.cusum_changepoint(t).collect()
+    }
+    assert final == want
+    # both batches contributed registers for at least one type
+    assert {r["event_type"] for r in first} & {r["event_type"] for r in second}
