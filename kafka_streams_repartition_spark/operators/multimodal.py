@@ -3,11 +3,12 @@
 Contract: image/audio/video payloads are opaque ``binary`` columns with
 typed metadata travelling beside them. The Spark-side machinery —
 schema, partition-preserving ``mapInPandas``, Arrow batch shape — is
-real and tested; the actual codec step is STUBBED (decode libraries are
-not in this container): ``decode_image_meta`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it derives
-deterministic pseudo-metadata from the bytes so the pipeline shape is
-testable end-to-end.
+real and tested; the codec step has three tiers: Pillow when
+importable (not in this container), a pure-stdlib PNG metadata parser
+(IHDR/acTL chunks — runs everywhere, tested on real PNG bytes), and
+``fake=True`` deterministic pseudo-metadata for pipeline-shape tests.
+A non-PNG payload with no Pillow raises ``NotImplementedError`` —
+honest about the missing codec rather than silently faking.
 
 The oracle-checked query (``multimodal_meta``) covers the pure-SQL part
 of the path: byte length, content hash, and chunk accounting — what a
@@ -54,11 +55,68 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-try:  # real codec path iff Pillow is importable (it is not in this
+try:  # full codec path iff Pillow is importable (it is not in this
     # container; on a real cluster ship it via --py-files / images)
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover - environment-dependent
     _PILImage = None
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _stdlib_png_meta(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) for a PNG payload via pure-stdlib
+    chunk parsing — no codec library needed for METADATA: width/height
+    live in the IHDR chunk, the frame count in APNG's acTL (PNG spec
+    §11.2.2 / APNG spec).  Returns None for a payload that carries the
+    PNG signature but is truncated/malformed (the caller's
+    log-and-continue policy turns that into null metadata, same as the
+    Pillow path's undecodable case)."""
+    import struct
+
+    if len(b) < 33 or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    n_frames, off = 1, 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        ctype = b[off + 4 : off + 8]
+        if ctype == b"acTL" and off + 12 <= len(b):
+            (n_frames,) = struct.unpack(">I", b[off + 8 : off + 12])
+            break
+        if ctype in (b"IDAT", b"IEND"):  # acTL must precede IDAT (APNG)
+            break
+        off += 12 + length  # len(4) + type(4) + data + crc(4)
+    return int(w), int(h), int(n_frames)
+
+
+def _stdlib_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pillow-less real decode: PNG payloads parse via
+    :func:`_stdlib_png_meta`; any other format still needs a codec and
+    raises — honest per-payload, not per-environment."""
+    meta: dict[str, list] = {"n_bytes": [], "width": [], "height": [], "n_frames": []}
+    for b in pdf["payload"]:
+        data = bytes(b) if b is not None else b""
+        meta["n_bytes"].append(len(data))
+        if not data.startswith(_PNG_SIG):
+            raise NotImplementedError(
+                "only PNG decodes without Pillow (stdlib IHDR/acTL parse); "
+                "this payload is not PNG — install Pillow or pass "
+                "fake=True for the deterministic stub"
+            )
+        m = _stdlib_png_meta(data)
+        for k, v in zip(("width", "height", "n_frames"), m or (None,) * 3):
+            meta[k].append(v)
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "n_bytes": pd.Series(meta["n_bytes"], dtype="int64"),
+            "width": pd.Series(meta["width"], dtype="Int32"),
+            "height": pd.Series(meta["height"], dtype="Int32"),
+            "n_frames": pd.Series(meta["n_frames"], dtype="Int32"),
+        }
+    )
 
 
 def _pil_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -95,21 +153,21 @@ def decode_image_meta(media: DataFrame, fake: bool = False) -> DataFrame:
 
     Three paths, same batch shape: ``fake=True`` derives deterministic
     width/height/frame-count from the payload bytes (no codec, for
-    pipeline-shape tests); otherwise Pillow decodes the real bytes when
-    importable, else NotImplementedError — honest about the missing
-    codec rather than silently faking.
+    pipeline-shape tests); otherwise Pillow decodes any format it
+    knows when importable, and WITHOUT Pillow the real path still
+    decodes PNG via pure-stdlib chunk parsing (``_stdlib_png_meta``) —
+    a non-PNG payload with no Pillow raises per-payload, honest about
+    the missing codec rather than silently faking.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                if _PILImage is None:
-                    raise NotImplementedError(
-                        "image decode requires Pillow, which is not "
-                        "available in this environment; pass fake=True "
-                        "for the deterministic stub"
-                    )
-                yield _pil_decode_batch(pdf)
+                yield (
+                    _pil_decode_batch(pdf)
+                    if _PILImage is not None
+                    else _stdlib_decode_batch(pdf)
+                )
                 continue
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)

@@ -121,3 +121,47 @@ def test_vectorized_ann_matches_jvm_bruteforce(spark, tables):
         (r["query_id"], r["rank"], r["cand_id"], r["cosine"]) for r in df.collect()
     )
     assert key(ann_topk_vectorized(tables)) == key(ann_topk_bruteforce(tables))
+
+
+def _make_png(w: int, h: int, n_frames: int | None = None) -> bytes:
+    """Minimal valid (A)PNG via pure stdlib — no codec library."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if n_frames is not None:
+        png += chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_image_meta_png_without_pillow(spark):
+    """The REAL (non-fake) decode path must run in a Pillow-less
+    environment for PNG payloads: width/height from IHDR, frame count
+    from APNG acTL, malformed-after-signature bytes quarantined as
+    null metadata (log-and-continue, not a crash)."""
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_make_png(12, 7)), "image/png"),
+            (2, bytearray(_make_png(640, 480, n_frames=3)), "image/png"),
+            (3, bytearray(b"\x89PNG\r\n\x1a\n" + b"garbage"), "image/png"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (12, 7, 1)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_frames"]) == (
+        640,
+        480,
+        3,
+    )
+    assert rows[3]["width"] is None and rows[3]["n_bytes"] == 15
