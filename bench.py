@@ -44,10 +44,15 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE", "") == "1"
+    # subset mode for scale probes: run only the named queries
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = set(only_env.split(",")) if only_env else None
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         # Fault-isolated: one broken query records an error and moves on
         # instead of zeroing the whole artifact (round-2 failure mode:
         # the harness died at query 6 and emitted nothing).
@@ -87,8 +92,9 @@ def main() -> None:
     # Durable artifact: the round driver's stdout tail-capture truncated
     # BENCH_r03 to 75/109 timings ("parsed": null).  The file is the full
     # record; stdout stays a single compact JSON line.
-    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_results.json")
+    results_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
     with open(results_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, separators=(",", ":")))
