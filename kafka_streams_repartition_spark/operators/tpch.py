@@ -1255,6 +1255,39 @@ Q11_REGION = "ASIA"
 Q11_FACTOR = 1.5  # keep parts whose stock value exceeds FACTOR x mean share
 
 
+def _important_stock_per_part(t: dict[str, DataFrame]) -> DataFrame:
+    """Pre-checkpoint per-part stock-value aggregate — exposed so the
+    plan gates can assert pushdown/broadcast below the barrier
+    (the checkpoint hides its subtree from ``explain``)."""
+    supp_geo = (
+        t["supplier"]
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            t["nation"].select("n_nationkey", "n_regionkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"]
+            .filter(F.col("r_name") == Q11_REGION)
+            .select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    return (
+        derived_partsupp(t)
+        .join(F.broadcast(supp_geo), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("value_dec")
+        )
+    )
+
+
 def important_stock(t: dict[str, DataFrame]) -> DataFrame:
     """Full TPC-H Q11: parts whose regional stock value
     (Σ ps_supplycost·ps_availqty) is an outsized share of the region
@@ -1275,33 +1308,8 @@ def important_stock(t: dict[str, DataFrame]) -> DataFrame:
     aggregate is lazily checkpointed because it feeds both the total
     and the filter — one derivation, not two.
     """
-    supp_geo = (
-        t["supplier"]
-        .select("s_suppkey", "s_nationkey")
-        .join(
-            t["nation"].select("n_nationkey", "n_regionkey"),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            t["region"]
-            .filter(F.col("r_name") == Q11_REGION)
-            .select("r_regionkey"),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey")
-    )
-    per_part = (
-        derived_partsupp(t)
-        .join(F.broadcast(supp_geo), F.col("ps_suppkey") == F.col("s_suppkey"))
-        .groupBy("ps_partkey")
-        .agg(
-            F.sum(
-                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
-                    "decimal(38,10)"
-                )
-            ).alias("value_dec")
-        )
-        .localCheckpoint(eager=False)  # feeds the total AND the filter
+    per_part = _important_stock_per_part(t).localCheckpoint(
+        eager=False  # feeds the total AND the filter
     )
     total = per_part.agg(
         F.sum("value_dec").alias("tot"), F.count(F.lit(1)).alias("n_parts")

@@ -948,3 +948,103 @@ def test_dedup_recall_eval_bounded_plan(t):
     assert df.count() == 1
     row = df.collect()[0]
     assert row["n_lsh_found"] <= row["n_truth_pairs"]  # measured ⊆ truth
+
+
+# --- round-5 additions: partsupp TPC-H, approx profile, embedding LSH ---
+
+
+def test_min_cost_supplier_region_single_fact_scan(t):
+    """Full Q2: the correlated regional-min subquery must run as a
+    per-part window over ONE derived-partsupp aggregate — one lineitem
+    scan, geo and part dims broadcast, LIMIT as TakeOrderedAndProject
+    under a total order."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
+    df = th.min_cost_supplier_region(t)
+    plan = explain_str(df)
+    assert count_scans_of(df, "lineitem") == 1
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert_broadcast_join(df, at_least=2)  # geo side + part side
+    assert_no_cartesian(df)
+    # partsupp derivation reads ONLY the two key columns
+    assert_read_schema_pruned(df, "lineitem", "l_quantity")
+    assert_read_schema_pruned(df, "lineitem", "l_extendedprice")
+
+
+def test_important_stock_pushes_region_and_broadcasts(t):
+    """Full Q11 (pre-checkpoint frame): region predicate pushed to the
+    region scan, supplier scope broadcast into partsupp, one lineitem
+    scan feeding the per-part aggregate."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import (
+        assert_pushed_filters,
+        count_scans_of,
+    )
+
+    df = th._important_stock_per_part(t)
+    assert count_scans_of(df, "lineitem") == 1
+    assert_pushed_filters(df, "region", "r_name")
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "lineitem", "l_quantity")
+
+
+def test_supplier_part_counts_broadcast_anti_join(t):
+    """Full Q16: the suspect-supplier NOT IN must plan as a broadcast
+    anti join and the part filter as a broadcast inner join — the only
+    exchange is the final dimension-bounded countDistinct."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
+    df = th.supplier_part_counts(t)
+    plan = explain_str(df)
+    assert count_scans_of(df, "lineitem") == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "lineitem", "l_quantity")
+
+
+def test_promotable_suppliers_copartitioned_two_role(t):
+    """Full Q20: exactly TWO lineitem scans (partsupp derivation + the
+    year's shipped aggregate — semantic two-role read), the year filter
+    pushed to the shipped scan, part/nation broadcast."""
+    from kafka_streams_repartition_spark.operators import tpch as th
+    from kafka_streams_repartition_spark.plans import (
+        assert_pushed_filters,
+        count_scans_of,
+    )
+
+    df = th.promotable_suppliers(t)
+    assert count_scans_of(df, "lineitem") == 2
+    assert_pushed_filters(df, "lineitem", "l_shipdate")
+    assert_broadcast_join(df, at_least=2)
+    assert_no_cartesian(df)
+
+
+def test_table_profile_approx_two_scans_and_pruned(t):
+    """The approx profile is estimate + exact-gate: exactly two
+    lineitem scans, both reading ONLY the six profiled columns."""
+    from kafka_streams_repartition_spark.operators import analytics as an
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
+    df = an.table_profile_approx(t)
+    assert count_scans_of(df, "lineitem") == 2
+    assert_no_cartesian(df)
+    assert_read_schema_pruned(df, "lineitem", "l_tax")
+    assert_read_schema_pruned(df, "lineitem", "l_discount")
+
+
+def test_dedup_embedding_lsh_ids_only_candidates(t):
+    """Corpus-wide embedding dedup: the candidate self-join must be on
+    (band, sig) — never a cartesian — and only the embeddings table is
+    touched; the documents/lineitem tables stay out of the plan."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
+    df = dd.dedup_embedding_lsh(t)
+    assert_no_cartesian(df)
+    assert count_scans_of(df, "lineitem") == 0
+    assert count_scans_of(df, "documents") == 0
+    assert count_scans_of(df, "embeddings") >= 3  # sig + two vector roles
