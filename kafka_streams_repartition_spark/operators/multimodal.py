@@ -4,10 +4,13 @@ Contract: image/audio/video payloads are opaque ``binary`` columns with
 typed metadata travelling beside them. The Spark-side machinery —
 schema, partition-preserving ``mapInPandas``, Arrow batch shape — is
 real and tested; the codec step has three tiers: Pillow when
-importable (not in this container), a pure-stdlib PNG metadata parser
-(IHDR/acTL chunks — runs everywhere, tested on real PNG bytes), and
-``fake=True`` deterministic pseudo-metadata for pipeline-shape tests.
-A non-PNG payload with no Pillow raises ``NotImplementedError`` —
+importable (not in this container), pure-stdlib CONTAINER-METADATA
+parsers that run everywhere — PNG IHDR/acTL (``decode_image_meta``),
+WAV RIFF (``decode_audio_meta``), MP4/ISO-BMFF moov boxes
+(``decode_video_meta``), each tested on real in-test-constructed
+bytes — and ``fake=True`` deterministic pseudo-metadata for
+pipeline-shape tests.  Sample/frame DECODE still needs real codecs
+(ffmpeg-class) and raises ``NotImplementedError`` per payload —
 honest about the missing codec rather than silently faking.
 
 The oracle-checked query (``multimodal_meta``) covers the pure-SQL part
@@ -397,3 +400,182 @@ def resize_media(
             )
 
     return media.mapInPandas(resize, schema=out_schema)
+
+
+# --- audio / video metadata decode (pure-stdlib container parsing) ---------
+#
+# Frame/sample DECODE needs ffmpeg-class codecs (not in this container,
+# honest NotImplementedError below), but container METADATA does not:
+# WAV is a RIFF chunk list and MP4 an ISO-BMFF box tree, both plain
+# struct layouts.  These are the real parsers a 100 TB media-ingest
+# audit runs first — duration/rate/track accounting without decoding a
+# single sample.
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+    ]
+)
+
+
+def _wav_meta(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits, duration_ms) from RIFF/WAVE chunks;
+    None if malformed after the signature."""
+    import struct
+
+    if len(b) < 12:
+        return None
+    rate = channels = bits = byte_rate = None
+    data_size = None
+    off = 12  # past RIFF size WAVE
+    while off + 8 <= len(b):
+        cid, size = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+        if cid == b"fmt " and off + 24 <= len(b):
+            _, channels, rate, byte_rate = struct.unpack(
+                "<HHII", b[off + 8 : off + 20]
+            )
+            bits = struct.unpack("<H", b[off + 22 : off + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_size is None or not byte_rate:
+        return None
+    return rate, channels, bits, data_size * 1000 // byte_rate
+
+
+def _mp4_meta(b: bytes) -> tuple[int, int, int] | None:
+    """(duration_ms, timescale, n_tracks) from the ISO-BMFF moov box
+    (mvhd + trak children); None if malformed after the ftyp."""
+    import struct
+
+    def walk(lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            size = struct.unpack(">I", b[off : off + 4])[0]
+            btype = b[off + 4 : off + 8]
+            head = 8
+            if size == 1 and off + 16 <= hi:  # 64-bit largesize
+                size = struct.unpack(">Q", b[off + 8 : off + 16])[0]
+                head = 16
+            if size < head or off + size > hi:
+                return
+            yield btype, off + head, off + size
+            off += size
+
+    for btype, lo, hi in walk(0, len(b)):
+        if btype != b"moov":
+            continue
+        duration = timescale = None
+        n_tracks = 0
+        for ctype, clo, chi in walk(lo, hi):
+            if ctype == b"mvhd" and chi - clo >= 4:
+                version = b[clo]
+                if version == 1 and chi - clo >= 32:
+                    timescale = struct.unpack(">I", b[clo + 20 : clo + 24])[0]
+                    duration = struct.unpack(">Q", b[clo + 24 : clo + 32])[0]
+                elif version == 0 and chi - clo >= 24:
+                    timescale = struct.unpack(">I", b[clo + 12 : clo + 16])[0]
+                    duration = struct.unpack(">I", b[clo + 16 : clo + 20])[0]
+            elif ctype == b"trak":
+                n_tracks += 1
+        if not timescale:
+            return None
+        return duration * 1000 // timescale, timescale, n_tracks
+    return None
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """Audio metadata via Arrow-batched ``mapInPandas``: WAV (RIFF)
+    parses with pure stdlib; any other container still needs a codec
+    library and raises per payload (same honesty contract as
+    ``decode_image_meta``).  Malformed-after-signature payloads yield
+    null metadata (log-and-continue)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta: dict[str, list] = {
+                "sample_rate": [], "channels": [],
+                "bits_per_sample": [], "duration_ms": [], "n_bytes": [],
+            }
+            for b in pdf["payload"]:
+                data = bytes(b) if b is not None else b""
+                meta["n_bytes"].append(len(data))
+                if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        "only WAV (RIFF) parses without an audio codec "
+                        "library; this payload is not WAV"
+                    )
+                m = _wav_meta(data)
+                for k, v in zip(
+                    ("sample_rate", "channels", "bits_per_sample", "duration_ms"),
+                    m or (None,) * 4,
+                ):
+                    meta[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(meta["n_bytes"], dtype="int64"),
+                    "sample_rate": pd.Series(meta["sample_rate"], dtype="Int32"),
+                    "channels": pd.Series(meta["channels"], dtype="Int32"),
+                    "bits_per_sample": pd.Series(
+                        meta["bits_per_sample"], dtype="Int32"
+                    ),
+                    "duration_ms": pd.Series(meta["duration_ms"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """Video container metadata via Arrow-batched ``mapInPandas``: MP4
+    (ISO-BMFF) box trees parse with pure stdlib — duration, timescale,
+    track count from moov/mvhd/trak.  Frame DECODE still requires
+    ffmpeg and is deliberately absent (no silent fake); non-MP4
+    payloads raise per payload, malformed-after-signature ones yield
+    null metadata."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta: dict[str, list] = {
+                "duration_ms": [], "timescale": [], "n_tracks": [], "n_bytes": [],
+            }
+            for b in pdf["payload"]:
+                data = bytes(b) if b is not None else b""
+                meta["n_bytes"].append(len(data))
+                if data[4:8] != b"ftyp":
+                    raise NotImplementedError(
+                        "only MP4/ISO-BMFF parses without ffmpeg; this "
+                        "payload has no ftyp box"
+                    )
+                m = _mp4_meta(data)
+                for k, v in zip(
+                    ("duration_ms", "timescale", "n_tracks"), m or (None,) * 3
+                ):
+                    meta[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(meta["n_bytes"], dtype="int64"),
+                    "duration_ms": pd.Series(meta["duration_ms"], dtype="Int64"),
+                    "timescale": pd.Series(meta["timescale"], dtype="Int64"),
+                    "n_tracks": pd.Series(meta["n_tracks"], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=VIDEO_META_SCHEMA)

@@ -165,3 +165,89 @@ def test_decode_image_meta_png_without_pillow(spark):
         3,
     )
     assert rows[3]["width"] is None and rows[3]["n_bytes"] == 15
+
+
+def _make_wav(rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Minimal valid WAV via pure stdlib."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _make_mp4(timescale: int, duration: int, n_tracks: int) -> bytes:
+    """Minimal valid MP4 (ftyp + moov/mvhd + empty traks)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,  # rate/volume/matrix/next_track (don't care)
+    )
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def test_decode_audio_video_meta_stdlib(spark):
+    """WAV and MP4 container metadata must parse without any codec
+    library: duration/rate/track accounting is struct-layout work, not
+    decode work.  Malformed-after-signature payloads quarantine as
+    nulls; wrong-container payloads raise."""
+    from kafka_streams_repartition_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_video_meta,
+    )
+
+    audio = spark.createDataFrame(
+        [
+            (1, bytearray(_make_wav(16000, 1, 16, 16000)), "audio/wav"),
+            (2, bytearray(_make_wav(44100, 2, 16, 44100 * 3)), "audio/wav"),
+            (3, bytearray(b"RIFF\x04\x00\x00\x00WAVE"), "audio/wav"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_audio_meta(audio).collect()}
+    assert (
+        rows[1]["sample_rate"],
+        rows[1]["channels"],
+        rows[1]["duration_ms"],
+    ) == (16000, 1, 1000)
+    assert (rows[2]["sample_rate"], rows[2]["channels"]) == (44100, 2)
+    assert rows[2]["duration_ms"] == 3000
+    assert rows[3]["sample_rate"] is None  # malformed → nulls
+
+    video = spark.createDataFrame(
+        [
+            (1, bytearray(_make_mp4(600, 1800, 2)), "video/mp4"),
+            (2, bytearray(_make_mp4(90000, 90000 * 42, 1)), "video/mp4"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    vrows = {r["media_id"]: r for r in decode_video_meta(video).collect()}
+    assert (
+        vrows[1]["duration_ms"],
+        vrows[1]["timescale"],
+        vrows[1]["n_tracks"],
+    ) == (3000, 600, 2)
+    assert (vrows[2]["duration_ms"], vrows[2]["n_tracks"]) == (42000, 1)
+
+    import pytest as _pytest
+
+    not_wav = spark.createDataFrame(
+        [(9, bytearray(b"OggS rest-of-an-ogg"), "audio/ogg")], MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|not WAV"):
+        decode_audio_meta(not_wav).collect()
