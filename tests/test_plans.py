@@ -1036,15 +1036,18 @@ def test_table_profile_approx_two_scans_and_pruned(t):
     assert_read_schema_pruned(df, "lineitem", "l_discount")
 
 
-def test_dedup_embedding_lsh_ids_only_candidates(t):
-    """Corpus-wide embedding dedup: the candidate self-join must be on
-    (band, sig) — never a cartesian — and only the embeddings table is
-    touched; the documents/lineitem tables stay out of the plan."""
+def test_dedup_embedding_lsh_bucketed_verify_single_scan(t):
+    """Corpus-wide embedding dedup: ONE embeddings scan feeding the
+    (band, sig) bucket shuffle + Arrow verify — never a cartesian, no
+    pair-grained join, no other table touched."""
     from kafka_streams_repartition_spark.operators import dedup as dd
     from kafka_streams_repartition_spark.plans import count_scans_of
 
     df = dd.dedup_embedding_lsh(t)
+    plan = explain_str(df)
     assert_no_cartesian(df)
+    assert "Join" not in plan  # bucket verify, not a self-join
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
     assert count_scans_of(df, "lineitem") == 0
     assert count_scans_of(df, "documents") == 0
-    assert count_scans_of(df, "embeddings") >= 3  # sig + two vector roles
+    assert count_scans_of(df, "embeddings") == 1
