@@ -359,3 +359,96 @@ SELECT user_id,
            AS quartile
 FROM per_user
 """
+
+
+# --- CDC changelog merge (the MERGE INTO / Delta-upsert shape) --------------
+
+CDC_SINCE = "1998-01-01"
+
+
+def cdc_apply(t: dict[str, DataFrame]) -> DataFrame:
+    """Apply a CDC changelog batch to a snapshot — the lakehouse
+    ``MERGE INTO`` (and the batch form of the reference's compacted-
+    topic materialization: a KTable IS a snapshot + changelog,
+    ``sources/ktable.latest_per_key`` is the stream side of this op).
+
+    Semantics: per key, the changelog's LATEST operation (by sequence
+    number) wins — ``upsert`` replaces the snapshot value (or inserts a
+    new key), ``delete`` removes the key, untouched keys retain their
+    snapshot row.  Here: customers are the snapshot (value =
+    ``c_acctbal``), this year's orders are the changelog (seq =
+    ``o_orderkey``; finished orders act as deletes, open ones as
+    upserts of ``o_totalprice``) — synthetic op mapping, real merge
+    mechanics.
+
+    Scale shape: the changelog collapses to latest-per-key with ONE
+    whole-struct ``max_by`` aggregate (no ordered window over raw
+    rows, partial-combines map-side), then ONE co-keyed full-outer
+    join against the snapshot; the date filter pushes to the scan.  In
+    a lakehouse the delta is usually tiny — Spark broadcasts it and
+    the snapshot never shuffles (AQE decides from stats); both sides
+    here are comparable so the plan is an SMJ, which is also correct.
+    """
+    snap = t["customer"].select(
+        F.col("c_custkey").alias("cust_key"),
+        F.round("c_acctbal", 2).alias("snap_value"),
+    )
+    delta = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= CDC_SINCE)
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.round("o_totalprice", 2).alias("value"),
+        )
+    )
+    latest = (
+        delta.groupBy("cust_key")
+        .agg(F.expr("max_by(struct(op, value), seq)").alias("r"))
+        .select("cust_key", "r.op", "r.value")
+    )
+    merged = snap.join(latest, "cust_key", "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") == "upsert"))
+        .select(
+            "cust_key",
+            F.when(F.col("op").isNotNull(), F.col("value"))
+            .otherwise(F.col("snap_value"))
+            .alias("value"),
+            F.when(F.col("op").isNotNull(), F.lit("upserted"))
+            .otherwise(F.lit("retained"))
+            .alias("src"),
+        )
+    )
+
+
+CDC_APPLY_ORACLE = f"""
+WITH delta AS (
+    SELECT o_custkey AS cust_key, o_orderkey AS seq,
+           CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                ELSE 'upsert' END AS op,
+           round(o_totalprice, 2) AS value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{CDC_SINCE}'
+),
+latest AS (
+    SELECT cust_key, op, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cust_key ORDER BY seq DESC
+        ) AS rn
+        FROM delta
+    )
+    WHERE rn = 1
+)
+SELECT COALESCE(s.c_custkey, l.cust_key) AS cust_key,
+       CASE WHEN l.cust_key IS NOT NULL THEN l.value
+            ELSE round(s.c_acctbal, 2) END AS value,
+       CASE WHEN l.cust_key IS NOT NULL THEN 'upserted'
+            ELSE 'retained' END AS src
+FROM customer s
+FULL OUTER JOIN latest l ON s.c_custkey = l.cust_key
+WHERE l.op IS NULL OR l.op = 'upsert'
+"""

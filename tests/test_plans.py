@@ -1051,3 +1051,24 @@ def test_dedup_embedding_lsh_bucketed_verify_single_scan(t):
     assert count_scans_of(df, "lineitem") == 0
     assert count_scans_of(df, "documents") == 0
     assert count_scans_of(df, "embeddings") == 1
+
+
+def test_cdc_apply_aggregate_not_window(t):
+    """The changelog must collapse to latest-per-key via ONE max_by
+    aggregate (partial-combining) — never an ordered window over raw
+    changelog rows — with the date filter pushed to the orders scan
+    and one scan per table."""
+    from kafka_streams_repartition_spark.operators import relational as rel
+    from kafka_streams_repartition_spark.plans import (
+        assert_pushed_filters,
+        count_scans_of,
+    )
+
+    df = rel.cdc_apply(t)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    assert "max_by" in plan
+    assert count_scans_of(df, "orders") == 1
+    assert count_scans_of(df, "customer") == 1
+    assert_pushed_filters(df, "orders", "o_orderdate")
+    assert_no_cartesian(df)
