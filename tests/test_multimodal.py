@@ -251,3 +251,41 @@ def test_decode_audio_video_meta_stdlib(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|not WAV"):
         decode_audio_meta(not_wav).collect()
+
+
+def test_container_parsers_roundtrip_property():
+    """Hypothesis round-trip: any WAV/MP4 we can construct must parse
+    back to its own parameters (pure-function check — no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_repartition_spark.operators.multimodal import (
+        _mp4_meta,
+        _wav_meta,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        rate=st.integers(min_value=1, max_value=384_000),
+        channels=st.integers(min_value=1, max_value=8),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        n_samples=st.integers(min_value=0, max_value=2000),
+    )
+    def check_wav(rate, channels, bits, n_samples):
+        got = _wav_meta(_make_wav(rate, channels, bits, n_samples))
+        block = channels * bits // 8
+        want_ms = (n_samples * block) * 1000 // (rate * block)
+        assert got == (rate, channels, bits, want_ms)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        timescale=st.integers(min_value=1, max_value=10**6),
+        duration=st.integers(min_value=0, max_value=2**32 - 1),
+        n_tracks=st.integers(min_value=0, max_value=6),
+    )
+    def check_mp4(timescale, duration, n_tracks):
+        got = _mp4_meta(_make_mp4(timescale, duration, n_tracks))
+        assert got == (duration * 1000 // timescale, timescale, n_tracks)
+
+    check_wav()
+    check_mp4()

@@ -511,3 +511,95 @@ def test_mad_outliers_matches_reference(spark):
         assert got == _mad_reference(rows)
 
     check()
+
+
+# --- cdc_apply: merge semantics vs an independent pure-Python replay -------
+
+_SNAP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # c_custkey (collides)
+        st.integers(min_value=-400, max_value=400),  # acctbal quarters
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+# (o_orderkey, o_custkey, status, totalprice quarters, in_window)
+_CDC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**6),
+        st.integers(min_value=1, max_value=8),  # keys beyond the snapshot
+        st.sampled_from(["F", "O", "P"]),
+        st.integers(min_value=0, max_value=4000),
+        st.booleans(),
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+def _cdc_reference(snap, rows):
+    """Independent replay of the merge contract: latest in-window op
+    per key wins; delete removes, upsert replaces/inserts, untouched
+    keys retain."""
+    latest: dict[int, tuple] = {}
+    for seq, key, status, price_q, in_window in rows:
+        if not in_window:
+            continue
+        cur = latest.get(key)
+        if cur is None or seq > cur[0]:
+            op = "delete" if status == "F" else "upsert"
+            latest[key] = (seq, op, price_q * 0.25)
+    out = {}
+    for key, bal_q in snap:
+        if key in latest:
+            _, op, value = latest[key]
+            if op == "upsert":
+                out[key] = (value, "upserted")
+        else:
+            out[key] = (bal_q * 0.25, "retained")
+    for key, (_, op, value) in latest.items():
+        if op == "upsert" and not any(k == key for k, _ in snap):
+            out[key] = (value, "upserted")
+    return out
+
+
+def test_cdc_apply_matches_reference_replay(spark):
+    from kafka_streams_repartition_spark.operators.relational import (
+        CDC_SINCE,
+        cdc_apply,
+    )
+
+    in_day = f"{CDC_SINCE[:3]}9-01-01"  # one year inside the window
+    out_day = "1997-01-01"
+
+    @settings(**_SETTINGS)
+    @given(snap=_SNAP_ROWS, rows=_CDC_ROWS)
+    def check(snap, rows):
+        cust = spark.createDataFrame(
+            [(k, q * 0.25) for k, q in snap] or [(None, None)],
+            "c_custkey long, c_acctbal double",
+        ).filter(F.col("c_custkey").isNotNull())
+        orders = spark.createDataFrame(
+            [
+                (seq, key, status, q * 0.25, in_day if inw else out_day)
+                for seq, key, status, q, inw in rows
+            ]
+            or [(None, None, None, None, None)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, d string",
+        ).filter(F.col("o_orderkey").isNotNull()).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.to_timestamp("d").alias("o_orderdate"),
+        )
+        got = {
+            r["cust_key"]: (r["value"], r["src"])
+            for r in cdc_apply({"customer": cust, "orders": orders}).collect()
+        }
+        assert got == _cdc_reference(snap, rows)
+
+    check()

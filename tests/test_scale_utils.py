@@ -270,3 +270,59 @@ def test_stratified_kfold_hash_safe_for_large_ids(spark):
     got = {r["doc_id"]: r["fold"] for r in df.withColumn("fold", fold).collect()}
     want = {i: (i % 2**32) * KFOLD_MULT % 2**32 % KFOLD_K for i in ids}
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the runtime half of the skew story
+    (the compile-time half is `salted_agg`/`salted_event_counts`): a
+    hot join key must be split into multiple tasks by
+    OptimizeSkewedJoin, visible as `skew=true` in the final adaptive
+    plan.  This is the conf posture a 100 TB job relies on instead of
+    hand-salting every join."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # left: one hot key (0) with ~300k rows + uniform cold keys
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(100_000).select(
+            (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionByName(cold)
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+        )
+        joined = left.join(right, "k")
+        # execute the join's OWN queryExecution (count() would plan a
+        # separate aggregate query and leave this plan un-finalized)
+        assert len(joined.collect()) == 400_000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
