@@ -514,8 +514,46 @@ def table_profile_approx(t: dict[str, DataFrame]) -> DataFrame:
     HALF_UP-vs-half-even divergence; timestamps via epoch millis).  The
     exact count is over the same canonical domain, so the gate measures
     pure sketch error, not cast fidelity.
+
+    One-pass shape: a single fact scan feeds ONE (column, canon)
+    distinct exchange (map-side partial distinct), and since the md5
+    buckets PARTITION the distinct values, the per-(column, bucket)
+    aggregate yields both the HLL registers (``max`` rho — idempotent,
+    so distinct-then-register equals register-over-raw) AND the exact
+    count (``Σ`` per-bucket value counts) from the same ≤16-rows-per-
+    column frame — no second scan, no countDistinct Expand.
     """
-    from .sketches import _hll_estimate, _rho, _W_BITS
+    from .sketches import _hll_estimate
+
+    regs = _profile_approx_regs(t).localCheckpoint(
+        eager=False  # <=16 rows/column; feeds est + exact
+    )
+    exact = regs.groupBy("column_name").agg(
+        F.sum("n_vals").alias("n_distinct_exact")
+    )
+    rel_err = F.round(
+        F.abs(F.col("hll_estimate") - F.col("n_distinct_exact"))
+        / F.col("n_distinct_exact"),
+        4,
+    )
+    return (
+        _hll_estimate(regs, "column_name")
+        .join(exact, "column_name")
+        .select(
+            "column_name",
+            "n_distinct_exact",
+            "hll_estimate",
+            rel_err.alias("rel_err"),
+            (rel_err <= HLL_PROFILE_BOUND).alias("within_bound"),
+        )
+    )
+
+
+def _profile_approx_regs(t: dict[str, DataFrame]) -> DataFrame:
+    """Pre-checkpoint (column, bucket) register frame — exposed so the
+    plan gates can assert the single-scan/pruned shape below the
+    barrier (see ``table_profile_approx``)."""
+    from .sketches import _rho, _W_BITS
 
     li = t["lineitem"]
     canon = {
@@ -545,9 +583,10 @@ def table_profile_approx(t: dict[str, DataFrame]) -> DataFrame:
         )
         .select("p.column_name", "p.canon")
         .filter(F.col("canon").isNotNull())
+        .distinct()
     )
     h = F.md5(F.col("canon"))
-    regs = (
+    return (
         unp.select(
             "column_name",
             F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("bucket"),
@@ -556,26 +595,7 @@ def table_profile_approx(t: dict[str, DataFrame]) -> DataFrame:
             .alias("v60"),
         )
         .groupBy("column_name", "bucket")
-        .agg(F.max(_rho()).alias("m_j"))
-    )
-    exact = unp.groupBy("column_name").agg(
-        F.countDistinct("canon").alias("n_distinct_exact")
-    )
-    rel_err = F.round(
-        F.abs(F.col("hll_estimate") - F.col("n_distinct_exact"))
-        / F.col("n_distinct_exact"),
-        4,
-    )
-    return (
-        _hll_estimate(regs, "column_name")
-        .join(exact, "column_name")
-        .select(
-            "column_name",
-            "n_distinct_exact",
-            "hll_estimate",
-            rel_err.alias("rel_err"),
-            (rel_err <= HLL_PROFILE_BOUND).alias("within_bound"),
-        )
+        .agg(F.max(_rho()).alias("m_j"), F.count(F.lit(1)).alias("n_vals"))
     )
 
 

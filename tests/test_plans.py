@@ -1023,14 +1023,17 @@ def test_promotable_suppliers_copartitioned_two_role(t):
     assert_no_cartesian(df)
 
 
-def test_table_profile_approx_two_scans_and_pruned(t):
-    """The approx profile is estimate + exact-gate: exactly two
-    lineitem scans, both reading ONLY the six profiled columns."""
+def test_table_profile_approx_single_scan_and_pruned(t):
+    """The approx profile (pre-checkpoint register frame): ONE lineitem
+    scan reading ONLY the six profiled columns — registers AND the
+    exact count both derive from the one (column, canon) distinct
+    exchange, never a second scan or a countDistinct Expand."""
     from kafka_streams_repartition_spark.operators import analytics as an
     from kafka_streams_repartition_spark.plans import count_scans_of
 
-    df = an.table_profile_approx(t)
-    assert count_scans_of(df, "lineitem") == 2
+    df = an._profile_approx_regs(t)
+    assert count_scans_of(df, "lineitem") == 1
+    assert "Expand" not in explain_str(df)
     assert_no_cartesian(df)
     assert_read_schema_pruned(df, "lineitem", "l_tax")
     assert_read_schema_pruned(df, "lineitem", "l_discount")
