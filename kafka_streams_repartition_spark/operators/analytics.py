@@ -549,13 +549,13 @@ def table_profile_approx(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _profile_approx_regs(t: dict[str, DataFrame]) -> DataFrame:
-    """Pre-checkpoint (column, bucket) register frame — exposed so the
-    plan gates can assert the single-scan/pruned shape below the
-    barrier (see ``table_profile_approx``)."""
-    from .sketches import _rho, _W_BITS
-
-    li = t["lineitem"]
+def _profile_canon(li: DataFrame) -> DataFrame:
+    """(column_name, canon) unpivot of the profiled lineitem columns in
+    their canonical cross-engine string encoding (see
+    ``table_profile_approx``).  Works on batch AND streaming frames —
+    the streaming register build (``streaming.stream_table_profile``)
+    shares this exact encoding so its registers merge with batch ones.
+    """
     canon = {
         "l_orderkey": F.col("l_orderkey").cast("string"),
         "l_partkey": F.col("l_partkey").cast("string"),
@@ -568,7 +568,7 @@ def _profile_approx_regs(t: dict[str, DataFrame]) -> DataFrame:
         "l_returnflag": F.col("l_returnflag"),
         "l_shipdate": F.unix_millis("l_shipdate").cast("string"),
     }
-    unp = (
+    return (
         li.select(
             F.explode(
                 F.array(
@@ -583,17 +583,31 @@ def _profile_approx_regs(t: dict[str, DataFrame]) -> DataFrame:
         )
         .select("p.column_name", "p.canon")
         .filter(F.col("canon").isNotNull())
-        .distinct()
     )
+
+
+def _profile_buckets(unp: DataFrame) -> DataFrame:
+    """(column_name, bucket, v60) register parts from a canon frame."""
+    from .sketches import _W_BITS
+
     h = F.md5(F.col("canon"))
+    return unp.select(
+        "column_name",
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(h, 2, _W_BITS // 4), 16, 10)
+        .cast("long")
+        .alias("v60"),
+    )
+
+
+def _profile_approx_regs(t: dict[str, DataFrame]) -> DataFrame:
+    """Pre-checkpoint (column, bucket) register frame — exposed so the
+    plan gates can assert the single-scan/pruned shape below the
+    barrier (see ``table_profile_approx``)."""
+    from .sketches import _rho
+
     return (
-        unp.select(
-            "column_name",
-            F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("bucket"),
-            F.conv(F.substring(h, 2, _W_BITS // 4), 16, 10)
-            .cast("long")
-            .alias("v60"),
-        )
+        _profile_buckets(_profile_canon(t["lineitem"]).distinct())
         .groupBy("column_name", "bucket")
         .agg(F.max(_rho()).alias("m_j"), F.count(F.lit(1)).alias("n_vals"))
     )

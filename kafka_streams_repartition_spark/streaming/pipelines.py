@@ -578,3 +578,26 @@ def stream_cusum_changepoint(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_table_profile(lineitems: DataFrame) -> DataFrame:
+    """Streaming data-quality profile: per-column HLL registers over an
+    unbounded lineitem feed — ``groupBy(column, bucket).max(rho)`` in
+    update mode, state AT MOST |columns|×16 rows whatever the
+    cardinality.  The canonical value encoding is SHARED with the
+    batch ``analytics.table_profile_approx`` (same ``_profile_canon``),
+    so streaming registers equal — and merge associatively with — the
+    batch registers over the same rows (tested), and the estimate
+    formula (``sketches._hll_estimate``) reads either.  This is the
+    continuous monitor whose batch counterpart is the audit-time gate:
+    cardinality drift on a 100 TB feed shows up without ever re-
+    touching raw history.
+    """
+    from ..operators.analytics import _profile_buckets, _profile_canon
+    from ..operators.sketches import _rho
+
+    return (
+        _profile_buckets(_profile_canon(lineitems))
+        .groupBy("column_name", "bucket")
+        .agg(F.max(_rho()).alias("m_j"))
+    )

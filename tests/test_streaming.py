@@ -968,3 +968,42 @@ def test_stream_cusum_equals_batch(spark, tmp_path):
     assert final == want
     # both batches contributed registers for at least one type
     assert {r["event_type"] for r in first} & {r["event_type"] for r in second}
+
+
+def test_stream_table_profile_registers_equal_batch(spark, tmp_path):
+    """Streaming per-column profile registers across micro-batches ==
+    the batch register frame over the same rows (shared canonical
+    encoding; associative max), with ≤ columns×16 state rows."""
+    from kafka_streams_repartition_spark.operators.analytics import (
+        _profile_approx_regs,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        run_to_memory_available_now,
+        stream_table_profile,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    li = t["lineitem"]
+    cols = li.columns
+    src = str(tmp_path / "src")
+    li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = stream_table_profile(
+        spark.readStream.schema(li.schema).parquet(src).select(cols)
+    )
+    got = {
+        (r["column_name"], r["bucket"]): r["m_j"]
+        for r in run_to_memory_available_now(spark, stream).collect()
+    }
+    want = {
+        (r["column_name"], r["bucket"]): r["m_j"]
+        for r in _profile_approx_regs(t).collect()
+    }
+    assert got == want
+    assert 0 < len(got) <= 6 * 16
