@@ -391,7 +391,7 @@ def cdc_apply(t: dict[str, DataFrame]) -> DataFrame:
     """
     snap = t["customer"].select(
         F.col("c_custkey").alias("cust_key"),
-        F.round("c_acctbal", 2).alias("snap_value"),
+        F.round("c_acctbal", 2).alias("value"),
     )
     delta = (
         t["orders"]
@@ -405,24 +405,7 @@ def cdc_apply(t: dict[str, DataFrame]) -> DataFrame:
             F.round("o_totalprice", 2).alias("value"),
         )
     )
-    latest = (
-        delta.groupBy("cust_key")
-        .agg(F.expr("max_by(struct(op, value), seq)").alias("r"))
-        .select("cust_key", "r.op", "r.value")
-    )
-    merged = snap.join(latest, "cust_key", "full_outer")
-    return (
-        merged.filter(F.col("op").isNull() | (F.col("op") == "upsert"))
-        .select(
-            "cust_key",
-            F.when(F.col("op").isNotNull(), F.col("value"))
-            .otherwise(F.col("snap_value"))
-            .alias("value"),
-            F.when(F.col("op").isNotNull(), F.lit("upserted"))
-            .otherwise(F.lit("retained"))
-            .alias("src"),
-        )
-    )
+    return apply_changelog(snap, delta, key="cust_key")
 
 
 CDC_APPLY_ORACLE = f"""
@@ -452,3 +435,44 @@ FROM customer s
 FULL OUTER JOIN latest l ON s.c_custkey = l.cust_key
 WHERE l.op IS NULL OR l.op = 'upsert'
 """
+
+
+def apply_changelog(
+    snapshot: DataFrame, delta: DataFrame, key: str = "key"
+) -> DataFrame:
+    """The reusable CDC merge core behind :func:`cdc_apply` and the
+    streaming snapshot maintainer (``streaming/snapshot.py``):
+    ``snapshot(key, value) ⊕ delta(key, seq, op, value)`` →
+    ``(key, value, src)`` where the delta's latest op per key (by
+    ``seq``) wins — ``upsert`` replaces/inserts, ``delete`` removes,
+    untouched keys retain (``src`` ∈ upserted/retained).
+
+    Incremental-apply identity: ``apply(apply(S, D1), D2) ==
+    apply(S, D1 ∪ D2)`` whenever the batch cut respects per-key ``seq``
+    order — which a changelog does by construction (a key's later ops
+    land in later batches).  That identity is what lets micro-batches
+    maintain the snapshot continuously.
+    """
+    latest = (
+        delta.groupBy(key)
+        .agg(F.expr("max_by(struct(op, value), seq)").alias("r"))
+        .select(
+            key,
+            F.col("r.op").alias("__op"),
+            F.col("r.value").alias("__dv"),
+        )
+    )
+    snap = snapshot.select(key, F.col("value").alias("__sv"))
+    merged = snap.join(latest, key, "full_outer")
+    return (
+        merged.filter(F.col("__op").isNull() | (F.col("__op") == "upsert"))
+        .select(
+            key,
+            F.when(F.col("__op").isNotNull(), F.col("__dv"))
+            .otherwise(F.col("__sv"))
+            .alias("value"),
+            F.when(F.col("__op").isNotNull(), F.lit("upserted"))
+            .otherwise(F.lit("retained"))
+            .alias("src"),
+        )
+    )

@@ -1007,3 +1007,87 @@ def test_stream_table_profile_registers_equal_batch(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) <= 6 * 16
+
+
+def test_maintain_snapshot_equals_batch_merge(spark, tmp_path):
+    """The continuously-maintained snapshot after draining a two-batch
+    changelog must equal the one-shot batch merge of the full changelog
+    (apply_changelog's incremental identity), with the version pointer
+    advanced, prior versions retained, and a REPLAYED batch skipped."""
+    from kafka_streams_repartition_spark.operators.relational import (
+        CDC_SINCE,
+        apply_changelog,
+        cdc_apply,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        maintain_snapshot,
+        prune_versions,
+        read_snapshot,
+        snapshot_version,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    delta_all = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= CDC_SINCE)
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.round("o_totalprice", 2).alias("value"),
+        )
+    )
+    cut = delta_all.approxQuantile("seq", [0.5], 0.0)[0]
+    src = str(tmp_path / "delta")
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    # seed the snapshot store with the customer base via a synthetic
+    # batch of upserts (seq below every real one)
+    base = t["customer"].select(
+        F.col("c_custkey").alias("cust_key"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.round("c_acctbal", 2).alias("value"),
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    schema = "cust_key long, seq long, op string, value double"
+    run = lambda: maintain_snapshot(  # noqa: E731
+        spark,
+        spark.readStream.schema(schema).parquet(src),
+        root,
+        ckpt,
+        key="cust_key",
+    )
+    run()
+    delta_all.filter(F.col("seq") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    delta_all.filter(F.col("seq") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = {
+        (r["cust_key"], r["value"])
+        for r in read_snapshot(spark, root).collect()
+    }
+    want = {
+        (r["cust_key"], r["value"]) for r in cdc_apply(t).collect()
+    }
+    assert got == want
+    v = snapshot_version(root)
+    assert v is not None and v >= 2  # three batches applied
+    # replay skip: calling fold again for an old batch id is a no-op —
+    # simulate by re-running the drained stream (no new files)
+    run()
+    assert snapshot_version(root) == v
+    # prune keeps the committed version readable
+    prune_versions(root, keep=1)
+    assert {
+        (r["cust_key"], r["value"])
+        for r in read_snapshot(spark, root).collect()
+    } == want
