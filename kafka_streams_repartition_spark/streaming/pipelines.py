@@ -223,6 +223,44 @@ def stream_interval_join(
     return l.join(r, cond).drop(r[key])
 
 
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER form of :func:`stream_interval_join` — Kafka Streams'
+    ``KStream.leftJoin(KStream, JoinWindows)``: every left row emits;
+    unmatched ones emit null-padded ONCE THE WATERMARK PASSES its join
+    window's end (only then can "no match" be final — the same
+    window-close reasoning Kafka Streams applies via its spurious-
+    left-join fix, KIP-633's grace period).
+
+    Emission-timing caveat inherent to the model: a left row whose
+    window end is still ahead of the watermark when the query stops has
+    not proven unmatched and is NOT emitted — a drained finite stream
+    therefore null-pads only rows whose window the final watermark
+    passed.  Tests (and bounded replays) append a max-timestamp
+    sentinel to advance the watermark over every real row's window.
+
+    State bound and shuffle shape are identical to the inner form; the
+    outer side additionally retains matched/unmatched bits until
+    eviction.  Inner-join rows stream out immediately; null-padded rows
+    trail by up to (watermark + within).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "leftOuter").drop(r[key])
+
+
 def stream_hll_registers(events: DataFrame) -> DataFrame:
     """Streaming HyperLogLog register build: update/complete-mode
     ``groupBy(bucket).max(rho)`` over an unbounded user stream.

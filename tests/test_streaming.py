@@ -1091,3 +1091,71 @@ def test_maintain_snapshot_equals_batch_merge(spark, tmp_path):
         (r["cust_key"], r["value"])
         for r in read_snapshot(spark, root).collect()
     } == want
+
+
+def test_stream_interval_join_outer_null_pads_on_window_close(spark, tmp_path):
+    """Left-outer stream-stream interval join: matched impressions emit
+    enriched, unmatched ones emit null-padded once the watermark passes
+    their window end (a max-ts sentinel advances it over every real
+    window), and the drained result equals the batch leftOuter join."""
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_interval_join_outer,
+    )
+
+    from datetime import datetime as dt
+
+    ts = lambda h, m: dt(2026, 1, 1, h, m)  # noqa: E731
+    sentinel = dt(2026, 1, 2, 0, 0)
+    imps = spark.createDataFrame(
+        [
+            (ts(10, 0), 1, "ad-a"),   # matched by the 10:30 click
+            (ts(10, 0), 2, "ad-b"),   # no click for user 2 -> null-padded
+            (ts(12, 0), 1, "ad-c"),   # matched by the 12:10 click
+            (sentinel, -999, "ad-sentinel"),
+        ],
+        "imp_ts timestamp, user_id bigint, ad_id string",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (ts(10, 30), 1, 5.0),   # joins ad-a (within 1h)
+            (ts(11, 30), 1, 7.0),   # ad-a window closed at 11:00 -> no join
+            (ts(12, 10), 1, 9.0),   # joins ad-c
+            (sentinel, -998, 0.0),
+        ],
+        "click_ts timestamp, user_id bigint, click_value double",
+    )
+    imp_src, click_src = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imps.coalesce(1).write.parquet(imp_src)
+    clicks.coalesce(1).write.parquet(click_src)
+
+    joined = stream_interval_join_outer(
+        spark.readStream.schema(imps.schema).parquet(imp_src),
+        spark.readStream.schema(clicks.schema).parquet(click_src),
+        key="user_id",
+        left_ts="imp_ts",
+        right_ts="click_ts",
+        within="1 hour",
+        watermark="0 seconds",
+    )
+    rows = run_foreach_batch_available_now(
+        spark, joined, str(tmp_path / "ckpt"), mode="append"
+    )
+    got = sorted(
+        (r["ad_id"], r["click_value"])
+        for r in rows
+        if r["ad_id"] != "ad-sentinel"
+    )
+    assert got == [("ad-a", 5.0), ("ad-b", None), ("ad-c", 9.0)]
+
+    cond = (
+        (imps["user_id"] == clicks["user_id"])
+        & (clicks["click_ts"] >= imps["imp_ts"])
+        & (clicks["click_ts"] <= imps["imp_ts"] + F.expr("INTERVAL 1 hour"))
+    )
+    want = sorted(
+        (r["ad_id"], r["click_value"])
+        for r in imps.join(clicks, cond, "leftOuter").collect()
+        if r["ad_id"] != "ad-sentinel"
+    )
+    assert got == want
