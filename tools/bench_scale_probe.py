@@ -31,6 +31,19 @@ HEADLINE = [
     "mad_outliers",
     "first_touch_attribution",
     "pickup_order_nested",
+    # LLM-pipeline heavies (documents/embeddings scale 10x with the
+    # fact): linear-expected plans — span/minhash dedup, label
+    # propagation, curation, query-bounded ANN, and the CDC merge.
+    # dedup_embedding_lsh is deliberately NOT here: its OUTPUT is
+    # pair-quadratic on this synthetic geometry (54% candidate ratio
+    # at threshold 0.3), so a row-linearity bar does not apply — its
+    # sf1 behavior is measured and discussed separately in STATUS.
+    "cdc_apply",
+    "span_dedup",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "corpus_curation",
+    "ann_topk_vectorized",
 ]
 
 RATIO_BAR = 12.0
