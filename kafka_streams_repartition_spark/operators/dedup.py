@@ -731,7 +731,71 @@ def _embdup_band_structs() -> list[F.Column]:
     return out
 
 
-def dedup_embedding_lsh(t: dict[str, DataFrame]) -> DataFrame:
+EMBDUP_BUCKET_CAP = 2048  # max rows per verify CHUNK: one tile task holds at
+# most two chunks, so peak task memory is ~cap² doubles for the cosine block
+# (2048² × 8 B ≈ 33 MB) + 2·cap vectors — bounded no matter how degenerate a
+# (band, sig) bucket gets (adversarial clustered data can put ~N/2^planes of
+# the corpus in ONE bucket; without the cap that task does an O(n²) matmul
+# in one Arrow group and OOMs).
+
+
+def _embdup_tiled_sigs(sigs: DataFrame, cap: int) -> DataFrame:
+    """Tile oversize (band, sig) buckets into bounded chunk-pair tasks.
+
+    Each bucket of n rows is hash-split into k = ceil(n / cap) chunks
+    (deterministic ``xxhash64(vec_id)`` — the oracle never sees chunks,
+    because tiling is output-invariant: the tiles PARTITION the bucket's
+    pair set).  A row in chunk c is replicated into the k tiles
+    {(min(c, j), max(c, j)) : j < k}, so tile (i, j) holds exactly
+    chunks i and j and every within-bucket pair lives in exactly one
+    tile: (ca, cb) pairs in tile (min, max); same-chunk pairs in the
+    diagonal tile.  Replication factor is k — the O(n²/cap) row cost of
+    verifying n² pairs with cap²-bounded tasks, paid ONLY by buckets
+    that actually exceed ``cap`` (k = 1 ⇒ one tile, zero overhead,
+    identical to the untiled plan).
+
+    Bucket sizes come from a separate count aggregation over a second
+    signature computation: ≤ bands × 2^planes rows after map-side
+    partial agg, always broadcast.  Recomputing the 48 dots per vector
+    is deliberate — at scale, repeating embarrassingly-parallel map
+    work is cheaper than localCheckpointing a 12×-corpus frame with
+    vectors attached.
+    """
+    sizes = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("bn"))
+    k = F.ceil(F.col("bn") / F.lit(cap)).cast("int")
+    return (
+        sigs.join(F.broadcast(sizes), ["band", "sig"])
+        .withColumn("n_chunks", k)
+        .withColumn(
+            "chunk",
+            F.pmod(F.xxhash64("vec_id", F.lit("embdup-tile")), F.col("n_chunks")).cast(
+                "int"
+            ),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "band",
+            "sig",
+            "chunk",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "band",
+            "sig",
+            "chunk",
+            F.least("chunk", "other").alias("tile_i"),
+            F.greatest("chunk", "other").alias("tile_j"),
+        )
+        .dropDuplicates(["vec_id", "band", "sig", "tile_i", "tile_j"])
+    )
+
+
+def dedup_embedding_lsh(
+    t: dict[str, DataFrame], bucket_cap: int | None = None
+) -> DataFrame:
     """FULL-corpus embedding near-dup: every pair whose exact cosine is
     ≥ ``EMBED_COSINE_THRESHOLD``, candidate-blocked by banded
     hyperplane signatures so the corpus never all-pairs-joins itself
@@ -740,7 +804,7 @@ def dedup_embedding_lsh(t: dict[str, DataFrame]) -> DataFrame:
 
     Scale shape: signatures are MAP-SIDE (fixed plane literals, no
     lookup); each vector shuffles once per band into its (band, sig)
-    bucket, and verification runs PER BUCKET as an Arrow-batched
+    bucket, and verification runs PER BUCKET TILE as an Arrow-batched
     BLAS matmul (``applyInPandas`` — the ``ann_topk_vectorized`` scan
     pattern): the ≥-threshold filter prunes ~99% of collisions inside
     the bucket, so the only pair-grained frame that ever exists is the
@@ -749,14 +813,22 @@ def dedup_embedding_lsh(t: dict[str, DataFrame]) -> DataFrame:
     + two vector join-backs (22 s — re-shuffles the quadratic pair
     table with vectors attached) and a JVM per-pair ``dot_unrolled``
     join projection (12 s — 128 ``element_at`` virtual calls per
-    pair).  The BLAS bucket verify is ~2 s.  Bucket width (bands ×
-    planes) is the skew knob: a bucket must fit one Arrow group.
+    pair).  The BLAS bucket verify is ~2 s.
+
+    Hot buckets are CAPPED: a (band, sig) bucket larger than
+    ``EMBDUP_BUCKET_CAP`` is hash-split into chunk-pair tiles (see
+    :func:`_embdup_tiled_sigs`), so a degenerate bucket — thousands of
+    near-identical vectors landing on one signature — becomes many
+    bounded ~cap×cap BLAS tasks instead of one O(n²)-memory task.
+    Tiling partitions the pair set exactly, so the output (and the
+    DuckDB oracle, which models buckets but not tiles) is unchanged.
     Recall of the banding is measured by
     :func:`dedup_embedding_recall` (see the sizing comment above).
     """
     import numpy as np
     import pandas as pd
 
+    cap = bucket_cap or EMBDUP_BUCKET_CAP
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -770,30 +842,52 @@ def dedup_embedding_lsh(t: dict[str, DataFrame]) -> DataFrame:
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
     )
+    tiled = _embdup_tiled_sigs(sigs, cap)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+        )
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "cosine": []}
-            ).astype({"doc_a": "int64", "doc_b": "int64", "cosine": "float64"})
-        V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((V * V).sum(axis=1))
-        C = (V @ V.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        c = np.round(C[iu, ju], 4)
-        keep = c >= EMBED_COSINE_THRESHOLD
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        ti, tj = int(pdf["tile_i"].iat[0]), int(pdf["tile_j"].iat[0])
+        if ti == tj:  # diagonal tile: within-chunk upper-triangle pairs
+            ids = pdf["vec_id"].to_numpy()
+            if len(ids) < 2:
+                return _empty()
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            C = (V @ V.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            c = np.round(C[iu, ju], 4)
+            keep = c >= EMBED_COSINE_THRESHOLD
+            a, b, c = ids[iu[keep]], ids[ju[keep]], c[keep]
+        else:  # off-diagonal tile: chunk-i × chunk-j cross pairs only
+            left = pdf[pdf["chunk"] == ti]
+            right = pdf[pdf["chunk"] == tj]
+            if left.empty or right.empty:
+                return _empty()
+            A = np.vstack(left["v"].to_numpy()).astype(np.float64)
+            B = np.vstack(right["v"].to_numpy()).astype(np.float64)
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            C = (A @ B.T) / np.outer(na, nb)
+            c = np.round(C.ravel(), 4)
+            keep = c >= EMBED_COSINE_THRESHOLD
+            ia, ib = np.divmod(np.flatnonzero(keep), B.shape[0])
+            a = left["vec_id"].to_numpy()[ia]
+            b = right["vec_id"].to_numpy()[ib]
+            c = c[keep]
         return pd.DataFrame(
             {
                 "doc_a": np.minimum(a, b),
                 "doc_b": np.maximum(a, b),
-                "cosine": c[keep],
+                "cosine": c,
             }
         )
 
     return (
-        sigs.groupBy("band", "sig")
+        tiled.groupBy("band", "sig", "tile_i", "tile_j")
         .applyInPandas(verify, "doc_a long, doc_b long, cosine double")
         .distinct()
     )

@@ -488,7 +488,10 @@ def stream_ewma_user_value(events: DataFrame) -> DataFrame:
     the batch value (equivalence-tested across a mid-stream cut).
     Batch equivalence needs event-time-ordered CROSS-batch arrival,
     same as ``stream_first_touch_attribution``; within a batch rows
-    are replayed in (ms, event_id) order.
+    are replayed in (ms ASC, event_id DESC) order — the exact REVERSE
+    of the batch rank order (ts DESC, event_id ASC), so a user with
+    two events at the same timestamp gets the same weight-1 slot
+    (the LOWER event_id) in both engines.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -502,7 +505,10 @@ def stream_ewma_user_value(events: DataFrame) -> DataFrame:
         s, w, n = state.get if state.exists else (0.0, 0.0, 0)
         touched = False
         for pdf in batches:
-            pdf = pdf.sort_values(["ms", "event_id"])
+            # The batch form ranks (ts DESC, event_id ASC); the fold must
+            # consume rows in the exact reverse of that rank order, which
+            # for a ts tie means the HIGHER event_id comes FIRST.
+            pdf = pdf.sort_values(["ms", "event_id"], ascending=[True, False])
             for v in pdf["value"]:
                 s = EWMA_DECAY * s + float(v)
                 w = EWMA_DECAY * w + 1.0

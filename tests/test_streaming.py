@@ -929,6 +929,50 @@ def test_stream_ewma_equals_batch(spark, tmp_path):
     assert {r["user_id"] for r in first} & {r["user_id"] for r in second}
 
 
+def test_stream_ewma_tie_order_matches_batch(spark, tmp_path):
+    """Regression: a user with two DIFFERENT values at the SAME
+    timestamp.  The batch rank (ts DESC, event_id ASC) gives the
+    weight-1 slot to the LOWER event_id; the streaming fold must
+    consume rows in the exact reverse order (ms ASC, event_id DESC)
+    so the same event lands that slot.  The two candidate orders give
+    different ewma values here, so a wrong tiebreak fails loudly."""
+    from kafka_streams_repartition_spark.operators import windows as win
+    from kafka_streams_repartition_spark.streaming import (
+        run_foreach_batch_available_now,
+        stream_ewma_user_value,
+    )
+
+    ev = spark.createDataFrame(
+        # user 7: event 1 and event 2 both at ms=1000, values 10 vs 90.
+        # Batch: rn=1 → event_id 1 (value 10, weight 1), rn=2 → event 2
+        # (value 90, weight 0.5): ewma = (10 + 45) / 1.5 = 36.6667.
+        # The wrong order gives (90 + 5) / 1.5 = 63.3333.
+        [(7, 1000, 1, 10.0), (7, 1000, 2, 90.0), (8, 500, 3, 4.0)],
+        "user_id long, ms long, event_id long, value double",
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id",
+        "value",
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    out = run_foreach_batch_available_now(
+        spark,
+        stream_ewma_user_value(spark.readStream.schema(ev.schema).parquet(src)),
+        ckpt,
+        mode="update",
+    )
+    got = {r["user_id"]: (r["ewma_value"], r["n_events"]) for r in out}
+    want = {
+        r["user_id"]: (r["ewma_value"], r["n_events"])
+        for r in win.ewma_user_value({"events": ev}).collect()
+    }
+    assert got == want
+    assert got[7] == (36.6667, 2)
+
+
 def test_stream_cusum_equals_batch(spark, tmp_path):
     """The streaming CUSUM (per-type day-register state) must end at
     the batch changepoint rows after draining both micro-batches."""
