@@ -131,6 +131,60 @@ def test_incremental_dedup_verdicts_consistent(t):
     assert {r["doc_id"] for r in rows} == new_ids
 
 
+def test_embdup_hot_bucket_tiled_and_exact(spark):
+    """Adversarial hot bucket: hundreds of near-identical vectors all
+    land on ONE (band, sig) signature per band.  The cap must split
+    that bucket into bounded chunk-pair tiles (no tile task ever holds
+    more than a few chunks' rows) while the output stays EXACTLY the
+    full within-bucket pair set — tiling partitions pairs, it never
+    drops or duplicates one."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    n, cap = 400, 64
+    vecs = [
+        (i, (base + 1e-9 * rng.normal(size=64)).tolist()) for i in range(n)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    t2 = {"embeddings": emb}
+
+    out = dd.dedup_embedding_lsh(t2, bucket_cap=cap).toPandas()
+    # every pair survives (cosine ≈ 1): the exact full pair set, once
+    assert len(out) == n * (n - 1) // 2
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+    assert (out["cosine"] >= 0.999).all()
+
+    # the tile construction actually bounded the tasks: every
+    # (band, sig, tile) group holds ≤ 2 hash-chunks' rows (≲ 2·cap up
+    # to multinomial skew), and the degenerate bucket became k(k+1)/2
+    # tiles per band instead of one n-row group
+    from kafka_streams_repartition_spark.functions.vectors import (
+        to_double_array,
+    )
+    from kafka_streams_repartition_spark.sources.tables import fan_out
+
+    sigs = (
+        fan_out(emb)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            F.explode(F.array(*dd._embdup_band_structs())).alias("bs"),
+        )
+        .select("vec_id", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    tiled = dd._embdup_tiled_sigs(sigs, cap)
+    per_tile = (
+        tiled.groupBy("band", "sig", "tile_i", "tile_j").count().toPandas()
+    )
+    k = -(-n // cap)  # ceil
+    assert per_tile["count"].max() <= 4 * cap
+    assert (
+        per_tile.groupby("band").size().max() == k * (k + 1) // 2
+    )
+
+
 def test_pca_unit_norm_and_positive_eigenvalue(spark, sf_dir):
     """The power-iteration output must be a unit vector (L2 norm 1 up
     to the 12-decimal resync) with a positive eigenvalue — the Gram

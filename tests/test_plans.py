@@ -1040,20 +1040,27 @@ def test_table_profile_approx_single_scan_and_pruned(t):
 
 
 def test_dedup_embedding_lsh_bucketed_verify_single_scan(t):
-    """Corpus-wide embedding dedup: ONE embeddings scan feeding the
-    (band, sig) bucket shuffle + Arrow verify — never a cartesian, no
-    pair-grained join, no other table touched."""
+    """Corpus-wide embedding dedup: the (band, sig) bucket shuffle +
+    Arrow tile verify — never a cartesian, never a pair-grained
+    SHUFFLE join, no other table touched.  Two embeddings scans are
+    the contract since the hot-bucket cap: one computes bucket sizes
+    (collapses map-side to ≤ bands × 2^planes rows and joins back as a
+    BROADCAST — the only join in the plan), one feeds the verify."""
     from kafka_streams_repartition_spark.operators import dedup as dd
     from kafka_streams_repartition_spark.plans import count_scans_of
 
     df = dd.dedup_embedding_lsh(t)
     plan = explain_str(df)
     assert_no_cartesian(df)
-    assert "Join" not in plan  # bucket verify, not a self-join
+    # the sizes join must be broadcast; a sort-merge/shuffled-hash join
+    # here would mean the pair-table-with-vectors shape we rejected
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
     assert count_scans_of(df, "lineitem") == 0
     assert count_scans_of(df, "documents") == 0
-    assert count_scans_of(df, "embeddings") == 1
+    assert count_scans_of(df, "embeddings") == 2
 
 
 def test_cdc_apply_aggregate_not_window(t):
