@@ -179,6 +179,134 @@ def test_dim_refresh_lands_on_restart(spark, tmp_path):
     assert got == {"o1": 10.0, "o2": 99.0}
 
 
+def test_stream_pickup_orders_live_dims_batch_parity(spark, tmp_path):
+    """(a) With dims untouched, the live-dims foreachBatch topology
+    drained over two micro-batches equals the one-shot batch
+    enrichment — same orders, same nested items, same prices."""
+    from kafka_streams_repartition_spark.operators.pickup_order import (
+        enrich_pickup_orders,
+    )
+    from kafka_streams_repartition_spark.streaming import (
+        stream_pickup_orders_live_dims,
+    )
+
+    ref = generate_reference_tables(spark, n_orders=60, seed=31)
+    paths = {}
+    for dim in ("users", "stores", "products"):
+        paths[dim] = str(tmp_path / dim)
+        ref[dim].write.mode("overwrite").parquet(paths[dim])
+    src = str(tmp_path / "orders")
+    po = ref["purchase_orders"]
+    half = F.crc32(F.col("order_id")) % 2
+    po.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+    po.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+
+    emitted = stream_pickup_orders_live_dims(
+        spark,
+        spark.readStream.schema(po.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        paths["users"],
+        paths["stores"],
+        paths["products"],
+        str(tmp_path / "ckpt_parity"),
+    )
+
+    def key(rows):
+        return {
+            r["order_id"]: [
+                (i["sku"], i["quantity"], i["price"]) for i in r["items"]
+            ]
+            for r in rows
+        }
+
+    want = key(
+        enrich_pickup_orders(
+            po, ref["users"], ref["stores"], ref["products"]
+        ).collect()
+    )
+    assert key(emitted) == want and want
+
+
+def test_stream_pickup_orders_live_dims_update_lands_next_batch(
+    spark, tmp_path
+):
+    """(b) The reference-semantics counterpart of
+    ``test_dim_refresh_lands_on_restart``: a product-price upsert made
+    BETWEEN micro-batches (while the query runs, no restart) must be
+    visible to the next batch's orders — KTable state advancing
+    mid-stream (Streams.java:107-115)."""
+    from kafka_streams_repartition_spark.operators.pickup_order import (
+        enrich_pickup_orders,
+    )
+    from kafka_streams_repartition_spark.streaming import (
+        stream_pickup_orders_live_dims,
+    )
+
+    ref = generate_reference_tables(spark, n_orders=60, seed=31)
+    paths = {}
+    for dim in ("users", "stores", "products"):
+        paths[dim] = str(tmp_path / dim)
+        ref[dim].write.mode("overwrite").parquet(paths[dim])
+    # the upsert, built from the IN-MEMORY fixture frame so writing it
+    # over the dim path mid-query is not a read-from-overwritten-source
+    products_v2 = ref["products"].withColumn(
+        "price", (F.col("price") * 2).cast(ref["products"].schema["price"].dataType)
+    )
+    src = str(tmp_path / "orders")
+    po = ref["purchase_orders"]
+    half = F.crc32(F.col("order_id")) % 2
+    po.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+    po.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+
+    per_batch: dict[int, list] = {}
+
+    def on_batch(batch_id, rows):
+        per_batch[batch_id] = rows
+        if batch_id == 0:  # upsert lands while the query is running
+            products_v2.write.mode("overwrite").parquet(paths["products"])
+
+    stream_pickup_orders_live_dims(
+        spark,
+        spark.readStream.schema(po.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        paths["users"],
+        paths["stores"],
+        paths["products"],
+        str(tmp_path / "ckpt_live"),
+        on_batch=on_batch,
+    )
+    assert set(per_batch) == {0, 1}
+    assert per_batch[0] and per_batch[1]
+
+    def key(rows):
+        return {
+            r["order_id"]: [
+                (i["sku"], i["quantity"], i["price"]) for i in r["items"]
+            ]
+            for r in rows
+        }
+
+    # batch 0 saw v1 prices, batch 1 saw v2 — each equal to the batch
+    # enrichment against THAT dim snapshot, restricted to its orders
+    want_v1 = key(
+        enrich_pickup_orders(
+            po, ref["users"], ref["stores"], ref["products"]
+        ).collect()
+    )
+    want_v2 = key(
+        enrich_pickup_orders(
+            po, ref["users"], ref["stores"], products_v2
+        ).collect()
+    )
+    got0, got1 = key(per_batch[0]), key(per_batch[1])
+    assert got0 == {k: want_v1[k] for k in got0}
+    assert got1 == {k: want_v2[k] for k in got1}
+    # and the update genuinely changed what batch 1 emitted
+    assert any(want_v1[k] != want_v2[k] for k in got1)
+
+
 def test_migrate_v1_stream_tws_matches_legacy_api(spark, tmp_path):
     """Both stateful APIs (applyInPandasWithState and Spark 4's
     transformWithStateInPandas) fold the same replay to the same state."""
