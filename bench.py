@@ -35,6 +35,16 @@ import __spark_entry__ as entrymod
 from kafka_streams_repartition_spark.session import get_spark
 
 
+def load_flag(loadavg_1m: float, cores: int) -> str:
+    """'idle' or 'loaded': a 1-minute loadavg above ~1.5 per 8 cores
+    means other work is competing for the CPUs and every timing in this
+    run is inflated by roughly the contention factor (round 5: a
+    loadavg-2.58 driver re-run read a uniform ~1.28x over the
+    committed idle artifact).  The flag travels IN the artifact so a
+    loaded run can never silently become the round's number."""
+    return "loaded" if loadavg_1m > 1.5 * (cores / 8) else "idle"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -49,6 +59,15 @@ def main() -> None:
     only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     only = set(only_env.split(",")) if only_env else None
     load_start = os.getloadavg()
+    cores = os.cpu_count() or 8
+    flag = load_flag(load_start[0], cores)
+    if flag == "loaded":
+        print(
+            f"# WARNING: machine is LOADED at bench start (loadavg "
+            f"{load_start[0]:.2f} on {cores} cores > {1.5 * cores / 8:.1f}); "
+            "timings will be inflated by contention — prefer an idle re-run",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
@@ -93,6 +112,8 @@ def main() -> None:
         "jvm_warm": True,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cores": cores,
+        "load_flag": flag,
     }
     if errors:
         out["errors"] = errors
@@ -113,7 +134,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "total_runtime", "value": total, "unit": "sec",
         "sf": sf, "n_queries": len(timings), "n_errors": len(errors),
-        "queries_in": "bench_results.json",
+        "load_flag": flag, "queries_in": "bench_results.json",
     }, separators=(",", ":")))
 
 

@@ -36,6 +36,21 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.relational import apply_changelog
 
 _POINTER = "_CURRENT"
+_RUN = "_RUN_ID"
+
+
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark persists in ``<ckpt>/metadata`` —
+    stable across restarts on the SAME checkpoint, fresh when the
+    checkpoint is recreated.  That makes it the run identity that ties
+    a snapshot to the checkpoint whose batch ids it has applied."""
+    import json
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.load(fh).get("id")
+    except (FileNotFoundError, ValueError):
+        return None
 
 
 def snapshot_version(root: str) -> int | None:
@@ -84,7 +99,36 @@ def maintain_snapshot(
     os.makedirs(root, exist_ok=True)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # Replay-skip is only sound if these batch ids come from the SAME
+        # checkpoint lineage the snapshot was built from: a lost/recreated
+        # checkpoint restarts batch ids at 0, and silently skipping those
+        # would freeze the snapshot forever.  The query id recorded beside
+        # _CURRENT is that lineage; mismatch fails LOUDLY.
+        qid = _checkpoint_query_id(checkpoint_dir)
+        run_path = os.path.join(root, _RUN)
+        stored = None
+        try:
+            with open(run_path) as fh:
+                stored = fh.read().strip() or None
+        except FileNotFoundError:
+            pass
         current = snapshot_version(root)
+        if current is not None and stored is not None and qid != stored:
+            raise RuntimeError(
+                f"snapshot at {root} was built by streaming query {stored} "
+                f"but this checkpoint ({checkpoint_dir}) is query {qid}: "
+                "its batch ids do not line up with the applied versions. "
+                "checkpoint_dir and snapshot root must live and die as a "
+                "pair — restore the original checkpoint, or start a fresh "
+                "snapshot root for the new checkpoint."
+            )
+        if (stored is None or current is None) and qid is not None:
+            # adopt this checkpoint's identity: first fold ever, or a
+            # root with no committed version yet (nothing to protect)
+            tmp = os.path.join(root, f".{_RUN}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(qid)
+            os.rename(tmp, run_path)
         if current is not None and current >= batch_id:
             return  # replayed batch already committed — skip whole
         prev = read_snapshot(spark, root)

@@ -918,10 +918,16 @@ def test_rfm_segmentation_aggregates_before_windows(t):
     plan = explain_str(df)
     assert "Window" in plan
     assert count_scans_of(df, "orders") == 1
-    # the window's input is the aggregate, not raw orders: the frame
-    # under Window must already be customer-keyed (an aggregate node
-    # exists and no second orders scan feeds the window side)
-    assert "HashAggregate" in plan or "SortAggregate" in plan
+    # ORDER-SENSITIVE: the tree prints consumer-first, so the subtree
+    # printed after the DEEPEST Window is that window's input chain —
+    # it must contain the per-customer aggregate (aggregate below the
+    # window).  A regressed plan that windows raw orders rows and
+    # aggregates afterwards prints the aggregate ABOVE every Window,
+    # leaving only exchange/sort/scan below, and fails here.
+    simple = explain_str(df, "simple")
+    below_last_window = simple[simple.rindex("Window") :]
+    assert "Aggregate" in below_last_window
+    assert "Scan" in below_last_window  # same chain reaches the scan
 
 
 def test_mad_outliers_single_scan_single_exchange(t):
