@@ -1,0 +1,212 @@
+"""Streaming incremental embedding near-dup index: the streaming face
+of ``operators.dedup.dedup_embedding_lsh`` and the embedding-family
+sibling of ``operators.dedup.dedup_incremental``.
+
+A ``foreachBatch`` loop maintains a PERSISTED banded hyperplane index
+(the ``maintain_snapshot`` commit discipline: append-only batch dirs +
+an atomic ``_CURRENT`` pointer + the checkpoint run-identity guard).
+Each micro-batch:
+
+1. builds the batch's (band, sig) signatures MAP-SIDE (the same
+   ``_embdup_band_structs`` plane family as the batch query — loop-form
+   dots, constant-size codegen);
+2. candidates = batch-vs-INDEX bucket collisions PLUS batch-vs-batch
+   collisions (new arrivals can near-dup each other) — never
+   index-vs-index: history is never re-paired, the ``dedup_incremental``
+   asymmetry;
+3. verifies candidates at exact cosine ≥ the batch threshold and emits
+   surviving pairs;
+4. appends the batch's signatures and vectors to the index.
+
+Every ≥-threshold pair (i, j) of the drained corpus is emitted EXACTLY
+ONCE, in the micro-batch of the later-arriving side: same-batch pairs by
+step 2's self-join, cross-batch pairs by the batch-vs-index join when
+the later vector arrives.  Hence the union of all emissions equals the
+one-shot ``dedup_embedding_lsh`` over the full corpus, for ANY batch
+cut — the equivalence ``tests/test_streaming.py`` asserts across a
+mid-stream cut.
+
+Scale: per batch the work is |batch| signature builds + two equi-joins
+keyed on (band, sig) + per-candidate-pair dots; the index contributes
+only its (band, sig, vec_id) rows and the vectors of actual collision
+partners — it is never scanned pairwise.  Index storage is append-only
+parquet per batch (``batch=<id>/sigs|vecs``); on a lakehouse the same
+loop targets a Delta/Iceberg table and only the file layout changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot_unrolled, norm_unrolled, to_double_array
+from ..operators.dedup import (
+    EMBED_COSINE_THRESHOLD,
+    EMBED_DIM,
+    _embdup_band_structs,
+)
+from .snapshot import _POINTER, _RUN, _checkpoint_query_id
+
+_SIG_SCHEMA = "vec_id long, band int, sig string"
+_VEC_SCHEMA = "vec_id long, v array<double>"
+
+
+def _index_version(root: str) -> int | None:
+    try:
+        with open(os.path.join(root, _POINTER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _committed_dirs(root: str, sub: str) -> list[str]:
+    """Paths of every committed batch's ``sub`` table (≤ _CURRENT):
+    orphan dirs past the pointer (crash between write and commit) are
+    excluded and will be overwritten by the replayed batch."""
+    cur = _index_version(root)
+    if cur is None:
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("batch="):
+            bid = int(d.split("=", 1)[1])
+            if bid <= cur:
+                out.append(os.path.join(root, d, sub))
+    return sorted(out)
+
+
+def _sigs_for(vecs: DataFrame) -> DataFrame:
+    """(vec_id, v, band, sig) — one row per band per vector."""
+    return vecs.select(
+        "vec_id",
+        "v",
+        F.explode(F.array(*_embdup_band_structs())).alias("bs"),
+    ).select(
+        "vec_id",
+        "v",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+
+
+def stream_embedding_index(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> list:
+    """Drain ``vec_stream`` (columns: vec_id, embedding) with
+    availableNow, maintaining the persisted band-bucket index at
+    ``root`` and returning every emitted near-dup pair row
+    (doc_a, doc_b, cosine) — see module doc for the exactly-once pair
+    contract.  ``on_batch(batch_id, rows)`` is an observation hook."""
+    os.makedirs(root, exist_ok=True)
+    emitted: list = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        qid = _checkpoint_query_id(checkpoint_dir)
+        run_path = os.path.join(root, _RUN)
+        stored = None
+        try:
+            with open(run_path) as fh:
+                stored = fh.read().strip() or None
+        except FileNotFoundError:
+            pass
+        current = _index_version(root)
+        if current is not None and stored is not None and qid != stored:
+            raise RuntimeError(
+                f"embedding index at {root} was built by streaming query "
+                f"{stored} but this checkpoint ({checkpoint_dir}) is query "
+                f"{qid}: its batch ids do not line up with the committed "
+                "batches. checkpoint_dir and index root must live and die "
+                "as a pair."
+            )
+        if (stored is None or current is None) and qid is not None:
+            tmp = os.path.join(root, f".{_RUN}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(qid)
+            os.rename(tmp, run_path)
+        if current is not None and current >= batch_id:
+            return  # replayed batch already committed (emissions too)
+
+        new_vecs = batch_df.select(
+            "vec_id", to_double_array("embedding").alias("v")
+        )
+        new_sigs = _sigs_for(new_vecs)
+
+        sig_dirs = _committed_dirs(root, "sigs")
+        vec_dirs = _committed_dirs(root, "vecs")
+        cand_self = (
+            new_sigs.alias("x")
+            .join(new_sigs.select("band", "sig", "vec_id").alias("y"),
+                  ["band", "sig"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib")
+            )
+        )
+        if sig_dirs:
+            idx_sigs = spark.read.schema(_SIG_SCHEMA).parquet(*sig_dirs)
+            cand_cross = new_sigs.join(
+                idx_sigs.select(
+                    "band", "sig", F.col("vec_id").alias("old_id")
+                ),
+                ["band", "sig"],
+            ).select(
+                F.col("vec_id").alias("ia"), F.col("old_id").alias("ib")
+            )
+            cand = cand_self.unionByName(cand_cross)
+            all_vecs = new_vecs.unionByName(
+                spark.read.schema(_VEC_SCHEMA).parquet(*vec_dirs)
+            )
+        else:
+            cand = cand_self
+            all_vecs = new_vecs
+        cand = cand.select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+        ).distinct()
+
+        va = all_vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("xa"))
+        vb = all_vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("xb"))
+        cos = F.round(
+            dot_unrolled(F.col("xa"), F.col("xb"), EMBED_DIM)
+            / (
+                norm_unrolled(F.col("xa"), EMBED_DIM)
+                * norm_unrolled(F.col("xb"), EMBED_DIM)
+            ),
+            4,
+        )
+        rows = (
+            cand.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .select("doc_a", "doc_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+            .collect()
+        )
+        emitted.extend(rows)
+        if on_batch is not None:
+            on_batch(batch_id, rows)
+
+        out = os.path.join(root, f"batch={batch_id}")
+        new_sigs.select("vec_id", "band", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "sigs"))
+        new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
+        tmp = os.path.join(root, f".{_POINTER}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.rename(tmp, os.path.join(root, _POINTER))  # atomic commit
+
+    q = (
+        vec_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return emitted

@@ -1265,6 +1265,144 @@ def test_maintain_snapshot_equals_batch_merge(spark, tmp_path):
     } == want
 
 
+def test_maintain_snapshot_rejects_foreign_checkpoint(spark, tmp_path):
+    """A snapshot survives but its checkpoint is lost and recreated:
+    batch ids restart at 0, every fold would satisfy the replay-skip
+    guard, and the snapshot would silently freeze.  The recorded run
+    identity must instead fail LOUDLY on the first fold."""
+    from pyspark.errors import StreamingQueryException
+
+    from kafka_streams_repartition_spark.streaming import (
+        maintain_snapshot,
+        read_snapshot,
+        snapshot_version,
+    )
+
+    src = str(tmp_path / "delta")
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "key long, seq long, op string, value double"
+    spark.createDataFrame(
+        [(1, 1, "upsert", 10.0), (2, 2, "upsert", 20.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run = lambda cp: maintain_snapshot(  # noqa: E731
+        spark, spark.readStream.schema(schema).parquet(src), root, cp
+    )
+    run(ckpt)
+    v = snapshot_version(root)
+    assert v is not None
+
+    # same checkpoint, replayed drain: fine (identity matches, no-op)
+    run(ckpt)
+    assert snapshot_version(root) == v
+
+    # checkpoint lost → recreated: the guard must raise, not skip
+    spark.createDataFrame([(1, 3, "upsert", 99.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    with pytest.raises((RuntimeError, StreamingQueryException)) as exc:
+        run(str(tmp_path / "ckpt2"))
+    assert "live and die as a pair" in str(exc.value)
+    # and the snapshot was left untouched, not silently frozen-as-ok
+    assert snapshot_version(root) == v
+    assert {
+        (r["key"], r["value"]) for r in read_snapshot(spark, root).collect()
+    } == {(1, 10.0), (2, 20.0)}
+
+
+def test_bench_load_flag_thresholds():
+    """The bench artifact's idle/loaded annotation: ~1.5 per 8 cores."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.load_flag(0.5, 8) == "idle"
+    assert bench.load_flag(1.49, 8) == "idle"
+    assert bench.load_flag(1.51, 8) == "loaded"
+    assert bench.load_flag(5.9, 32) == "idle"  # 1.5/8 scaled to 32 cores
+    assert bench.load_flag(6.1, 32) == "loaded"
+
+
+def test_stream_embedding_index_equals_batch_lsh(spark, tmp_path):
+    """The incrementally-maintained embedding index drained over a
+    mid-stream cut must emit, across all batches, EXACTLY the one-shot
+    dedup_embedding_lsh pair set (same pairs, same rounded cosines,
+    each pair once) — same-batch pairs from the batch self-join,
+    cross-batch pairs from the batch-vs-index join."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_embedding_index,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    # mid-corpus cut: two files → two micro-batches
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    per_batch: dict[int, int] = {}
+    emitted = stream_embedding_index(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        on_batch=lambda bid, rows: per_batch.__setitem__(bid, len(rows)),
+    )
+    got = [(r["doc_a"], r["doc_b"], r["cosine"]) for r in emitted]
+    assert len(got) == len(set(got))  # each pair exactly once
+    want = {
+        (r["doc_a"], r["doc_b"], r["cosine"])
+        for r in dd.dedup_embedding_lsh(t).collect()
+    }
+    assert set(got) == want and want
+    # the cut genuinely spanned the index: both batches emitted pairs,
+    # and batch 1 found cross-batch pairs the self-join alone cannot
+    assert set(per_batch) == {0, 1} and per_batch[0] and per_batch[1]
+
+
+def test_stream_embedding_index_rejects_foreign_checkpoint(spark, tmp_path):
+    """Same run-identity contract as maintain_snapshot: a recreated
+    checkpoint against a surviving index fails loudly, never silently
+    freezes the index."""
+    from pyspark.errors import StreamingQueryException
+
+    from kafka_streams_repartition_spark.streaming import (
+        stream_embedding_index,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "index")
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    vecs.coalesce(1).write.mode("append").parquet(src)
+    run = lambda cp: stream_embedding_index(  # noqa: E731
+        spark,
+        spark.readStream.schema(vecs.schema).parquet(src),
+        root,
+        cp,
+    )
+    out = run(str(tmp_path / "ckpt"))
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    with pytest.raises((RuntimeError, StreamingQueryException)) as exc:
+        run(str(tmp_path / "ckpt2"))
+    assert "live and die as a pair" in str(exc.value)
+
+
 def test_stream_interval_join_outer_null_pads_on_window_close(spark, tmp_path):
     """Left-outer stream-stream interval join: matched impressions emit
     enriched, unmatched ones emit null-padded once the watermark passes
