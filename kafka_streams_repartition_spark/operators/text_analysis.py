@@ -1011,6 +1011,166 @@ LIMIT {BPE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (bounded-round greedy trainer)
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 8
+# Symbol framing for the merge-by-replace trick: every symbol is wrapped
+# \x1e<sym>\x1f, so a merge of (a, b) is ONE non-overlapping left-to-right
+# string replace of \x1ea\x1f\x1eb\x1f with \x1eab\x1f — which is exactly
+# the greedy BPE merge scan ([a,a,a,a] → [aa,aa], [a,a,a] → [aa,a]) because
+# SQL replace() consumes matches left-to-right and resumes AFTER each
+# replacement.  Identical semantics in Spark and DuckDB, so the learned
+# merge table hash-matches across engines.
+_BPE_O = "\x1e"
+_BPE_C = "\x1f"
+
+
+def bpe_train_merges(t: dict[str, DataFrame]) -> DataFrame:
+    """Greedy BPE merge training (Sennrich et al. 2016, learn_bpe):
+    iterate :func:`bpe_pair_stats`'s statistic into an actual merge
+    TABLE — K rounds of (count adjacent symbol pairs over the vocab,
+    weighted by word frequency) → (argmax pair, ties broken
+    lexicographically) → (merge that pair in every vocab word).
+
+    Spark shape: the corpus collapses ONCE to its word-frequency vocab
+    (the only corpus-scale shuffle); each round then runs over the
+    vocab alone — a pair explode + partial-agg count + a 1-row argmax
+    collect, followed by a map-side string replace.  The K argmax
+    collects are the driver's steering wheel, same as
+    ``similarity.kmeans_cells``'s centroid pulls: O(K) rows ever reach
+    the driver.  Per round cost is O(|vocab| · avg_len), independent
+    of corpus size — at 100 TB the vocab is millions of rows, still a
+    trivial per-round job.  Lineage stays flat via one
+    localCheckpoint per round (K is small and bounded).
+
+    Returns the learned merge table (round, lhs, rhs, merged, n) —
+    the artifact ``tokenize_to_ids`` consumes in a real tokenizer
+    pipeline.  The DuckDB oracle replays the SAME K rounds as K
+    generated CTE blocks over the same encoding, and a pure-Python
+    reference implementation is pinned in tests.
+    """
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select(F.explode_outer(words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    enc = F.concat(
+        F.lit(""),
+        F.array_join(
+            F.transform(
+                F.filter(F.split(F.col("tok"), ""), lambda c: c != F.lit("")),
+                lambda c: F.concat(F.lit(_BPE_O), c, F.lit(_BPE_C)),
+            ),
+            "",
+        ),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(enc.alias("enc"), "freq")
+        .localCheckpoint(eager=False)
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        syms = vocab.select(
+            "freq",
+            F.split(
+                F.expr("substring(enc, 2, length(enc) - 2)"), _BPE_C + _BPE_O
+            ).alias("s"),
+        ).filter(F.size("s") >= 2)
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("s", i).alias("a"),
+                        F.element_at("s", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((rnd, a, b, a + b, int(n)))
+        vocab = vocab.select(
+            F.replace(
+                "enc",
+                F.lit(_BPE_O + a + _BPE_C + _BPE_O + b + _BPE_C),
+                F.lit(_BPE_O + a + b + _BPE_C),
+            ).alias("enc"),
+            "freq",
+        ).localCheckpoint(eager=False)
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, n long"
+    )
+
+
+def _bpe_train_oracle() -> str:
+    """K chained CTE blocks replaying the exact same encoding, pair
+    count, argmax tiebreak, and replace-merge as the Spark trainer."""
+    o, c = _BPE_O, _BPE_C
+    blocks = [
+        f"""
+vocab_1 AS (
+    SELECT list_aggr(list_transform(string_split(tok, ''),
+                     ch -> chr(30) || ch || chr(31)), 'string_agg', '') AS enc,
+           count(*) AS freq
+    FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x != '')) AS tok
+          FROM documents)
+    GROUP BY 1
+)"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        blocks.append(
+            f"""
+syms_{r} AS (
+    SELECT freq,
+           string_split(substring(enc, 2, length(enc) - 2),
+                        chr(31) || chr(30)) AS s
+    FROM vocab_{r}
+    WHERE length(enc) > 0 AND len(string_split(substring(enc, 2,
+            length(enc) - 2), chr(31) || chr(30))) >= 2
+),
+best_{r} AS (
+    SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+    FROM syms_{r}, unnest(generate_series(1, len(s) - 1)) AS g(i)
+    GROUP BY 1, 2
+    ORDER BY n DESC, a, b
+    LIMIT 1
+),
+vocab_{r + 1} AS (
+    SELECT replace(enc, chr(30) || a || chr(31) || chr(30) || b || chr(31),
+                   chr(30) || a || b || chr(31)) AS enc, freq
+    FROM vocab_{r} CROSS JOIN best_{r}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS lhs, b AS rhs, a || b AS merged, n "
+        f"FROM best_{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(blocks) + "\n" + selects
+
+
+BPE_TRAIN_MERGES_ORACLE = _bpe_train_oracle()
+
+
 # --------------------------------------------------------------------------
 # Corpus n-gram frequency table (the raw statistic behind LM data work:
 # contamination audits, memorization probes, gram-level mixture weights)

@@ -131,6 +131,61 @@ def test_incremental_dedup_verdicts_consistent(t):
     assert {r["doc_id"] for r in rows} == new_ids
 
 
+def test_bpe_train_merges_matches_pure_python(t):
+    """The distributed greedy BPE trainer must reproduce, round for
+    round, a pure-Python reference implementation of Sennrich
+    learn_bpe (dict-of-tuples vocab, argmax with lexicographic
+    tiebreak, left-to-right non-overlapping merge)."""
+    from collections import Counter
+
+    from kafka_streams_repartition_spark.operators.text_analysis import (
+        BPE_MERGE_ROUNDS,
+    )
+
+    vocab = Counter()
+    for r in t["documents"].select("text").collect():
+        for tok in (r["text"] or "").lower().split(" "):
+            if tok:
+                vocab[tuple(tok)] += 1
+
+    def pair_counts(v):
+        pc = Counter()
+        for syms, freq in v.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq
+        return pc
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    want = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pc = pair_counts(vocab)
+        if not pc:
+            break
+        # max count, then lexicographically smallest (a, b)
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, a, b, a + b, n))
+        merged = Counter()
+        for syms, freq in vocab.items():
+            merged[merge_word(syms, a, b)] += freq
+        vocab = merged
+
+    got = [
+        (r["round"], r["lhs"], r["rhs"], r["merged"], r["n"])
+        for r in tx.bpe_train_merges(t).orderBy("round").collect()
+    ]
+    assert got == want and len(got) == BPE_MERGE_ROUNDS
+
+
 def test_embdup_hot_bucket_tiled_and_exact(spark):
     """Adversarial hot bucket: hundreds of near-identical vectors all
     land on ONE (band, sig) signature per band.  The cap must split
