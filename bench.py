@@ -47,7 +47,11 @@ def load_flag(loadavg_1m: float, cores: int) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    base = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
+    try:
+        sf: float | str = float(base)
+    except ValueError:  # probe dirs like sf10_text_raw: keep the label
+        sf = base
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers once so timings measure the queries.
