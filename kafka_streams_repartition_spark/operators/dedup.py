@@ -128,6 +128,130 @@ GROUP BY 1
 """
 
 
+# --- collapse-then-minhash (the replication-robust corpus dedup) ---------
+
+
+def dedup_collapsed(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact-collapse-THEN-minhash: the production corpus-dedup verdict
+    that stays pair-linear on replication-heavy data.
+
+    BENCH_sf10 measured the failure mode this exists for: running
+    minhash LSH directly on a corpus where every doc has C exact twins
+    grows candidate pairs ~C-squared (23x wall at 10x rows under exact
+    replication), while the same plan is sub-linear when per-key
+    density is constant.  The quadratic term lives entirely inside
+    exact-dup groups — so collapse them FIRST: hash-group to one
+    representative per distinct text (one map-side-combining groupBy),
+    run the banded MinHash near-dup search over REPRESENTATIVES only,
+    then broadcast the rep-level verdicts back onto every member.
+    Replication now costs one extra hash-join row per copy, never a
+    candidate pair.
+
+    Output, one row per document: its exact-group representative,
+    whether it is an exact dup (non-representative), whether its
+    representative near-dups a SMALLER representative (the canonical
+    keep rule), and the resulting keep decision.
+    """
+    docs = fan_out(t["documents"]).select("doc_id", "text")
+    hx = docs.select("doc_id", "text", F.md5("text").alias("h"))
+    reps = hx.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    mapping = hx.select("doc_id", "h").join(reps, "h").select("doc_id", "rep_id")
+    rep_docs = (
+        hx.join(reps, (hx["doc_id"] == reps["rep_id"]) & (hx["h"] == reps["h"]))
+        .select(hx["doc_id"], "text")
+    )
+    arr = _doc_gram_arrays(rep_docs).localCheckpoint(eager=False)
+    bands = _lsh_bands(arr)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(arr.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(arr.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_b",
+            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("inter"),
+            F.col("ga.n").alias("na"),
+            F.col("gb.n").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    dup_reps = (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("rep_id"))
+        .distinct()
+        .withColumn("nd", F.lit(True))
+    )
+    exact_dup = F.col("doc_id") != F.col("rep_id")
+    near_dup = F.coalesce("nd", F.lit(False))
+    return (
+        mapping.join(dup_reps, "rep_id", "left")
+        .select(
+            "doc_id",
+            "rep_id",
+            exact_dup.alias("exact_dup"),
+            near_dup.alias("near_dup"),
+            (~exact_dup & ~near_dup).alias("kept"),
+        )
+    )
+
+
+DEDUP_COLLAPSED_ORACLE = f"""
+WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS rep_id FROM hx GROUP BY 1),
+mapping AS (SELECT doc_id, rep_id FROM hx JOIN reps USING (h)),
+repdocs AS (
+    SELECT r.rep_id AS doc_id, x.text
+    FROM reps r JOIN hx x ON x.doc_id = r.rep_id AND x.h = r.h
+),
+grams AS ({_GRAMS_SQL.replace("FROM documents", "FROM repdocs")}),
+mh AS (
+    SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || gram)) AS h
+    FROM grams, unnest([{", ".join(str(s) for s in range(MINHASH_SEEDS))}]) AS t(s)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, s // {MINHASH_SEEDS // MINHASH_BANDS} AS band_id,
+           string_agg(h, '' ORDER BY s) AS sig
+    FROM mh
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                AND a.doc_id < b.doc_id
+),
+verify AS (
+    SELECT c.doc_b,
+           len(list_intersect(ga.grams, gb.grams)) AS inter,
+           ga.n AS na, gb.n AS nb
+    FROM cand c
+    JOIN (SELECT doc_id, list(gram) AS grams, count(*) AS n
+          FROM grams GROUP BY 1) ga ON c.doc_a = ga.doc_id
+    JOIN (SELECT doc_id, list(gram) AS grams, count(*) AS n
+          FROM grams GROUP BY 1) gb ON c.doc_b = gb.doc_id
+),
+dup_reps AS (
+    SELECT DISTINCT doc_b AS rep_id
+    FROM verify
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT m.doc_id, m.rep_id,
+       m.doc_id != m.rep_id AS exact_dup,
+       dr.rep_id IS NOT NULL AS near_dup,
+       (m.doc_id = m.rep_id AND dr.rep_id IS NULL) AS kept
+FROM mapping m
+LEFT JOIN dup_reps dr ON m.rep_id = dr.rep_id
+"""
+
+
 # --- exact n-gram Jaccard (query-vs-corpus) ------------------------------
 
 

@@ -131,6 +131,31 @@ def test_incremental_dedup_verdicts_consistent(t):
     assert {r["doc_id"] for r in rows} == new_ids
 
 
+def test_dedup_collapsed_replication_invariant(spark, t):
+    """The collapse-then-minhash verdict must be invariant to exact
+    replication: replicating the corpus 3x (fresh doc_ids, identical
+    texts) changes ONLY the exact_dup flags — the kept set stays the
+    original keepers, and no replica ever becomes a near-dup candidate
+    (the BENCH_sf10 quadratic term is gone by construction)."""
+    base = dd.dedup_collapsed(t).toPandas()
+    docs = t["documents"]
+    rep = docs
+    for i in range(1, 3):
+        rep = rep.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    out = dd.dedup_collapsed({"documents": rep}).toPandas()
+    assert len(out) == 3 * len(base)
+    assert int(out["exact_dup"].sum()) == int(base["exact_dup"].sum()) + 2 * len(base)
+    # keepers identical to the unreplicated corpus
+    assert set(out[out.kept].doc_id) == set(base[base.kept].doc_id)
+    # near-dup verdicts live on representatives only, unchanged
+    reps = out[~out.exact_dup]
+    assert set(reps[reps.near_dup].doc_id) == set(
+        base[base.near_dup & ~base.exact_dup].doc_id
+    )
+
+
 def test_bpe_train_merges_matches_pure_python(t):
     """The distributed greedy BPE trainer must reproduce, round for
     round, a pure-Python reference implementation of Sennrich
