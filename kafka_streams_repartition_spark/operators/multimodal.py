@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.tables import fan_out
+
 CHUNK_BYTES = 256
 
 MEDIA_SCHEMA = T.StructType(
@@ -597,7 +599,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_samples", T.LongType()),
-        T.StructField("rms", T.DoubleType()),
+        T.StructField("sq_sum", T.DoubleType()),
         T.StructField("peak", T.LongType()),
         T.StructField("zero_crossings", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
@@ -616,7 +618,7 @@ def synthesize_pcm_wavs(documents: DataFrame) -> DataFrame:
     import hashlib
     import struct
 
-    ids = documents.select(
+    ids = fan_out(documents).select(
         F.col("doc_id").alias("media_id"),
         (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("n"),
     )
@@ -697,16 +699,16 @@ def audio_clip_features(media: DataFrame) -> DataFrame:
     duration from the DECODED waveform (never from metadata).
 
     Numeric contract: the sum of squared int16 samples is exact in
-    doubles (≤ 2³⁰ per term), so rms = round(sqrt(Σs²/n), 4) is
-    bit-identical across engines regardless of summation order —
-    which is what lets a SQL oracle replay the feature, not just the
-    sample formula."""
+    doubles (≤ 2³⁰ per term); the UDF emits that EXACT sum and the
+    rms divide/sqrt/round happens JVM-side with ``F.round``, so even
+    a tie at the 4th decimal rounds half-away like the oracle (Python
+    round() is banker's and would flip it)."""
     import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
-                "media_id": [], "n_samples": [], "rms": [],
+                "media_id": [], "n_samples": [], "sq_sum": [],
                 "peak": [], "zero_crossings": [], "duration_ms": [],
             }
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
@@ -716,9 +718,7 @@ def audio_clip_features(media: DataFrame) -> DataFrame:
                 sq = s.astype(np.float64)
                 out["media_id"].append(mid)
                 out["n_samples"].append(len(s))
-                out["rms"].append(
-                    round(float(np.sqrt((sq * sq).sum() / len(s))), 4)
-                )
+                out["sq_sum"].append(float((sq * sq).sum()))
                 out["peak"].append(int(np.abs(s.astype(np.int64)).max()))
                 out["zero_crossings"].append(
                     int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
@@ -728,7 +728,7 @@ def audio_clip_features(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pd.Series(out["media_id"], dtype="int64"),
                     "n_samples": pd.Series(out["n_samples"], dtype="int64"),
-                    "rms": pd.Series(out["rms"], dtype="float64"),
+                    "sq_sum": pd.Series(out["sq_sum"], dtype="float64"),
                     "peak": pd.Series(out["peak"], dtype="int64"),
                     "zero_crossings": pd.Series(
                         out["zero_crossings"], dtype="int64"
@@ -737,7 +737,14 @@ def audio_clip_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
+    return media.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA).select(
+        "media_id",
+        "n_samples",
+        F.round(F.sqrt(F.col("sq_sum") / F.col("n_samples")), 4).alias("rms"),
+        "peak",
+        "zero_crossings",
+        "duration_ms",
+    )
 
 
 def audio_features(t: dict[str, DataFrame]) -> DataFrame:
@@ -774,5 +781,306 @@ SELECT media_id,
        CAST(coalesce(sum(zc), 0) AS BIGINT) AS zero_crossings,
        CAST(count(*) * 1000 // {AUDIO_PCM_RATE} AS BIGINT) AS duration_ms
 FROM marked
+GROUP BY 1
+"""
+
+
+# --- PNG pixel decode (pure stdlib: zlib inflate + scanline unfilter) ------
+#
+# The companion of the PCM path above for IMAGES: PNG's pixel data is
+# zlib-compressed filtered scanlines, and both zlib and the five filter
+# predictors (None/Sub/Up/Average/Paeth, PNG spec §9) are pure-stdlib
+# territory — so truecolor PNG decodes to real pixels with no codec
+# library.  The encoder below deliberately cycles through ALL filter
+# types so the decoder's unfiltering is genuinely exercised, not just
+# the trivial filter-0 path.
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_encode_rgb(arr) -> bytes:
+    """A standards-valid truecolor PNG for an (H, W, 3) uint8 array,
+    filtering row y with type y % 5 — every PNG filter appears, so a
+    round-trip proves real unfiltering."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    bpp = 3
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        f = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prior
+        elif f == 3:
+            enc = row - (left + prior) // 2
+        else:
+            pleft = np.concatenate(
+                [np.zeros(bpp, dtype=np.int16), prior[:-bpp]]
+            )
+            pred = np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prior, pleft)
+                ],
+                dtype=np.int16,
+            )
+            enc = row - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_rgb(b: bytes):
+    """(H, W, 3) uint8 pixels for an 8-bit truecolor PNG — inflate the
+    IDAT stream and undo each scanline's filter (PNG spec §9: None,
+    Sub, Up, Average, Paeth).  Returns None for malformed payloads;
+    raises NotImplementedError for PNG variants that need more than
+    stdlib (palette, interlace, non-8-bit)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    off = 8
+    w = h = None
+    idat = bytearray()
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        ctype = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + length]
+        if ctype == b"IHDR":
+            if len(data) < 13:
+                return None
+            w, h = struct.unpack(">II", data[:8])
+            depth, color, _, _, interlace = struct.unpack(">BBBBB", data[8:13])
+            if depth != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "needs a codec library; stdlib path covers 8-bit "
+                    "truecolor non-interlaced"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + length
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).astype(np.int16)
+        pos += 1 + stride
+        if f == 0:
+            dec = row
+        elif f == 2:
+            dec = (row + prior) & 0xFF
+        elif f in (1, 3, 4):
+            dec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                left = dec[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    dec[i] = (row[i] + left) & 0xFF
+                elif f == 3:
+                    dec[i] = (row[i] + (left + prior[i]) // 2) & 0xFF
+                else:
+                    pleft = prior[i - bpp] if i >= bpp else 0
+                    dec[i] = (
+                        row[i] + _paeth(int(left), int(prior[i]), int(pleft))
+                    ) & 0xFF
+        else:
+            return None
+        out[y] = dec.astype(np.uint8)
+        prior = dec
+    return out.reshape(h, w, 3)
+
+
+def synthesize_pngs(documents: DataFrame) -> DataFrame:
+    """One real truecolor PNG per document: width 8 + id % 8, height
+    8 + id % 5, pixel (y, x) RGB = first three bytes of
+    md5("{id}:{y}:{x}") — deterministic, so a SQL oracle replays the
+    image content without the bytes; the container round-trips through
+    zlib + all five PNG filters on the Spark side."""
+    import hashlib
+
+    import numpy as np
+
+    ids = fan_out(documents).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8) + F.col("doc_id") % 8).cast("int").alias("w"),
+        (F.lit(8) + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                arr = np.zeros((int(h), int(w), 3), dtype=np.uint8)
+                for y in range(int(h)):
+                    for x in range(int(w)):
+                        d = hashlib.md5(f"{mid}:{y}:{x}".encode()).digest()
+                        arr[y, x] = d[0], d[1], d[2]
+                payloads.append(_png_encode_rgb(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return ids.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def image_pixel_features(media: DataFrame) -> DataFrame:
+    """Decode→feature over PNG payloads: real inflate + unfilter, then
+    per-channel means and brightness from the DECODED pixel array.
+    The UDF emits EXACT integer channel sums; the divide-and-round
+    happens JVM-side with ``F.round`` so tie cases (a mean landing on
+    .xxxx5 exactly) round half-away like the oracle's round() — Python
+    round() is banker's and flips those ties."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                arr = _png_decode_rgb(bytes(b) if b is not None else b"")
+                if arr is None:
+                    continue  # malformed after signature: log-and-continue
+                h, w, _ = arr.shape
+                sums = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    n = (F.col("width") * F.col("height")).cast("double")
+    return media.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / n, 4).alias("mean_r"),
+        F.round(F.col("sum_g") / n, 4).alias("mean_g"),
+        F.round(F.col("sum_b") / n, 4).alias("mean_b"),
+        F.round(
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")) / (3 * n), 4
+        ).alias("brightness"),
+    )
+
+
+def image_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Registered query: synthesize → zlib/filter encode → REAL stdlib
+    pixel decode → features, over the documents table.  The oracle
+    replays the pixel formula (md5 bytes via generate_series) and
+    recomputes the same means — the bytes round-trip through a real
+    PNG container only on the Spark side."""
+    return image_pixel_features(synthesize_pngs(t["documents"]))
+
+
+IMAGE_FEATURES_ORACLE = """
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+    FROM documents
+),
+px AS (
+    SELECT media_id, w, h, y, x,
+           md5(CAST(media_id AS VARCHAR) || ':' || CAST(y AS VARCHAR)
+               || ':' || CAST(x AS VARCHAR)) AS hx
+    FROM imgs,
+         unnest(generate_series(0, h - 1)) AS gy(y),
+         unnest(generate_series(0, w - 1)) AS gx(x)
+),
+ch AS (
+    SELECT media_id, w, h,
+           CAST('0x' || substring(hx, 1, 2) AS BIGINT) AS r,
+           CAST('0x' || substring(hx, 3, 2) AS BIGINT) AS g,
+           CAST('0x' || substring(hx, 5, 2) AS BIGINT) AS b
+    FROM px
+)
+SELECT media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS mean_r,
+       round(CAST(sum(g) AS DOUBLE) / count(*), 4) AS mean_g,
+       round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b,
+       round(CAST(sum(r) + sum(g) + sum(b) AS DOUBLE) / (3 * count(*)), 4)
+           AS brightness
+FROM ch
 GROUP BY 1
 """

@@ -1126,7 +1126,7 @@ def _bpe_train_oracle() -> str:
     o, c = _BPE_O, _BPE_C
     blocks = [
         f"""
-vocab_1 AS (
+vocab_1 AS MATERIALIZED (
     SELECT list_aggr(list_transform(string_split(tok, ''),
                      ch -> chr(30) || ch || chr(31)), 'string_agg', '') AS enc,
            count(*) AS freq
@@ -1139,7 +1139,7 @@ vocab_1 AS (
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         blocks.append(
             f"""
-syms_{r} AS (
+syms_{r} AS MATERIALIZED (
     SELECT freq,
            string_split(substring(enc, 2, length(enc) - 2),
                         chr(31) || chr(30)) AS s
@@ -1147,14 +1147,14 @@ syms_{r} AS (
     WHERE length(enc) > 0 AND len(string_split(substring(enc, 2,
             length(enc) - 2), chr(31) || chr(30))) >= 2
 ),
-best_{r} AS (
+best_{r} AS MATERIALIZED (
     SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
     FROM syms_{r}, unnest(generate_series(1, len(s) - 1)) AS g(i)
     GROUP BY 1, 2
     ORDER BY n DESC, a, b
     LIMIT 1
 ),
-vocab_{r + 1} AS (
+vocab_{r + 1} AS MATERIALIZED (
     SELECT replace(enc, chr(30) || a || chr(31) || chr(30) || b || chr(31),
                    chr(30) || a || b || chr(31)) AS enc, freq
     FROM vocab_{r} CROSS JOIN best_{r}
@@ -1169,6 +1169,110 @@ vocab_{r + 1} AS (
 
 
 BPE_TRAIN_MERGES_ORACLE = _bpe_train_oracle()
+
+
+def bpe_encode(t: dict[str, DataFrame]) -> DataFrame:
+    """Tokenizer APPLICATION: run the corpus through the merge table
+    :func:`bpe_train_merges` just learned and report, per source, the
+    compression the tokenizer achieves — whitespace tokens vs BPE
+    symbols vs characters.  This is the train→apply round trip of a
+    real tokenizer pipeline (the statistic data teams watch when
+    sizing a vocab).
+
+    The merge table is K rows — it collects to the driver and applies
+    as K literal chained ``replace`` expressions over the same
+    delimiter-framed encoding the trainer used (tokens joined with a
+    space OUTSIDE the frames, so merges can never span a token
+    boundary).  Everything per-document is whole-stage-codegen string
+    work; the only aggregation is the final per-source rollup.  The
+    oracle re-learns the merges with the trainer's own CTE chain and
+    applies them identically.
+    """
+    docs = t["documents"]
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(t).orderBy("round").collect()
+    ]
+    enc_tok = F.array_join(
+        F.transform(
+            words(F.col("text")),
+            lambda tok: F.array_join(
+                F.transform(
+                    F.filter(F.split(tok, ""), lambda c: c != F.lit("")),
+                    lambda c: F.concat(F.lit(_BPE_O), c, F.lit(_BPE_C)),
+                ),
+                "",
+            ),
+        ),
+        " ",
+    )
+    s = enc_tok
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(_BPE_O + a + _BPE_C + _BPE_O + b + _BPE_C),
+            F.lit(_BPE_O + a + b + _BPE_C),
+        )
+    n_bpe = F.length(s) - F.length(F.replace(s, F.lit(_BPE_O), F.lit("")))
+    per_doc = fan_out(docs).select(
+        F.col("source"),
+        F.size(words(F.col("text"))).cast("long").alias("ws"),
+        n_bpe.cast("long").alias("bpe"),
+        F.length(F.array_join(words(F.col("text")), "")).cast("long").alias("chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.round(F.sum("chars") / F.sum("bpe"), 4).alias("chars_per_bpe_token"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTE chain + literal application over the same framing."""
+    train = _bpe_train_oracle()
+    # keep the trainer's full WITH chain (vocab/syms/best blocks), drop
+    # its final UNION-of-best_r SELECT tail; merges then apply as K
+    # nested replaces whose patterns are 1-row scalar subqueries on the
+    # best_r CTEs
+    with_block = train[: train.index("\nSELECT 1 AS round")]
+    apply_expr = (
+        "list_aggregate(list_transform(list_filter(string_split(lower(text),"
+        " ' '), x -> x != ''), tok -> list_aggregate(list_transform("
+        "string_split(tok, ''), ch -> chr(30) || ch || chr(31)), "
+        "'string_agg', '')), 'string_agg', ' ')"
+    )
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        apply_expr = (
+            f"replace({apply_expr}, "
+            f"(SELECT chr(30) || a || chr(31) || chr(30) || b || chr(31) "
+            f"FROM best_{r}), "
+            f"(SELECT chr(30) || a || b || chr(31) FROM best_{r}))"
+        )
+    return f"""{with_block}
+, encoded AS (
+    SELECT source,
+           len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS ws,
+           length({apply_expr})
+               - length(replace({apply_expr}, chr(30), '')) AS bpe,
+           length(list_aggregate(list_filter(string_split(lower(text), ' '),
+                  x -> x != ''), 'string_agg', '')) AS chars
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 4) AS chars_per_bpe_token
+FROM encoded
+GROUP BY 1
+"""
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -396,3 +396,90 @@ def test_audio_features_pipeline_matches_local_replay(spark, tables):
         )
         assert r["rms"] == round(float(np.sqrt((s.astype(float) ** 2).sum() / n)), 4)
         assert r["duration_ms"] == n * 1000 // mm.AUDIO_PCM_RATE
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """The stdlib PNG pixel codec: encode cycles through all five PNG
+    filter types (row y gets filter y % 5), so a bit-exact round trip
+    proves real unfiltering of Sub/Up/Average/Paeth, not just the
+    filter-0 path."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators.multimodal import (
+        _png_decode_rgb,
+        _png_encode_rgb,
+        _stdlib_png_meta,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (6, 3), (11, 16)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        b = _png_encode_rgb(arr)
+        back = _png_decode_rgb(b)
+        assert back is not None and (back == arr).all()
+        # the metadata parser agrees with the pixel parser
+        assert _stdlib_png_meta(b)[:2] == (w, h)
+    # gradients stress Average/Paeth predictors specifically
+    grad = np.fromfunction(
+        lambda y, x, c: (y * 7 + x * 3 + c * 11) % 256, (10, 10, 3)
+    ).astype(np.uint8)
+    assert (_png_decode_rgb(_png_encode_rgb(grad)) == grad).all()
+    # truncated payload → None (log-and-continue), never garbage pixels
+    assert _png_decode_rgb(_png_encode_rgb(grad)[:40]) is None
+
+
+def test_png_pixel_decode_rejects_exotic_variants():
+    """Palette / 16-bit / interlaced PNGs genuinely need a codec and
+    must raise, not silently misdecode."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from kafka_streams_repartition_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_decode_rgb,
+    )
+
+    for depth, color, interlace in [(8, 3, 0), (16, 2, 0), (8, 2, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        b = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            _png_decode_rgb(b)
+
+
+def test_image_features_pipeline_matches_local_replay(spark, tables):
+    """synthesize → real PNG decode → features over Spark, spot-checked
+    against a local replay of the md5 pixel formula."""
+    import hashlib
+
+    from kafka_streams_repartition_spark.operators import multimodal as mm
+
+    rows = {r["media_id"]: r for r in mm.image_features(tables).collect()}
+    assert len(rows) == tables["documents"].count()
+    for mid in list(rows)[:3]:
+        w, h = 8 + mid % 8, 8 + mid % 5
+        sums = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                d = hashlib.md5(f"{mid}:{y}:{x}".encode()).digest()
+                for c in range(3):
+                    sums[c] += d[c]
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        n = w * h
+        # half-away rounding, matching F.round/DuckDB (Python round()
+        # is banker's and flips exact .xxxx5 ties)
+        import math
+
+        rnd = lambda v: math.floor(v * 10000 + 0.5) / 10000  # noqa: E731
+        assert r["mean_r"] == rnd(sums[0] / n)
+        assert r["mean_g"] == rnd(sums[1] / n)
+        assert r["mean_b"] == rnd(sums[2] / n)
+        assert r["brightness"] == rnd(sum(sums) / (3 * n))

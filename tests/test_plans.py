@@ -1088,3 +1088,49 @@ def test_cdc_apply_aggregate_not_window(t):
     assert count_scans_of(df, "customer") == 1
     assert_pushed_filters(df, "orders", "o_orderdate")
     assert_no_cartesian(df)
+
+
+def test_audio_image_pipelines_parallel_and_single_scan(t):
+    """The synthesize→decode→feature pipelines must fan the single
+    small parquet file out to all cores BEFORE the Arrow decode stages
+    (a 1-partition scan would run every decode on one core) and touch
+    only the documents table, once."""
+    from kafka_streams_repartition_spark.operators import multimodal as mm
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
+    for df in (mm.audio_features(t), mm.image_features(t)):
+        plan = explain_str(df)
+        assert_no_cartesian(df)
+        assert count_scans_of(df, "documents") == 1
+        assert "Exchange" in plan  # fan_out's round-robin repartition
+        simple = explain_str(df, "simple")
+        assert simple.count("MapInPandas") == 2  # synthesize + featurize
+
+
+def test_bpe_encode_single_corpus_aggregation(t):
+    """Tokenizer application is map-side string work: one documents
+    scan for the encode pass plus the trainer's vocab pass, and the
+    only keyed aggregation is the final per-source rollup."""
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+    from kafka_streams_repartition_spark.plans import count_scans_of
+
+    df = tx.bpe_encode(t)
+    assert_no_cartesian(df)
+    # the trainer's vocab passes are separate jobs (collected argmaxes);
+    # the APPLICATION plan itself scans documents exactly once
+    assert count_scans_of(df, "documents") == 1
+    plan = explain_str(df)
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_dedup_collapsed_broadcasts_verdicts_not_pairs(t):
+    """Collapse-then-minhash: no cartesian anywhere, the tiny rep-level
+    verdict set joins back broadcast, and the pair-grained frames touch
+    only representatives (the documents scans are the hash/collapse
+    passes, bounded and column-pruned — never a pair-expanded corpus)."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.plans import assert_broadcast_join
+
+    df = dd.dedup_collapsed(t)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
