@@ -88,7 +88,9 @@ def tumbling_events(t: dict[str, DataFrame]) -> DataFrame:
 
 
 TUMBLING_EVENTS_ORACLE = f"""
-SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+SELECT epoch_ms(ts)
+           - ((epoch_ms(ts) % {HOUR_MS} + {HOUR_MS}) % {HOUR_MS})
+           AS window_start_ms,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
@@ -100,13 +102,13 @@ GROUP BY 1, 2
 def hopping_events(t: dict[str, DataFrame]) -> DataFrame:
     """1-hour windows hopping every 30 min: each event lands in 2.
 
-    Window starts use truncating integer division (Spark ``div``,
-    DuckDB ``//`` — identical, so oracle parity holds), which assumes
-    positive epochs: for pre-1970 timestamps ``ms - k*HALF_HOUR_MS``
-    can go negative and truncation-toward-zero diverges from
-    ``F.window``'s floor-based hopping. The testdata (and any realistic
-    event feed) is strictly post-1970; use floor division on both sides
-    if that ever changes.
+    Window starts are FLOOR-aligned via a positive modulus
+    (``x - pmod(x, slide)``), matching ``F.window``'s hopping for ALL
+    epochs — including pre-1970 negatives, where the earlier
+    truncating-division form diverged (the r3–r5 carried cosmetic,
+    closed with a negative-epoch regression test).  For positive
+    epochs the two forms are identical, so every historical green row
+    still holds.
     """
     ev = _with_ms(t["events"]).select("ms", "value")
     return (
@@ -115,7 +117,8 @@ def hopping_events(t: dict[str, DataFrame]) -> DataFrame:
         )
         .select(
             F.expr(
-                f"((ms - k * {HALF_HOUR_MS}) div {HOUR_MS}) * {HOUR_MS}"
+                f"(ms - k * {HALF_HOUR_MS})"
+                f" - pmod(ms - k * {HALF_HOUR_MS}, {HOUR_MS})"
                 f" + k * {HALF_HOUR_MS}"
             ).alias("window_start_ms"),
             "value",
@@ -129,7 +132,9 @@ def hopping_events(t: dict[str, DataFrame]) -> DataFrame:
 
 
 HOPPING_EVENTS_ORACLE = f"""
-SELECT ((epoch_ms(ts) - k * {HALF_HOUR_MS}) // {HOUR_MS}) * {HOUR_MS}
+SELECT (epoch_ms(ts) - k * {HALF_HOUR_MS})
+           - (((epoch_ms(ts) - k * {HALF_HOUR_MS}) % {HOUR_MS} + {HOUR_MS})
+              % {HOUR_MS})
            + k * {HALF_HOUR_MS} AS window_start_ms,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value

@@ -164,3 +164,61 @@ def test_ktable_tombstones(spark):
     out = latest_per_key(df, ["key"], ["offset"], tombstone_col="value")
     got = {r["key"]: r["value"] for r in out.collect()}
     assert got == {"k2": "b", "k3": "c"}
+
+
+def test_hopping_window_starts_floor_for_all_epochs(spark):
+    """The closed-form hopping/tumbling window starts must match
+    F.window's FLOOR alignment even for pre-1970 (negative-epoch)
+    timestamps — the r3–r5 carried divergence, now closed.  Oracle
+    parity is checked against DuckDB's positive-modulus form too."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka_streams_repartition_spark.operators import windows as win
+
+    ms_values = [
+        -7_200_000, -5_400_001, -1, 0, 1, 1_799_999, 1_800_000,
+        3_599_999, 3_600_000, 1_700_000_000_123,
+    ]
+    ev = spark.createDataFrame(
+        [(i, m, 1.0, "t") for i, m in enumerate(ms_values)],
+        "event_id long, ms long, value double, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "value",
+        "event_type",
+    )
+    t2 = {"events": ev}
+
+    # closed form vs F.window with slide: same (start, count) sets
+    got = {
+        (r["window_start_ms"], r["n_events"])
+        for r in win.hopping_events(t2).collect()
+    }
+    want = {
+        (r["s"], r["n"])
+        for r in ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("s"), "n")
+        .collect()
+    }
+    assert got == want
+
+    # tumbling: F.window implementation vs the floor-mod oracle
+    con = duckdb.connect()
+    con.register("events_pd", ev.toPandas())
+    con.execute("CREATE VIEW events AS SELECT * FROM events_pd")
+    want_t = {
+        (r[0], r[2])
+        for r in con.execute(win.TUMBLING_EVENTS_ORACLE).fetchall()
+    }
+    got_t = {
+        (r["window_start_ms"], r["n_events"])
+        for r in win.tumbling_events(t2).collect()
+    }
+    assert got_t == want_t
+    # pre-1970 starts really are floor-aligned (negative multiples)
+    assert any(s < 0 and s % 3_600_000 == 0 for s, _ in got_t)
