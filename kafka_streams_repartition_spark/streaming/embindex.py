@@ -77,6 +77,43 @@ def _committed_dirs(root: str, sub: str) -> list[str]:
     return sorted(out)
 
 
+def _begin_batch(
+    root: str, checkpoint_dir: str, batch_id: int, what: str
+) -> bool:
+    """Run-identity guard + replay skip (shared by every incremental
+    index): False = replayed batch already committed; raises when the
+    checkpoint lineage does not match the index's recorded identity."""
+    qid = _checkpoint_query_id(checkpoint_dir)
+    run_path = os.path.join(root, _RUN)
+    stored = None
+    try:
+        with open(run_path) as fh:
+            stored = fh.read().strip() or None
+    except FileNotFoundError:
+        pass
+    current = _index_version(root)
+    if current is not None and stored is not None and qid != stored:
+        raise RuntimeError(
+            f"{what} at {root} was built by streaming query {stored} but "
+            f"this checkpoint ({checkpoint_dir}) is query {qid}: its batch "
+            "ids do not line up with the committed batches. checkpoint_dir "
+            "and index root must live and die as a pair."
+        )
+    if (stored is None or current is None) and qid is not None:
+        tmp = os.path.join(root, f".{_RUN}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(qid)
+        os.rename(tmp, run_path)
+    return not (current is not None and current >= batch_id)
+
+
+def _commit_batch(root: str, batch_id: int) -> None:
+    tmp = os.path.join(root, f".{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.rename(tmp, os.path.join(root, _POINTER))  # atomic commit
+
+
 def _sigs_for(vecs: DataFrame) -> DataFrame:
     """(vec_id, v, band, sig) — one row per band per vector."""
     return vecs.select(
@@ -107,29 +144,7 @@ def stream_embedding_index(
     emitted: list = []
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        qid = _checkpoint_query_id(checkpoint_dir)
-        run_path = os.path.join(root, _RUN)
-        stored = None
-        try:
-            with open(run_path) as fh:
-                stored = fh.read().strip() or None
-        except FileNotFoundError:
-            pass
-        current = _index_version(root)
-        if current is not None and stored is not None and qid != stored:
-            raise RuntimeError(
-                f"embedding index at {root} was built by streaming query "
-                f"{stored} but this checkpoint ({checkpoint_dir}) is query "
-                f"{qid}: its batch ids do not line up with the committed "
-                "batches. checkpoint_dir and index root must live and die "
-                "as a pair."
-            )
-        if (stored is None or current is None) and qid is not None:
-            tmp = os.path.join(root, f".{_RUN}.tmp")
-            with open(tmp, "w") as fh:
-                fh.write(qid)
-            os.rename(tmp, run_path)
-        if current is not None and current >= batch_id:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "embedding index"):
             return  # replayed batch already committed (emissions too)
 
         new_vecs = batch_df.select(
@@ -196,13 +211,124 @@ def stream_embedding_index(
             "overwrite"
         ).parquet(os.path.join(out, "sigs"))
         new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
-        tmp = os.path.join(root, f".{_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.rename(tmp, os.path.join(root, _POINTER))  # atomic commit
+        _commit_batch(root, batch_id)
 
     q = (
         vec_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return emitted
+
+
+_BAND_SCHEMA = "doc_id long, band_id int, sig string"
+_GRAM_SCHEMA = "doc_id long, grams array<string>, n int"
+
+
+def stream_minhash_index(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> list:
+    """Text twin of :func:`stream_embedding_index`: a persisted MinHash
+    band-bucket index maintained per micro-batch over a document
+    stream (columns: doc_id, text), emitting every Jaccard-verified
+    near-dup pair (doc_a, doc_b, jaccard) exactly once — in the batch
+    of its later-arriving side — so emissions across any batch cut
+    equal the one-shot ``operators.dedup.dedup_minhash_lsh`` over the
+    full corpus.
+
+    Per batch: gram arrays + banded signatures map-side (the batch
+    only), candidates = batch-vs-INDEX ∪ batch-vs-batch bucket
+    collisions (history never re-pairs), exact-Jaccard verification
+    via ``array_intersect`` on the two gram arrays, then the batch's
+    (band, sig) rows and gram arrays append to the index.  The index
+    side contributes its band rows to the candidate join and gram
+    arrays ONLY for actual collision partners — the historical corpus
+    text itself never re-shuffles (the ``dedup_incremental`` asymmetry,
+    now continuous).
+    """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_gram_arrays,
+        _lsh_bands,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    emitted: list = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "minhash index"):
+            return  # replayed batch already committed (emissions too)
+
+        arr = _doc_gram_arrays(batch_df).localCheckpoint(eager=False)
+        bands = _lsh_bands(arr)
+        band_dirs = _committed_dirs(root, "bands")
+        gram_dirs = _committed_dirs(root, "grams")
+        cand_self = (
+            bands.alias("x")
+            .join(bands.select("band_id", "sig", "doc_id").alias("y"),
+                  ["band_id", "sig"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("ia"), F.col("y.doc_id").alias("ib"))
+        )
+        if band_dirs:
+            idx_bands = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
+            cand_cross = bands.join(
+                idx_bands.select(
+                    "band_id", "sig", F.col("doc_id").alias("old_id")
+                ),
+                ["band_id", "sig"],
+            ).select(F.col("doc_id").alias("ia"), F.col("old_id").alias("ib"))
+            cand = cand_self.unionByName(cand_cross)
+            all_grams = arr.unionByName(
+                spark.read.schema(_GRAM_SCHEMA).parquet(*gram_dirs)
+            )
+        else:
+            cand = cand_self
+            all_grams = arr
+        cand = cand.select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+        ).distinct()
+
+        ga = all_grams.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("grams").alias("gra"),
+            F.col("n").alias("na"),
+        )
+        gb = all_grams.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("grams").alias("grb"),
+            F.col("n").alias("nb"),
+        )
+        inter = F.size(F.array_intersect("gra", "grb"))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        rows = (
+            cand.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .filter(jac >= JACCARD_THRESHOLD)
+            .collect()
+        )
+        emitted.extend(rows)
+        if on_batch is not None:
+            on_batch(batch_id, rows)
+
+        out = os.path.join(root, f"batch={batch_id}")
+        bands.select("doc_id", "band_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
+        _commit_batch(root, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

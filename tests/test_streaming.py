@@ -1373,6 +1373,47 @@ def test_stream_embedding_index_equals_batch_lsh(spark, tmp_path):
     assert set(per_batch) == {0, 1} and per_batch[0] and per_batch[1]
 
 
+def test_stream_minhash_index_equals_batch_lsh(spark, tmp_path):
+    """Text twin of the embedding index: the incrementally-maintained
+    MinHash band index drained over a mid-corpus cut emits exactly the
+    one-shot dedup_minhash_lsh pair set — same pairs, same rounded
+    Jaccards, each pair once."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_minhash_index,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    per_batch: dict[int, int] = {}
+    emitted = stream_minhash_index(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        on_batch=lambda bid, rows: per_batch.__setitem__(bid, len(rows)),
+    )
+    got = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in emitted]
+    assert len(got) == len(set(got))  # each pair exactly once
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.dedup_minhash_lsh(t).collect()
+    }
+    assert set(got) == want and want
+    assert set(per_batch) == {0, 1} and per_batch[1]
+
+
 def test_stream_embedding_index_rejects_foreign_checkpoint(spark, tmp_path):
     """Same run-identity contract as maintain_snapshot: a recreated
     checkpoint against a surviving index fails loudly, never silently
