@@ -1434,3 +1434,155 @@ SELECT n_truth_pairs, n_lsh_found,
        END AS recall
 FROM n_t CROSS JOIN n_h
 """
+
+
+# --- semantic dedup (SemDeDup: cluster-blocked prototype pruning) ---------
+
+
+def semdedup(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-dup pruning blocked by k-means cells — cluster the embedding
+    space with the trained coarse quantizer, then within each cell
+    drop, from every ≥-threshold cosine pair, the member CLOSER to the
+    cell centroid (keep the outlier: prototypical members are the
+    redundant ones; ties break on higher vec_id).  The complement of
+    LSH blocking: buckets come from the learned cluster structure, so
+    "semantically same" pairs collide even when no random signature
+    family separates at this threshold (the measured weakness of
+    ``dedup_embedding_lsh``'s banding at cos 0.3).
+
+    Scale shape: cluster assignment is :func:`similarity.kmeans_cells`
+    (zero-shuffle map assignment per Lloyd's round); centroids and
+    per-member centroid-cosines are one aggregation + a broadcast
+    join; the within-cell pairwise check runs per cell as ONE
+    Arrow/BLAS matmul emitting only per-member verdicts — pair-grained
+    data never leaves a task.  Cell width is the skew knob, same as
+    the (band, sig) buckets: a degenerate cell takes the
+    ``EMBDUP_BUCKET_CAP`` chunk-pair tiling (not wired here because
+    cells are quantizer-balanced by construction; see
+    ``_embdup_tiled_sigs`` for the drop-in pattern).
+
+    Output, one row per vector: its cell, its rounded centroid cosine,
+    and the removed/kept verdict.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import DIM, kmeans_cells
+
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    m = emb.join(kmeans_cells(t), "vec_id")
+    cent = m.groupBy("cell").agg(
+        F.array(
+            *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
+        ).alias("cv")
+    )
+    from ..functions.vectors import dot, norm
+
+    with_c = m.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        "v",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))),
+            6,
+        ).alias("cent_cos"),
+    )
+
+    def judge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        cc = pdf["cent_cos"].to_numpy()
+        if len(ids) < 2:
+            removed = np.zeros(len(ids), dtype=bool)
+        else:
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            C = np.round((V @ V.T) / np.outer(nrm, nrm), 4)
+            np.fill_diagonal(C, -2.0)
+            pair = C >= EMBED_COSINE_THRESHOLD
+            # i is removed if some ≥-threshold partner j is FARTHER from
+            # the centroid (or tied with a lower id): keep the outlier
+            dom = (cc[:, None] > cc[None, :]) | (
+                (cc[:, None] == cc[None, :]) & (ids[:, None] > ids[None, :])
+            )
+            removed = (pair & dom).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "cent_cos": cc,
+                "removed": removed,
+                "kept": ~removed,
+            }
+        )
+
+    return with_c.groupBy("cell").applyInPandas(
+        judge,
+        "vec_id long, cell int, cent_cos double, removed boolean, "
+        "kept boolean",
+    )
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import KMEANS_CELLS_ORACLE
+
+    chain = KMEANS_CELLS_ORACLE
+    tail = chain.rindex("\nSELECT vec_id, cell FROM assign")
+    with_block = chain[:tail]
+    final_assign = chain[tail + len("\nSELECT vec_id, cell FROM ") :].strip()
+    return f"""{with_block},
+asg AS MATERIALIZED (SELECT vec_id, cell FROM {final_assign}),
+centf AS MATERIALIZED (
+    SELECT a.cell, e.pos, avg(e.x) AS c
+    FROM e JOIN asg a USING (vec_id)
+    GROUP BY 1, 2
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1
+),
+cnorm AS MATERIALIZED (
+    SELECT cell, sqrt(sum(c * c)) AS cnrm FROM centf GROUP BY 1
+),
+cc AS MATERIALIZED (
+    SELECT a.vec_id, a.cell,
+           round(sum(e.x * cf.c) / (any_value(n.nrm) * any_value(cn.cnrm)), 6)
+               AS cent_cos
+    FROM asg a
+    JOIN e ON e.vec_id = a.vec_id
+    JOIN centf cf ON cf.cell = a.cell AND cf.pos = e.pos
+    JOIN norms n ON n.vec_id = a.vec_id
+    JOIN cnorm cn ON cn.cell = a.cell
+    GROUP BY 1, 2
+),
+paircos AS MATERIALIZED (
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.cell,
+           round(sum(ea.x * eb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 4)
+               AS pc
+    FROM asg a
+    JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id AND ea.pos = eb.pos
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY 1, 2, 3
+),
+removed AS (
+    SELECT DISTINCT p.va AS vec_id
+    FROM paircos p
+    JOIN cc ca ON ca.vec_id = p.va
+    JOIN cc cb ON cb.vec_id = p.vb
+    WHERE p.pc >= {EMBED_COSINE_THRESHOLD}
+      AND (ca.cent_cos > cb.cent_cos
+           OR (ca.cent_cos = cb.cent_cos AND p.va > p.vb))
+)
+SELECT c.vec_id, c.cell, c.cent_cos,
+       r.vec_id IS NOT NULL AS removed,
+       r.vec_id IS NULL AS kept
+FROM cc c
+LEFT JOIN removed r ON c.vec_id = r.vec_id
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()

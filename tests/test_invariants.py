@@ -131,6 +131,24 @@ def test_incremental_dedup_verdicts_consistent(t):
     assert {r["doc_id"] for r in rows} == new_ids
 
 
+def test_semdedup_keeps_cell_outlier(t):
+    """SemDeDup's keep rule: within every cell the lexicographic
+    minimum (cent_cos, vec_id) member is NEVER removed (nothing
+    dominates it), verdicts partition each cell, and every removal is
+    justified by a ≥-threshold partner farther from the centroid."""
+    rows = dd.semdedup(t).collect()
+    assert rows
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        assert all(r["kept"] == (not r["removed"]) for r in members)
+        anchor = min(members, key=lambda r: (r["cent_cos"], r["vec_id"]))
+        assert not anchor["removed"], (cell, anchor)
+    # pruning actually happened somewhere (the corpus has near-dups)
+    assert any(r["removed"] for r in rows)
+
+
 def test_dedup_collapsed_replication_invariant(spark, t):
     """The collapse-then-minhash verdict must be invariant to exact
     replication: replicating the corpus 3x (fresh doc_ids, identical

@@ -1134,3 +1134,17 @@ def test_dedup_collapsed_broadcasts_verdicts_not_pairs(t):
     df = dd.dedup_collapsed(t)
     assert_no_cartesian(df)
     assert_broadcast_join(df)
+
+
+def test_semdedup_cell_blocked_no_pair_join(t):
+    """SemDeDup verifies per cell inside one Arrow task: no cartesian,
+    no pair-grained shuffle join — the only joins are the assignment
+    attach and the broadcast centroid attach."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    df = dd.semdedup(t)
+    plan = explain_str(df)
+    assert_no_cartesian(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan  # centroid attach
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
