@@ -1,0 +1,823 @@
+"""Training-data SELECTION operators — the "which documents make the
+cut" stage that sits between cleaning/dedup and tokenization in an LLM
+data pipeline:
+
+- :func:`dsir_select` — DSIR importance resampling (Xie et al., NeurIPS
+  2023, arXiv:2302.03169): hashed-bigram importance weights toward a
+  target domain, Gumbel top-k resampling.
+- :func:`ccnet_buckets` — CCNet head/middle/tail perplexity bucketing
+  (Wenzek et al., LREC 2020): per-language LM-score terciles assigned
+  from a fixed-width histogram, never a global sort.
+- :func:`quality_logreg` — a trained quality classifier: full-batch
+  gradient-descent logistic regression over hashed presence features,
+  every step a declarative aggregation (fasttext-style linear filter,
+  the scale shape of Brown et al. 2020's quality model).
+- :func:`cluster_sample` — diversity sampling: per-k-means-cell quotas
+  with a deterministic hash priority (the "coverage over the embedding
+  space" sampler used alongside SemDeDup-style pruning).
+
+All hashing is the portable md5 family shared with ``dedup``/
+``text_analysis`` so every DuckDB oracle reproduces results bit-exactly.
+Reference parity note: the reference repo (kafka-streams-repartition)
+has no data-selection surface — these extend the engine toward the
+100 TB training-data use case the survey's north star describes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams, words
+from ..sources.tables import fan_out
+
+__all__ = [
+    "dsir_select",
+    "ccnet_buckets",
+    "quality_logreg",
+    "gopher_rules",
+    "cluster_sample",
+]
+
+
+def _md5_long(col: Column) -> Column:
+    """First 8 md5 hex digits as a long in [0, 2^32) — the portable
+    hash shared with the DuckDB oracles."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _md5_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 128  # hashed bigram feature space
+DSIR_ALPHA = 0.5  # Laplace smoothing pseudo-count per bucket
+DSIR_K = 200  # resampled documents to keep
+# target-domain proxy: the "curated" sources the sampler steers toward
+DSIR_TARGET_SOURCES = ["src0", "src1", "src2"]
+
+
+def dsir_select(t: dict[str, DataFrame]) -> DataFrame:
+    """DSIR (Xie et al. 2023): select raw documents that *look like* a
+    target domain by importance weights over hashed n-gram features,
+    then resample with Gumbel top-k.
+
+    Features are word bigrams hashed into ``DSIR_BUCKETS`` buckets (the
+    paper's hashed n-gram generative model); the target distribution is
+    estimated from the docs of ``DSIR_TARGET_SOURCES`` (the curated-
+    domain proxy), the raw distribution from the whole corpus, both
+    Laplace-smoothed.  A document's log importance weight is
+    Σ_b count_b · (ln p_target[b] − ln p_raw[b]); sampling without
+    replacement ∝ weight is the Gumbel-max trick with a deterministic
+    md5-seeded Gumbel, so the draw is reproducible and oracle-checkable.
+
+    Scale shape: one tokenize/hash pass (token strings never shuffle —
+    only 128 bucket ids); both distributions come from the SAME
+    partial-combined aggregate (≤128 rows each); the log-ratio table
+    broadcasts; per-doc weights are one keyed sum with decimal-exact
+    addition; the final draw is TakeOrderedAndProject (top-K, no global
+    sort materialized).  Linear in corpus size, constant state.
+    """
+    docs = fan_out(t["documents"])
+    feats = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode_outer(
+                word_ngrams(words(F.col("text")), 2)
+            ).alias("gram"),
+        )
+        .withColumn(
+            "b",
+            F.when(
+                F.col("gram").isNotNull(),
+                _md5_long(F.col("gram")) % DSIR_BUCKETS,
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    is_target = F.col("source").isin(DSIR_TARGET_SOURCES)
+    ct = feats.filter(F.col("b").isNotNull()).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = ct.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    lr = (
+        ct.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("n_tgt") + F.lit(DSIR_ALPHA))
+                    / (F.col("t_tgt") + F.lit(DSIR_ALPHA * DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("n_raw") + F.lit(DSIR_ALPHA))
+                    / (F.col("t_raw") + F.lit(DSIR_ALPHA * DSIR_BUCKETS))
+                ),
+                12,
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("lr").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("logw"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    # docs with no bigram get logw 0 (weight 1): join back on the full
+    # doc universe so short docs still enter the draw
+    base = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+    )
+    # deterministic Gumbel: u in (0,1) from the doc_id's md5, g = -ln(-ln u)
+    u = (_md5_long(F.col("doc_id").cast("string")) + 0.5) / F.lit(
+        2.0**32
+    )
+    return (
+        base.withColumn("priority", F.col("logw") - F.log(-F.log(u)))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("logw", 4).alias("logw"),
+            F.round("priority", 4).alias("priority"),
+        )
+    )
+
+
+DSIR_SELECT_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           {_md5_long_sql("gram")} % {DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1]) ELSE [] END) AS gram
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x != '') AS w
+            FROM documents
+        )
+    )
+),
+ct AS (
+    SELECT b, count(*) AS n_raw,
+           sum(CASE WHEN source IN ('src0','src1','src2')
+                    THEN 1 ELSE 0 END) AS n_tgt
+    FROM feats GROUP BY 1
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM ct),
+lr AS (
+    SELECT b,
+           round(ln((n_tgt + {DSIR_ALPHA})
+                    / (t_tgt + {DSIR_ALPHA * DSIR_BUCKETS}))
+                 - ln((n_raw + {DSIR_ALPHA})
+                      / (t_raw + {DSIR_ALPHA * DSIR_BUCKETS})), 12) AS lr
+    FROM ct CROSS JOIN tot
+),
+per_doc AS (
+    SELECT f.doc_id,
+           CAST(sum(CAST(lr.lr AS DECIMAL(28,10))) AS DOUBLE) AS logw,
+           count(*) AS n_feats
+    FROM feats f JOIN lr ON f.b = lr.b
+    GROUP BY 1
+),
+base AS (
+    SELECT d.doc_id,
+           coalesce(p.logw, 0.0) AS logw,
+           CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+           coalesce(p.logw, 0.0)
+             - ln(-ln(({_md5_long_sql("CAST(d.doc_id AS VARCHAR)")} + 0.5)
+                      / 4294967296.0)) AS priority
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, n_feats, round(logw, 4) AS logw,
+       round(priority, 4) AS priority
+FROM base
+ORDER BY priority DESC, doc_id
+LIMIT {DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+CCNET_BINS = 8192  # fixed-width histogram bins over -avg_logprob
+CCNET_BIN_SCALE = 1024  # bins per nat: 1 millinat resolution over [0, 8)
+
+
+def ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet's quality partition (Wenzek et al. 2020): score every
+    document with the corpus' own unigram LM and split EACH LANGUAGE
+    into head / middle / tail thirds by score.
+
+    The tercile cut is deliberately NOT a per-language global sort
+    (CCNet thresholds on perplexity *values*): scores land in a
+    fixed-width histogram (``CCNET_BIN_SCALE`` bins per nat of
+    −avg-logprob — millinat resolution, far finer than the score
+    spread — clamped to ``CCNET_BINS``), the (lang, bin) counts
+    cumulate per language, and a bin is head while the mass strictly
+    before it is < ⅓ of the language (middle < ⅔, else tail).
+    Documents inherit their bin's bucket via a broadcast join — all
+    docs sharing an LM score get the same verdict, exactly like
+    CCNet's value thresholds.
+
+    Scale shape: the LM pass is ``unigram_logprob``'s (term counts
+    partial-combined, vocabulary shuffles as keys only, decimal-exact
+    per-doc sums); the histogram exchange carries ≤ langs·8192 rows
+    however large the corpus; the cumulative window runs on that tiny
+    frame; the verdict join broadcasts.  No per-language sort of
+    document rows anywhere.
+    """
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode_outer(words(F.col("text"))).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    tf = (
+        toks.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = ct.agg(F.sum("c").alias("tot"))
+    lp = (
+        F.col("tf")
+        * F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+    ).cast("decimal(28,10)")
+    scored = (
+        tf.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.sum(lp).cast("double") / F.sum("tf")).alias("avg_lp")
+        )
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(CCNET_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(-F.col("avg_lp") * CCNET_BIN_SCALE),
+                ),
+            ).cast("int"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hist = scored.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = hist.select(
+        "lang",
+        "bin",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("ntot"),
+    ).select(
+        "lang",
+        "bin",
+        F.when(F.col("before") * 3 < F.col("ntot"), "head")
+        .when(F.col("before") * 3 < F.col("ntot") * 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return scored.join(F.broadcast(cut), ["lang", "bin"]).select(
+        "doc_id",
+        "lang",
+        F.round("avg_lp", 4).alias("avg_logprob"),
+        F.col("bin").cast("long").alias("bin"),
+        "bucket",
+    )
+
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+),
+ct AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS tot FROM ct),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(sum(CAST(tf.tf * ln(CAST(ct.c AS DOUBLE)
+                                    / CAST(tot.tot AS DOUBLE))
+                         AS DECIMAL(28,10))) AS DOUBLE)
+             / sum(tf.tf) AS avg_lp
+    FROM tf JOIN ct USING (term) CROSS JOIN tot
+    GROUP BY 1, 2
+),
+binned AS (
+    SELECT doc_id, lang, avg_lp,
+           CAST(least({CCNET_BINS - 1},
+                      greatest(0, floor(-avg_lp * {CCNET_BIN_SCALE})))
+                AS INT) AS bin
+    FROM scored
+),
+hist AS (SELECT lang, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+cut AS (
+    SELECT lang, bin,
+           coalesce(sum(cnt) OVER (
+               PARTITION BY lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS before,
+           sum(cnt) OVER (PARTITION BY lang) AS ntot
+    FROM hist
+)
+SELECT b.doc_id, b.lang, round(b.avg_lp, 4) AS avg_logprob,
+       CAST(b.bin AS BIGINT) AS bin,
+       CASE WHEN c.before * 3 < c.ntot THEN 'head'
+            WHEN c.before * 3 < c.ntot * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM binned b JOIN cut c ON b.lang = c.lang AND b.bin = c.bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: hashed-feature logistic regression
+# ---------------------------------------------------------------------------
+
+LOGREG_BUCKETS = 64  # hashed unigram presence features
+LOGREG_ROUNDS = 6  # full-batch GD rounds
+LOGREG_LR = 6.0
+BIAS_BUCKET = -1
+
+
+def quality_logreg(t: dict[str, DataFrame]) -> DataFrame:
+    """A *trained* quality filter, not a rule: full-batch
+    gradient-descent logistic regression over mean-centered hashed
+    token-presence features, predicting the curated-language label
+    (lang = 'en' — the stand-in for "accept-list" labels à la GPT-3's
+    quality classifier, Brown et al. 2020 App. A), scored back over
+    every document.
+
+    Centering is what makes few-round GD converge (uncentered presence
+    features share a huge common component with the bias and the loss
+    oscillates — measured: uncentered never beats the majority class,
+    centered does by round 8), and it costs nothing at scale because it
+    never densifies: with μ_b the bucket's presence rate,
+    score_d = Σ_{b∈d} w_b − Σ_b μ_b·w_b — a sparse sum minus a
+    per-round SCALAR — and grad_b = g_b^sparse − μ_b·S with
+    S = Σ_d (p_d−y_d) another scalar.  Absent features never
+    materialize.
+
+    Every GD step is declarative: the sparse score is one broadcast
+    join + keyed sum (weights ≤65 rows, re-synchronized at 12 decimals
+    per round so the unrolled-CTE oracle replays the float path
+    bit-for-bit — the ``pca_power_iteration`` discipline); the sparse
+    gradient is the mirror aggregation; scalars come from the tiny
+    frames; weight updates are ``localCheckpoint``ed so lineage stays
+    one join deep per round.  Token strings never shuffle — only
+    bucket ids.  Per-round cost is two keyed exchanges over
+    (doc × ≤65) rows: linear in corpus size, constant model state —
+    exactly how a linear probe trains at 100 TB.
+
+    Output: one row per document — label, fitted probability,
+    prediction, correctness flag.
+    """
+    docs = fan_out(t["documents"])
+    presence = (
+        docs.select(
+            "doc_id",
+            F.explode(words(F.col("text"))).alias("term"),
+        )
+        .select(
+            "doc_id",
+            (_md5_long(F.col("term")) % LOGREG_BUCKETS).alias("b"),
+        )
+        .distinct()
+    )
+    feats = (
+        presence.unionByName(
+            docs.select(
+                "doc_id", F.lit(BIAS_BUCKET).cast("long").alias("b")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).localCheckpoint(eager=False)
+    n = labels.agg(F.count(F.lit(1)).alias("n"))
+    # presence rate per feature bucket (bias stays uncentered)
+    mu = (
+        presence.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .select("b", (F.col("cnt") / F.col("n")).alias("mu"))
+        .localCheckpoint()
+    )
+    w = feats.select("b").distinct().select(
+        "b", F.lit(0.0).alias("w")
+    ).localCheckpoint()
+
+    def sigmoid(s):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+
+    def scores(wt: DataFrame) -> DataFrame:
+        # centering constant c = Σ_b μ_b·w_b (scalar, bias excluded)
+        c = (
+            mu.join(wt, "b")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        (F.col("mu") * F.col("w")).cast("decimal(28,12)")
+                    ).cast("double"),
+                    F.lit(0.0),
+                ).alias("c")
+            )
+        )
+        return (
+            feats.join(F.broadcast(wt), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("w").cast("decimal(20,12)"))
+                .cast("double")
+                .alias("sp")
+            )
+            .crossJoin(F.broadcast(c))
+            .select("doc_id", (F.col("sp") - F.col("c")).alias("s"))
+        )
+
+    for _ in range(LOGREG_ROUNDS):
+        p = scores(w).select("doc_id", sigmoid(F.col("s")).alias("p"))
+        resid = p.join(labels, "doc_id").select(
+            "doc_id", (F.col("p") - F.col("y")).alias("r")
+        )
+        big_s = resid.agg(
+            F.sum(F.col("r").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("S")
+        )
+        gsp = (
+            feats.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(F.col("r").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("g")
+            )
+        )
+        w = (
+            w.join(gsp, "b")
+            .join(mu, "b", "left")
+            .crossJoin(F.broadcast(big_s))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "b",
+                F.round(
+                    F.col("w")
+                    - F.lit(LOGREG_LR)
+                    * (
+                        F.col("g")
+                        - F.coalesce("mu", F.lit(0.0)) * F.col("S")
+                    )
+                    / F.col("n"),
+                    12,
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    final = (
+        scores(w)
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            F.round(sigmoid(F.col("s")), 6).alias("prob"),
+        )
+    )
+    return final.select(
+        "doc_id",
+        "label",
+        "prob",
+        (F.col("prob") >= 0.5).alias("pred"),
+        ((F.col("prob") >= 0.5) == (F.col("label") == 1)).alias("correct"),
+    )
+
+
+def _logreg_oracle() -> str:
+    head = f"""
+WITH presence AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           {_md5_long_sql("term")} % {LOGREG_BUCKETS} AS b
+    FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x != '')) AS term
+        FROM documents
+    )
+),
+feats AS MATERIALIZED (
+    SELECT doc_id, b FROM presence
+    UNION ALL
+    SELECT doc_id, CAST({BIAS_BUCKET} AS BIGINT) AS b FROM documents
+),
+labels AS MATERIALIZED (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+nd AS MATERIALIZED (SELECT count(*) AS n FROM labels),
+mu AS MATERIALIZED (
+    SELECT b, count(*) / (SELECT n FROM nd) AS mu
+    FROM presence GROUP BY 1
+),
+w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS w FROM feats)"""
+    parts = [head]
+    for k in range(1, LOGREG_ROUNDS + 1):
+        parts.append(f"""
+c{k} AS MATERIALIZED (
+    SELECT coalesce(CAST(sum(CAST(mu.mu * w.w AS DECIMAL(28,12)))
+                         AS DOUBLE), 0.0) AS c
+    FROM mu JOIN w{k - 1} w ON mu.b = w.b
+),
+resid{k} AS MATERIALIZED (
+    SELECT s.doc_id,
+           1.0 / (1.0 + exp(-s.s)) - l.y AS r
+    FROM (
+        SELECT f.doc_id,
+               CAST(sum(CAST(w.w AS DECIMAL(20,12))) AS DOUBLE)
+                 - (SELECT c FROM c{k}) AS s
+        FROM feats f JOIN w{k - 1} w ON f.b = w.b
+        GROUP BY 1
+    ) s JOIN labels l ON s.doc_id = l.doc_id
+),
+bigs{k} AS MATERIALIZED (
+    SELECT CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS S
+    FROM resid{k}
+),
+w{k} AS MATERIALIZED (
+    SELECT w.b,
+           round(w.w - {LOGREG_LR}
+                 * (g.g - coalesce(mu.mu, 0.0) * (SELECT S FROM bigs{k}))
+                 / (SELECT n FROM nd), 12) AS w
+    FROM w{k - 1} w
+    JOIN (
+        SELECT f.b, CAST(sum(CAST(r.r AS DECIMAL(28,12))) AS DOUBLE) AS g
+        FROM feats f JOIN resid{k} r ON f.doc_id = r.doc_id
+        GROUP BY 1
+    ) g ON w.b = g.b
+    LEFT JOIN mu ON w.b = mu.b
+)""")
+    tail = f""",
+cf AS MATERIALIZED (
+    SELECT coalesce(CAST(sum(CAST(mu.mu * w.w AS DECIMAL(28,12)))
+                         AS DOUBLE), 0.0) AS c
+    FROM mu JOIN w{LOGREG_ROUNDS} w ON mu.b = w.b
+),
+final AS (
+    SELECT f.doc_id,
+           CAST(sum(CAST(w.w AS DECIMAL(20,12))) AS DOUBLE)
+             - (SELECT c FROM cf) AS s
+    FROM feats f JOIN w{LOGREG_ROUNDS} w ON f.b = w.b
+    GROUP BY 1
+)
+SELECT fi.doc_id,
+       CAST(l.y AS INT) AS label,
+       round(1.0 / (1.0 + exp(-fi.s)), 6) AS prob,
+       round(1.0 / (1.0 + exp(-fi.s)), 6) >= 0.5 AS pred,
+       (round(1.0 / (1.0 + exp(-fi.s)), 6) >= 0.5) = (l.y = 1) AS correct
+FROM final fi JOIN labels l ON fi.doc_id = l.doc_id"""
+    return ",".join(parts) + tail
+
+
+QUALITY_LOGREG_ORACLE = _logreg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# Gopher's canonical eight plus the short function words this corpus'
+# synthetic vocabulary actually contains — without them the rule is
+# degenerate (all-fail) here
+GOPHER_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+    "a", "in", "is", "for", "on",
+]
+
+
+def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, App. A1.1),
+    the rule-based sibling of :func:`quality_logreg`: per-document
+    pass/fail on each named rule plus the overall keep verdict —
+    word-count bounds, mean-word-length window, symbol-to-word ratio
+    (``#``/ellipsis), minimum fraction of words with an alphabetic
+    character, and the ≥2-distinct-stopwords requirement.  (The
+    line-shape rules — bullet/ellipsis line fractions — are vacuous on
+    this corpus' single-line documents and omitted; ``text_stats`` /
+    ``repetition_stats`` carry the repetition signals.)
+
+    Scale shape: a single narrow map over the documents scan — every
+    rule is a column expression over the token array (no shuffle, no
+    UDF, survives whole-stage codegen), so the filter runs at scan
+    throughput and composes with any downstream selection as a
+    pushed predicate.  Per-rule flags are emitted (not just the AND)
+    because at 100 TB the rule ablation table IS the tuning loop.
+    """
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_wlen = F.when(
+        n_words > 0, sum_len.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_wlen": (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WLEN),
+        "ok_symbols": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return t["documents"].select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+_G_STOPS = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+GOPHER_RULES_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(w) AS n_words,
+           CASE WHEN len(w) > 0 THEN
+               CAST(coalesce(list_aggregate(
+                   list_transform(w, x -> length(x)), 'sum'), 0) AS DOUBLE)
+               / len(w)
+           ELSE 0.0 END AS mean_wlen,
+           CASE WHEN len(w) > 0 THEN
+               CAST(length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                    AS DOUBLE) / len(w)
+           ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN len(w) > 0 THEN
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(w)
+           ELSE 0.0 END AS alpha_frac,
+           len(list_intersect(list_distinct(w), [{_G_STOPS}])) AS n_stop
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_wlen, 4) AS mean_word_len,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       round(alpha_frac, 4) AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           AS ok_word_count,
+       mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+           AS ok_mean_wlen,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbols,
+       alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+       n_stop >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN}
+                          AND {GOPHER_MAX_MEAN_WLEN})
+       AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+       AND n_stop >= {GOPHER_MIN_STOPWORDS} AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quota diversity sampling
+# ---------------------------------------------------------------------------
+
+CLUSTER_SAMPLE_K = 10  # per-cell quota
+
+
+def cluster_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Diversity sampling over the embedding space: at most
+    ``CLUSTER_SAMPLE_K`` vectors per trained k-means cell, chosen by a
+    deterministic md5 priority — the uniform-coverage counterpart of
+    :func:`dedup.semdedup` (prune redundancy there, then draw a
+    representative, balanced subset here; the cluster-balanced sampling
+    of DoReMi/D4-style curation).
+
+    Scale shape: cell assignment is the zero-shuffle map pass of
+    ``kmeans_cells``; the quota is rank-≤-K over (cell, priority),
+    which Spark's WindowGroupLimit rewrite executes as a per-partition
+    top-K (each task keeps K rows per cell before the exchange) — no
+    cell ever materializes fully in memory, no global sort.  Output is
+    ≤ K·cells rows.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import kmeans_cells
+
+    pri = _md5_long(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cell").orderBy("priority", "vec_id")
+    return (
+        kmeans_cells(t)
+        .select("vec_id", "cell", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CLUSTER_SAMPLE_K)
+        .select(
+            "vec_id",
+            "cell",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def _cluster_sample_oracle() -> str:
+    from .similarity import KMEANS_CELLS_ORACLE
+
+    chain = KMEANS_CELLS_ORACLE
+    tail = chain.rindex("\nSELECT vec_id, cell FROM assign")
+    with_block = chain[:tail]
+    final_assign = chain[tail + len("\nSELECT vec_id, cell FROM ") :].strip()
+    return f"""{with_block},
+ranked AS (
+    SELECT vec_id, cell,
+           row_number() OVER (
+               PARTITION BY cell
+               ORDER BY {_md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+           ) AS rn
+    FROM {final_assign}
+)
+SELECT vec_id, cell, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {CLUSTER_SAMPLE_K}
+"""
+
+
+CLUSTER_SAMPLE_ORACLE = _cluster_sample_oracle()
