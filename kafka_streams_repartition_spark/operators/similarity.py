@@ -1220,3 +1220,150 @@ FROM scored
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --- hybrid lexical+semantic retrieval (reciprocal-rank fusion) ------------
+
+RRF_K = 60  # the canonical RRF damping constant (Cormack et al. 2009)
+HYBRID_TOP_K = 5
+
+
+def hybrid_search(t: dict[str, DataFrame]) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking and the
+    embedding-cosine semantic ranking of the SAME query documents with
+    reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009:
+    score = Σ 1/(k + rank)) — the standard first-stage retriever of a
+    RAG / retrieval-curation pipeline, and the fusion step every
+    two-tower + lexical stack needs.  Embedding ``vec_id`` is the
+    document's ``doc_id`` (the testdata convention: one embedding per
+    document).
+
+    Scale shape: the lexical leg is :func:`text_analysis.bm25_search`
+    unchanged (its scale story applies); the semantic leg broadcasts
+    the bounded query-vector set against one corpus scan with the same
+    two-phase top-k as the ANN family; fusion then happens in RANK
+    space — two ≤ k·queries-row frames full-outer-joined, so the fuse
+    step is measured in kilobytes no matter the corpus size.  Raising
+    either leg's k trades recall for a linearly bigger (still tiny)
+    fusion frame.
+    """
+    from .text_analysis import BM25_QUERIES, BM25_TOP_K, bm25_search
+
+    lex = bm25_search(t).select(
+        F.col("q_doc_id").alias("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("rnk").alias("lex_rank"),
+    )
+    emb = _corpus(t)
+    qids = (
+        t["documents"].select("doc_id").orderBy("doc_id").limit(BM25_QUERIES)
+    )
+    q = emb.join(F.broadcast(qids), emb["vec_id"] == qids["doc_id"]).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    ).alias("cosine")
+    sem_scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos)
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    sem = (
+        sem_scored.withColumn("sem_rank", F.row_number().over(w_sem))
+        .filter(F.col("sem_rank") <= BM25_TOP_K)
+        .select("query_id", "cand_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= HYBRID_TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cand_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("lex_rank").isNotNull().alias("in_lexical"),
+            F.col("sem_rank").isNotNull().alias("in_semantic"),
+        )
+    )
+
+
+def _hybrid_oracle() -> str:
+    from .text_analysis import BM25_QUERIES, BM25_TOP_K, BM25_SEARCH_ORACLE
+
+    return f"""
+WITH lex AS ({BM25_SEARCH_ORACLE}),
+e2 AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms2 AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e2 GROUP BY 1),
+hq AS (
+    SELECT e2.* FROM e2
+    JOIN (SELECT doc_id FROM documents ORDER BY doc_id
+          LIMIT {BM25_QUERIES}) s ON e2.vec_id = s.doc_id
+),
+sem_scored AS (
+    SELECT hq.vec_id AS query_id, e2.vec_id AS cand_id,
+           round(sum(hq.x * e2.x) / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM hq
+    JOIN e2 ON hq.pos = e2.pos AND hq.vec_id != e2.vec_id
+    JOIN norms2 nq ON hq.vec_id = nq.vec_id
+    JOIN norms2 nc ON e2.vec_id = nc.vec_id
+    GROUP BY 1, 2, nq.nrm, nc.nrm
+),
+sem AS (
+    SELECT query_id, cand_id, sem_rank FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, cand_id
+               ) AS sem_rank
+        FROM sem_scored
+    ) WHERE sem_rank <= {BM25_TOP_K}
+),
+fused AS (
+    SELECT coalesce(l.q_doc_id, s.query_id) AS query_id,
+           coalesce(l.doc_id, s.cand_id) AS cand_id,
+           l.rnk AS lex_rank, s.sem_rank,
+           coalesce(1.0 / ({RRF_K} + l.rnk), 0.0)
+             + coalesce(1.0 / ({RRF_K} + s.sem_rank), 0.0) AS rrf
+    FROM lex l
+    FULL OUTER JOIN sem s
+      ON l.q_doc_id = s.query_id AND l.doc_id = s.cand_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+       round(rrf, 6) AS rrf,
+       lex_rank IS NOT NULL AS in_lexical,
+       sem_rank IS NOT NULL AS in_semantic
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, cand_id
+    ) AS rank
+    FROM fused
+)
+WHERE rank <= {HYBRID_TOP_K}
+"""
+
+
+HYBRID_SEARCH_ORACLE = _hybrid_oracle()

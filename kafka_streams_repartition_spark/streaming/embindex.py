@@ -336,3 +336,172 @@ def stream_minhash_index(
     )
     q.awaitTermination()
     return emitted
+
+
+_HASH_SCHEMA = "h string"
+_ACC_SCHEMA = "doc_id long, n_tokens long, quality_score double"
+
+
+def stream_corpus_curation(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Production ingest curation: the streaming face of
+    ``operators.text_analysis.corpus_curation``, composing the three
+    gates per micro-batch against PERSISTED state —
+
+    1. quality gate: ``text_stats`` score ≥ the curation threshold
+       (per-document expressions, so the verdict is batch-invariant);
+    2. exact dedup: reject a quality-passing doc whose md5(text) is
+       already in the digest index (built from prior quality-passing
+       docs) or held by a smaller doc_id in the same batch —
+       first-arrival wins, which under id-ordered replay is exactly
+       the batch operator's keep-min-id rule;
+    3. near-dup: reject a doc that Jaccard-verifies ≥ threshold
+       against an already-indexed doc or an earlier (smaller-id) doc
+       of the same batch — the MinHash index ingests ALL arriving
+       docs (mirroring the batch operator, whose loser set comes from
+       the full corpus, not just quality survivors).
+
+    Accepted rows (doc_id, n_tokens, quality_score) append to the
+    curated table under the ``maintain_snapshot`` commit discipline
+    (append-only ``batch=<id>`` dirs + atomic ``_CURRENT`` + run-id
+    guard), so replayed batches never double-accept.  Returns the
+    committed curated corpus as a DataFrame.
+
+    Equivalence contract (tested across a mid-corpus cut): draining an
+    id-ordered stream yields EXACTLY ``corpus_curation``'s output.
+    Scale shape per batch: every gate is |batch|-bound — stats are
+    map-side, the digest probe is a broadcast-able anti-join against
+    hashes only, the near-dup leg is the ``stream_minhash_index``
+    asymmetry (historical text never re-shuffles, only (band, sig)
+    rows and colliding partners' gram arrays move).
+    """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_gram_arrays,
+        _lsh_bands,
+    )
+    from ..operators.text_analysis import QUALITY_THRESHOLD, text_stats
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "curation index"):
+            return  # replayed batch: accepted rows already committed
+        batch_df = batch_df.localCheckpoint(eager=False)
+
+        # gate 1: per-doc quality (batch-invariant expressions)
+        stats = text_stats({"documents": batch_df}).select(
+            "doc_id", "n_tokens", "quality_score"
+        )
+        qpass = stats.filter(
+            F.col("quality_score") >= QUALITY_THRESHOLD
+        )
+
+        # gate 2: exact dedup among quality survivors, first-wins
+        hashed = (
+            batch_df.select("doc_id", F.md5("text").alias("h"))
+            .join(qpass, "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        keepers = hashed.join(
+            hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")),
+            ["h", "doc_id"],
+        )
+        hash_dirs = _committed_dirs(root, "hashes")
+        if hash_dirs:
+            idx_h = spark.read.schema(_HASH_SCHEMA).parquet(*hash_dirs)
+            keepers = keepers.join(F.broadcast(idx_h), "h", "left_anti")
+
+        # gate 3: near-dup losers — ALL batch docs feed the index
+        arr = _doc_gram_arrays(batch_df).localCheckpoint(eager=False)
+        bands = _lsh_bands(arr)
+        cand_self = (
+            bands.alias("x")
+            .join(
+                bands.select("band_id", "sig", "doc_id").alias("y"),
+                ["band_id", "sig"],
+            )
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("earlier"),
+                F.col("y.doc_id").alias("later"),
+            )
+        )
+        band_dirs = _committed_dirs(root, "bands")
+        if band_dirs:
+            idx_bands = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
+            cand_cross = bands.join(
+                idx_bands.select(
+                    "band_id", "sig", F.col("doc_id").alias("old_id")
+                ),
+                ["band_id", "sig"],
+            ).select(
+                F.col("old_id").alias("earlier"),
+                F.col("doc_id").alias("later"),
+            )
+            cand = cand_self.unionByName(cand_cross)
+            all_grams = arr.unionByName(
+                spark.read.schema(_GRAM_SCHEMA).parquet(
+                    *_committed_dirs(root, "grams")
+                )
+            )
+        else:
+            cand = cand_self
+            all_grams = arr
+        cand = cand.distinct()
+        ga = all_grams.select(
+            F.col("doc_id").alias("earlier"),
+            F.col("grams").alias("gra"),
+            F.col("n").alias("na"),
+        )
+        gb = all_grams.select(
+            F.col("doc_id").alias("later"),
+            F.col("grams").alias("grb"),
+            F.col("n").alias("nb"),
+        )
+        inter = F.size(F.array_intersect("gra", "grb"))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        losers = (
+            cand.join(ga, "earlier")
+            .join(gb, "later")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select(F.col("later").alias("doc_id"))
+            .distinct()
+        )
+
+        accepted = keepers.join(
+            F.broadcast(losers), "doc_id", "left_anti"
+        ).select("doc_id", "n_tokens", "quality_score")
+
+        out = os.path.join(root, f"batch={batch_id}")
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out, "accepted")
+        )
+        keepers.select("h").write.mode("overwrite").parquet(
+            os.path.join(out, "hashes")
+        )
+        bands.select("doc_id", "band_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
+        _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    acc_dirs = _committed_dirs(root, "accepted")
+    if not acc_dirs:
+        return spark.createDataFrame([], _ACC_SCHEMA)
+    return spark.read.schema(_ACC_SCHEMA).parquet(*acc_dirs)

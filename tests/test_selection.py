@@ -188,6 +188,37 @@ def test_gopher_rules_plan_no_shuffle(t):
     assert count_scans_of(df, "documents") == 1
 
 
+# --- hybrid retrieval (RRF) ------------------------------------------------
+
+
+def test_hybrid_search_rrf_consistent(t):
+    """Every fused row came from at least one leg, ranks are dense
+    1..K per query, rrf is non-increasing along rank, and a doc found
+    by BOTH legs at rank 1 tops the fusion (1/(k+1)+1/(k+1) dominates
+    any single-leg score)."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    rows = sim.hybrid_search(t).toPandas()
+    assert (rows["in_lexical"] | rows["in_semantic"]).all()
+    for _, grp in rows.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["rrf"].diff().dropna() <= 0).all()
+        both_r1 = grp[(grp["in_lexical"]) & (grp["in_semantic"])]
+        if len(both_r1) and both_r1["rrf"].max() >= 2 / (sim.RRF_K + 1) - 1e-9:
+            assert grp.loc[grp["rrf"].idxmax(), "rank"] == 1
+
+
+def test_hybrid_search_plan_rank_space_fusion(t):
+    """The fusion joins two rank-space frames — no cartesian product,
+    and the semantic leg's query set rides a broadcast."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    df = sim.hybrid_search(t)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+
+
 # --- cluster sampling ------------------------------------------------------
 
 

@@ -1373,6 +1373,96 @@ def test_stream_embedding_index_equals_batch_lsh(spark, tmp_path):
     assert set(per_batch) == {0, 1} and per_batch[0] and per_batch[1]
 
 
+def test_stream_corpus_curation_equals_batch(spark, tmp_path):
+    """The full streaming ingest-curation pipeline (quality gate →
+    digest-index exact dedup → incremental MinHash near-dup) drained
+    over a mid-corpus id-ordered cut accepts EXACTLY the batch
+    corpus_curation output — same doc_ids, same stats."""
+    from kafka_streams_repartition_spark.operators import (
+        text_analysis as tx,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_corpus_curation,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    # id-ordered arrival: first-wins == the batch keep-min-id rule
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    seen: list[int] = []
+    curated = stream_corpus_curation(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        on_batch=seen.append,
+    )
+    got = {
+        (r["doc_id"], r["n_tokens"], r["quality_score"])
+        for r in curated.collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["quality_score"])
+        for r in tx.corpus_curation(t).collect()
+    }
+    assert seen == [0, 1]  # the cut actually produced two batches
+    assert got == want and want
+
+
+def test_stream_corpus_curation_cross_batch_gates(spark, tmp_path):
+    """Cross-batch state actually gates: an exact duplicate and a
+    near-duplicate of batch-0 docs arriving in batch 1 are both
+    rejected, while a fresh batch-1 doc is accepted."""
+    from kafka_streams_repartition_spark.streaming import (
+        stream_corpus_curation,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "river bank while the sun sets over the quiet green valley "
+        "and the birds sing in the tall trees of the forest"
+    )
+    near = base.replace("green valley", "wide valley")
+    fresh = (
+        "a completely different report about spark shuffle plans "
+        "and the cost of wide joins in the adaptive runtime of a "
+        "large cluster with many executors and the stages they run"
+    )
+    b0 = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base), (11, near), (12, fresh)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    curated = stream_corpus_curation(
+        spark,
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+    )
+    ids = {r["doc_id"] for r in curated.collect()}
+    assert 1 in ids  # the original is accepted
+    assert 10 not in ids  # exact dup of batch 0, rejected by digest
+    assert 11 not in ids  # near dup of batch 0, rejected by the index
+    assert 12 in ids  # fresh content passes
+
+
 def test_stream_minhash_index_equals_batch_lsh(spark, tmp_path):
     """Text twin of the embedding index: the incrementally-maintained
     MinHash band index drained over a mid-corpus cut emits exactly the
