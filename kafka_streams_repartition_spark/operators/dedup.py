@@ -1605,3 +1605,89 @@ LEFT JOIN removed r ON c.vec_id = r.vec_id
 
 
 SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
+# --- first-occurrence novelty scoring --------------------------------------
+
+
+def novelty_scoring(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-3-gram shingles whose FIRST corpus occurrence (min
+    doc_id) is this document — the memorization/novelty statistic of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): boilerplate and templated text scores near 0,
+    fresh content near 1, and the corpus-level novelty curve is the
+    diminishing-returns signal for further crawling.
+
+    Scale shape: shingles are built map-side per document (one array,
+    no corpus-wide explode+distinct) and leave the task only as 63-bit
+    md5 DIGESTS — the gram text never shuffles.  First-occurrence is
+    one partial-combined min per digest; the verdict rejoins on the
+    digest and folds back to one row per document.  Two keyed
+    exchanges total, both digest-width, both linear.  Hash collisions
+    merge two grams' first-occurrence (rate ~n²/2⁶³); the DuckDB
+    oracle hashes identically so the check is exact.
+    """
+    arr = _doc_gram_arrays(t["documents"])
+    ex = arr.select(
+        "doc_id",
+        F.col("n").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    ).withColumn(
+        "h",
+        F.when(
+            F.col("gram").isNotNull(),
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
+        ),
+    )
+    first = (
+        ex.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    return (
+        ex.join(first, "h", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel")
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 4),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("novelty"),
+        )
+    )
+
+
+NOVELTY_SCORING_ORACLE = f"""
+WITH g AS ({_GRAMS_SQL}),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+    FROM g
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM hashed GROUP BY 1),
+counts AS (
+    SELECT hashed.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN f.first_doc = hashed.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+    FROM hashed JOIN first f ON hashed.h = f.h
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(c.n_grams, 0) > 0
+            THEN round(CAST(c.n_novel AS DOUBLE) / c.n_grams, 4)
+            ELSE 1.0 END AS novelty
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+"""

@@ -12,9 +12,14 @@ data pipeline:
   gradient-descent logistic regression over hashed presence features,
   every step a declarative aggregation (fasttext-style linear filter,
   the scale shape of Brown et al. 2020's quality model).
+- :func:`gopher_rules` — the Rae et al. 2021 quality-rule battery as a
+  zero-shuffle narrow map with per-rule ablation flags.
 - :func:`cluster_sample` — diversity sampling: per-k-means-cell quotas
   with a deterministic hash priority (the "coverage over the embedding
   space" sampler used alongside SemDeDup-style pruning).
+- :func:`pair_mining` — contrastive training-pair construction:
+  LSH-verified near-dup positives + md5-seeded random negatives, both
+  with exact Jaccard (the E5/GTE embedding-training recipe).
 
 All hashing is the portable md5 family shared with ``dedup``/
 ``text_analysis`` so every DuckDB oracle reproduces results bit-exactly.
@@ -37,6 +42,7 @@ __all__ = [
     "quality_logreg",
     "gopher_rules",
     "cluster_sample",
+    "pair_mining",
 ]
 
 
@@ -821,3 +827,131 @@ FROM ranked WHERE rn <= {CLUSTER_SAMPLE_K}
 
 
 CLUSTER_SAMPLE_ORACLE = _cluster_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining
+# ---------------------------------------------------------------------------
+
+
+def pair_mining(t: dict[str, DataFrame]) -> DataFrame:
+    """Contrastive training-pair construction for embedding-model /
+    reranker training (the E5 / GTE recipe): POSITIVES are the
+    verified MinHash near-dup pairs (textually related documents —
+    LSH-bounded, never all-pairs), and each positive anchor gets one
+    deterministic RANDOM NEGATIVE drawn by hashing the anchor id into
+    the id space (md5-seeded, so the draw is reproducible and
+    oracle-checkable).  Both pair kinds carry their exact Jaccard, so
+    downstream filtering can enforce a positive/negative margin.
+
+    Scale shape: the positive leg is :func:`dedup.dedup_minhash_lsh`
+    unchanged; the negative leg is one hash computation per distinct
+    anchor plus two keyed joins to fetch the two gram arrays (bounded
+    by anchor count, not corpus size).  The id-space draw uses
+    ``doc_id % n`` arithmetic — on the dense testdata ids this always
+    lands; with sparse ids the inner join to the gram table simply
+    drops misses (both engines identically).
+    """
+    from .dedup import _doc_gram_arrays, dedup_minhash_lsh
+
+    pos = dedup_minhash_lsh(t).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+        F.lit(1).alias("label"),
+    )
+    nd = t["documents"].agg(F.count(F.lit(1)).alias("n"))
+    anchors = pos.select("anchor").distinct()
+    raw_neg = _md5_long(F.col("anchor").cast("string")) % F.col("n")
+    neg_ids = (
+        anchors.crossJoin(F.broadcast(nd))
+        .select(
+            "anchor",
+            F.when(raw_neg == F.col("anchor"), (raw_neg + 1) % F.col("n"))
+            .otherwise(raw_neg)
+            .alias("partner"),
+        )
+    )
+    arr = _doc_gram_arrays(t["documents"]).localCheckpoint(eager=False)
+    ga = arr.select(
+        F.col("doc_id").alias("anchor"),
+        F.col("grams").alias("gra"),
+        F.col("n").alias("na"),
+    )
+    gb = arr.select(
+        F.col("doc_id").alias("partner"),
+        F.col("grams").alias("grb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("gra", "grb"))
+    union = F.col("na") + F.col("nb") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    neg = (
+        neg_ids.join(ga, "anchor")
+        .join(gb, "partner")
+        .select(
+            "anchor",
+            "partner",
+            F.round(jac, 4).alias("jaccard"),
+            F.lit(0).alias("label"),
+        )
+    )
+    return pos.unionByName(neg).select(
+        "anchor",
+        "partner",
+        "jaccard",
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+def _pair_mining_oracle() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_ORACLE, NGRAM_N
+
+    return f"""
+WITH pos AS ({DEDUP_MINHASH_LSH_ORACLE}),
+arr AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= {NGRAM_N} THEN list_transform(
+               generate_series(1, len(w) - {NGRAM_N - 1}),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           ) ELSE [] END) AS grams
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+        FROM documents
+    )
+),
+nd AS (SELECT count(*) AS n FROM documents),
+anchors AS (SELECT DISTINCT doc_a AS anchor FROM pos),
+neg_ids AS (
+    SELECT anchor,
+           CASE WHEN {_md5_long_sql("CAST(anchor AS VARCHAR)")} % nd.n
+                     = anchor
+                THEN ({_md5_long_sql("CAST(anchor AS VARCHAR)")} % nd.n + 1)
+                     % nd.n
+                ELSE {_md5_long_sql("CAST(anchor AS VARCHAR)")} % nd.n
+           END AS partner
+    FROM anchors CROSS JOIN nd
+),
+neg AS (
+    SELECT ni.anchor, ni.partner,
+           round(CASE WHEN len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) > 0
+                      THEN CAST(len(list_intersect(a.grams, b.grams))
+                                AS DOUBLE)
+                           / (len(a.grams) + len(b.grams)
+                              - len(list_intersect(a.grams, b.grams)))
+                      ELSE 0.0 END, 4) AS jaccard,
+           0 AS label
+    FROM neg_ids ni
+    JOIN arr a ON a.doc_id = ni.anchor
+    JOIN arr b ON b.doc_id = ni.partner
+)
+SELECT doc_a AS anchor, doc_b AS partner, jaccard,
+       CAST(1 AS INT) AS label FROM pos
+UNION ALL
+SELECT anchor, partner, jaccard, CAST(label AS INT) AS label FROM neg
+"""
+
+
+PAIR_MINING_ORACLE = _pair_mining_oracle()

@@ -219,6 +219,45 @@ def test_hybrid_search_plan_rank_space_fusion(t):
     assert_broadcast_join(df)
 
 
+# --- contrastive pair mining -----------------------------------------------
+
+
+def test_pair_mining_margin_and_determinism(t):
+    """Positives carry the LSH-verified Jaccard (≥ threshold), every
+    positive anchor gets exactly one negative, negatives never
+    self-pair, and the positive/negative Jaccard margin is strict."""
+    from kafka_streams_repartition_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    rows = sel.pair_mining(t).toPandas()
+    pos = rows[rows["label"] == 1]
+    neg = rows[rows["label"] == 0]
+    assert len(pos) and len(neg)
+    assert (pos["jaccard"] >= JACCARD_THRESHOLD).all()
+    assert set(neg["anchor"]) == set(pos["anchor"])
+    assert neg.groupby("anchor").size().max() == 1
+    assert (neg["anchor"] != neg["partner"]).all()
+    assert pos["jaccard"].min() > neg["jaccard"].max()
+
+
+# --- novelty scoring -------------------------------------------------------
+
+
+def test_novelty_scoring_first_doc_fully_novel(t):
+    """The lowest doc_id is 100% novel by construction; novelty is in
+    [0, 1]; n_novel ≤ n_grams; every doc is scored."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    rows = dd.novelty_scoring(t).toPandas()
+    n_docs = t["documents"].count()
+    assert len(rows) == n_docs
+    first = rows.loc[rows["doc_id"].idxmin()]
+    assert first["novelty"] == 1.0
+    assert rows["novelty"].between(0, 1).all()
+    assert (rows["n_novel"] <= rows["n_grams"]).all()
+
+
 # --- cluster sampling ------------------------------------------------------
 
 
