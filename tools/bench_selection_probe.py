@@ -26,6 +26,8 @@ QUERIES = [
     "gopher_rules",
     "cluster_sample",
     "hybrid_search",
+    "pair_mining",
+    "novelty_scoring",
 ]
 RATIO_BAR = 12.0  # 10x rows: <=12 is "linear-ish" (same bar as BENCH_sf1)
 
