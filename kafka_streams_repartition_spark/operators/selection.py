@@ -444,11 +444,11 @@ def quality_logreg(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(n))
         .select("b", (F.col("cnt") / F.col("n")).alias("mu"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = feats.select("b").distinct().select(
         "b", F.lit(0.0).alias("w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def sigmoid(s):
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
@@ -515,7 +515,7 @@ def quality_logreg(t: dict[str, DataFrame]) -> DataFrame:
                     12,
                 ).alias("w"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     final = (
         scores(w)

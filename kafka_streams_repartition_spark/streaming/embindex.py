@@ -505,3 +505,113 @@ def stream_corpus_curation(
     if not acc_dirs:
         return spark.createDataFrame([], _ACC_SCHEMA)
     return spark.read.schema(_ACC_SCHEMA).parquet(*acc_dirs)
+
+
+_DIGEST_SCHEMA = "h long"
+_NOV_SCHEMA = "doc_id long, n_grams long, n_novel long, novelty double"
+
+
+def stream_novelty_scoring(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.novelty_scoring`` — the
+    crawl-yield monitor: every micro-batch scores its documents'
+    shingle novelty against ALL previously-seen shingles, then folds
+    the batch's new digests into a persisted seen-set (append-only
+    ``batch=<id>/digests`` under the ``maintain_snapshot`` commit
+    discipline).  The per-batch novelty curve is the diminishing-
+    returns signal a continuous ingest watches to decide when a source
+    is mined out.
+
+    Per batch: shingles are built map-side and reduced to 63-bit md5
+    digests (gram text never leaves the task); the history contributes
+    ONLY digest rows to an anti-join-shaped first-occurrence check;
+    the batch's previously-unseen digests — and only those — append to
+    the index, so the seen-set stores each digest exactly once however
+    often it reappears.
+
+    Equivalence contract (tested): under id-ordered arrival,
+    first-SEEN equals first-occurrence-by-min-doc_id, so the drained
+    per-doc scores equal the one-shot ``novelty_scoring`` over the
+    full corpus for ANY batch cut.  Returns the committed score table.
+    """
+    from ..operators.dedup import _doc_gram_arrays
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "novelty index"):
+            return
+        arr = _doc_gram_arrays(batch_df)
+        ex = arr.select(
+            "doc_id",
+            F.col("n").alias("n_grams"),
+            F.explode_outer("grams").alias("gram"),
+        ).withColumn(
+            "h",
+            F.when(
+                F.col("gram").isNotNull(),
+                F.conv(
+                    F.substring(F.md5("gram"), 1, 15), 16, 10
+                ).cast("long"),
+            ),
+        ).localCheckpoint(eager=False)
+        digest_dirs = _committed_dirs(root, "digests")
+        batch_first = (
+            ex.filter(F.col("h").isNotNull())
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("first_doc"))
+        )
+        if digest_dirs:
+            seen = spark.read.schema(_DIGEST_SCHEMA).parquet(*digest_dirs)
+            fresh_first = batch_first.join(seen, "h", "left_anti")
+        else:
+            fresh_first = batch_first
+        fresh_first = fresh_first.localCheckpoint(eager=False)
+        scores = (
+            ex.join(fresh_first, "h", "left")
+            .groupBy("doc_id", "n_grams")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).alias("n_novel")
+            )
+            .select(
+                "doc_id",
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.col("n_novel").cast("long").alias("n_novel"),
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.round(F.col("n_novel") / F.col("n_grams"), 4),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("novelty"),
+            )
+        )
+        out = os.path.join(root, f"batch={batch_id}")
+        scores.write.mode("overwrite").parquet(os.path.join(out, "scores"))
+        fresh_first.select("h").write.mode("overwrite").parquet(
+            os.path.join(out, "digests")
+        )
+        _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    score_dirs = _committed_dirs(root, "scores")
+    if not score_dirs:
+        return spark.createDataFrame([], _NOV_SCHEMA)
+    return spark.read.schema(_NOV_SCHEMA).parquet(*score_dirs)

@@ -1463,6 +1463,50 @@ def test_stream_corpus_curation_cross_batch_gates(spark, tmp_path):
     assert 12 in ids  # fresh content passes
 
 
+def test_stream_novelty_scoring_equals_batch(spark, tmp_path):
+    """The incrementally-maintained shingle seen-set drained over an
+    id-ordered mid-corpus cut reproduces the one-shot novelty_scoring
+    verdicts exactly, and the per-batch novelty rate declines (the
+    diminishing-returns curve the monitor exists for)."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_novelty_scoring,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    seen: list[int] = []
+    scored = stream_novelty_scoring(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        on_batch=seen.append,
+    )
+    got = {tuple(r) for r in scored.collect()}
+    want = {tuple(r) for r in dd.novelty_scoring(t).collect()}
+    assert seen == [0, 1]
+    assert got == want and want
+    rows = scored.collect()
+    early = [r for r in rows if r["doc_id"] <= cut]
+    late = [r for r in rows if r["doc_id"] > cut]
+    rate = lambda rs: sum(r["n_novel"] for r in rs) / max(  # noqa: E731
+        1, sum(r["n_grams"] for r in rs)
+    )
+    assert rate(late) < rate(early)
+
+
 def test_stream_minhash_index_equals_batch_lsh(spark, tmp_path):
     """Text twin of the embedding index: the incrementally-maintained
     MinHash band index drained over a mid-corpus cut emits exactly the
