@@ -43,6 +43,7 @@ __all__ = [
     "gopher_rules",
     "cluster_sample",
     "pair_mining",
+    "pretrain_pipeline",
 ]
 
 
@@ -643,24 +644,10 @@ GOPHER_STOPWORDS = [
 ]
 
 
-def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
-    """The Gopher quality-rule battery (Rae et al. 2021, App. A1.1),
-    the rule-based sibling of :func:`quality_logreg`: per-document
-    pass/fail on each named rule plus the overall keep verdict —
-    word-count bounds, mean-word-length window, symbol-to-word ratio
-    (``#``/ellipsis), minimum fraction of words with an alphabetic
-    character, and the ≥2-distinct-stopwords requirement.  (The
-    line-shape rules — bullet/ellipsis line fractions — are vacuous on
-    this corpus' single-line documents and omitted; ``text_stats`` /
-    ``repetition_stats`` carry the repetition signals.)
-
-    Scale shape: a single narrow map over the documents scan — every
-    rule is a column expression over the token array (no shuffle, no
-    UDF, survives whole-stage codegen), so the filter runs at scan
-    throughput and composes with any downstream selection as a
-    pushed predicate.  Per-rule flags are emitted (not just the AND)
-    because at 100 TB the rule ablation table IS the tuning loop.
-    """
+def _gopher_metrics() -> dict[str, F.Column]:
+    """The rule metrics as pure column expressions over ``text`` —
+    exposed so composed pipelines (``pretrain_pipeline``) can inline
+    the gate into their own scan instead of re-reading documents."""
     w = words(F.col("text"))
     n_words = F.size(w)
     sum_len = F.aggregate(
@@ -689,25 +676,64 @@ def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )
-    flags = {
-        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
-        & (n_words <= GOPHER_MAX_WORDS),
-        "ok_mean_wlen": (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
-        & (mean_wlen <= GOPHER_MAX_MEAN_WLEN),
-        "ok_symbols": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
-        "ok_alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
-        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    return {
+        "n_words": n_words,
+        "mean_wlen": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "n_stop": n_stop,
     }
+
+
+def _gopher_flags(m: dict[str, F.Column]) -> dict[str, F.Column]:
+    return {
+        "ok_word_count": (m["n_words"] >= GOPHER_MIN_WORDS)
+        & (m["n_words"] <= GOPHER_MAX_WORDS),
+        "ok_mean_wlen": (m["mean_wlen"] >= GOPHER_MIN_MEAN_WLEN)
+        & (m["mean_wlen"] <= GOPHER_MAX_MEAN_WLEN),
+        "ok_symbols": m["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha": m["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC,
+        "ok_stopwords": m["n_stop"] >= GOPHER_MIN_STOPWORDS,
+    }
+
+
+def _gopher_keep() -> F.Column:
+    keep = None
+    for c in _gopher_flags(_gopher_metrics()).values():
+        keep = c if keep is None else (keep & c)
+    return keep
+
+
+def gopher_rules(t: dict[str, DataFrame]) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, App. A1.1),
+    the rule-based sibling of :func:`quality_logreg`: per-document
+    pass/fail on each named rule plus the overall keep verdict —
+    word-count bounds, mean-word-length window, symbol-to-word ratio
+    (``#``/ellipsis), minimum fraction of words with an alphabetic
+    character, and the ≥2-distinct-stopwords requirement.  (The
+    line-shape rules — bullet/ellipsis line fractions — are vacuous on
+    this corpus' single-line documents and omitted; ``text_stats`` /
+    ``repetition_stats`` carry the repetition signals.)
+
+    Scale shape: a single narrow map over the documents scan — every
+    rule is a column expression over the token array (no shuffle, no
+    UDF, survives whole-stage codegen), so the filter runs at scan
+    throughput and composes with any downstream selection as a
+    pushed predicate.  Per-rule flags are emitted (not just the AND)
+    because at 100 TB the rule ablation table IS the tuning loop.
+    """
+    m = _gopher_metrics()
+    flags = _gopher_flags(m)
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)
     return t["documents"].select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        n_stop.cast("long").alias("n_stopwords"),
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["mean_wlen"], 4).alias("mean_word_len"),
+        F.round(m["symbol_ratio"], 4).alias("symbol_ratio"),
+        F.round(m["alpha_frac"], 4).alias("alpha_frac"),
+        m["n_stop"].cast("long").alias("n_stopwords"),
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
@@ -955,3 +981,136 @@ SELECT anchor, partner, jaccard, CAST(label AS INT) AS label FROM neg
 
 
 PAIR_MINING_ORACLE = _pair_mining_oracle()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining pipeline (shard manifest)
+# ---------------------------------------------------------------------------
+
+
+def pretrain_pipeline(t: dict[str, DataFrame]) -> DataFrame:
+    """The whole pretraining data path as ONE declarative plan — the
+    integration query a reference user runs end-to-end: Gopher rule
+    gate → exact dedup (keep-min-id per md5 digest) → MinHash near-dup
+    removal → token counting → fixed-budget shard packing, emitting
+    the training-ready pack manifest (shard, pack, docs, tokens).
+
+    Every stage reuses this repo's proven shape and Catalyst fuses
+    them: the rule gate is INLINED into the digest scan (the
+    ``_gopher_keep`` expression filters in the same narrow map that
+    hashes and token-counts, so gating costs zero extra passes), exact
+    dedup shuffles 32-byte digests, the near-dup loser set is the
+    LSH-bounded pair table landing as one broadcast anti-join, packing
+    is ``pack_sequences``'s one-shuffle shard fill, and the manifest
+    rollup is a partial-combined aggregate over (shard, pack) keys.
+    Document text is read exactly twice — once by the fused
+    gate+digest+count pass, once by the LSH pair builder — and no
+    intermediate corpus ever materializes.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import dedup_minhash_lsh
+
+    docs = fan_out(t["documents"])
+    hashed = (
+        docs.filter(_gopher_keep())
+        .select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    keepers = hashed.join(
+        hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")),
+        ["h", "doc_id"],
+    )
+    losers = dedup_minhash_lsh(t).select(F.col("doc_b").alias("doc_id"))
+    survivors = keepers.join(F.broadcast(losers), "doc_id", "left_anti")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % PACK_SHARDS_PIPE
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = survivors.select(
+        "doc_id", shard.alias("shard"), "n_tokens"
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("off"),
+    ).withColumn(
+        "pack_id", F.expr(f"off div {PACK_BUDGET_PIPE}")
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pack_id").cast("long").alias("pack_id"),
+            "n_docs",
+            "pack_tokens",
+        )
+    )
+
+
+PACK_SHARDS_PIPE = 8
+PACK_BUDGET_PIPE = 2048
+
+
+def _pretrain_pipeline_oracle() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_ORACLE
+
+    return f"""
+WITH gr AS MATERIALIZED ({GOPHER_RULES_ORACLE}),
+hashed AS MATERIALIZED (
+    SELECT d.doc_id, md5(d.text) AS h,
+           CAST(len(list_filter(string_split(lower(d.text), ' '),
+                                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents d JOIN gr ON d.doc_id = gr.doc_id
+    WHERE gr.keep
+),
+keepers AS (
+    SELECT h1.doc_id, h1.n_tokens
+    FROM hashed h1
+    JOIN (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY 1) k
+      ON h1.h = k.h AND h1.doc_id = k.doc_id
+),
+losers AS MATERIALIZED (
+    SELECT DISTINCT doc_b AS doc_id FROM ({DEDUP_MINHASH_LSH_ORACLE})
+),
+survivors AS (
+    SELECT k.doc_id, k.n_tokens,
+           CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % {PACK_SHARDS_PIPE} AS shard
+    FROM keepers k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+packed AS (
+    SELECT shard,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {PACK_BUDGET_PIPE} AS pack_id,
+           n_tokens
+    FROM survivors
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+PRETRAIN_PIPELINE_ORACLE = _pretrain_pipeline_oracle()

