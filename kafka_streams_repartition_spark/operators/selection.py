@@ -20,6 +20,9 @@ data pipeline:
 - :func:`pair_mining` — contrastive training-pair construction:
   LSH-verified near-dup positives + md5-seeded random negatives, both
   with exact Jaccard (the E5/GTE embedding-training recipe).
+- :func:`pretrain_pipeline` — the whole path composed as ONE plan:
+  rule gate inlined into the digest scan → exact dedup → near-dup
+  removal → fixed-budget shard packing → the pack manifest.
 
 All hashing is the portable md5 family shared with ``dedup``/
 ``text_analysis`` so every DuckDB oracle reproduces results bit-exactly.
@@ -644,7 +647,7 @@ GOPHER_STOPWORDS = [
 ]
 
 
-def _gopher_metrics() -> dict[str, F.Column]:
+def _gopher_metrics() -> dict[str, Column]:
     """The rule metrics as pure column expressions over ``text`` —
     exposed so composed pipelines (``pretrain_pipeline``) can inline
     the gate into their own scan instead of re-reading documents."""
@@ -685,7 +688,7 @@ def _gopher_metrics() -> dict[str, F.Column]:
     }
 
 
-def _gopher_flags(m: dict[str, F.Column]) -> dict[str, F.Column]:
+def _gopher_flags(m: dict[str, Column]) -> dict[str, Column]:
     return {
         "ok_word_count": (m["n_words"] >= GOPHER_MIN_WORDS)
         & (m["n_words"] <= GOPHER_MAX_WORDS),
@@ -697,7 +700,7 @@ def _gopher_flags(m: dict[str, F.Column]) -> dict[str, F.Column]:
     }
 
 
-def _gopher_keep() -> F.Column:
+def _gopher_keep() -> Column:
     keep = None
     for c in _gopher_flags(_gopher_metrics()).values():
         keep = c if keep is None else (keep & c)
