@@ -244,6 +244,24 @@ def test_pair_mining_margin_and_determinism(t):
 # --- novelty scoring -------------------------------------------------------
 
 
+def test_novelty_scoring_plan_digest_only_shuffles(t):
+    """Gram text never shuffles: the only exchanges carry the 63-bit
+    digest (and the final per-doc fold) — no `gram` string column
+    survives past the map side into an Exchange's child output."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.plans.checks import explain_str
+
+    df = dd.novelty_scoring(t)
+    plan = explain_str(df)
+    assert "Exchange" in plan  # the digest-keyed min and per-doc fold
+    # hashpartitioning keys are h (digest) or doc_id - never gram text
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        # the exploded text column is `gram#N`; `n_grams#N` (a count) is fine
+        assert not re.search(r"(?<![_a-z])gram#", m.group(1)), m.group(0)
+
+
 def test_novelty_scoring_first_doc_fully_novel(t):
     """The lowest doc_id is 100% novel by construction; novelty is in
     [0, 1]; n_novel ≤ n_grams; every doc is scored."""
