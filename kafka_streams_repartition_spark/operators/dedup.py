@@ -1453,9 +1453,13 @@ def semdedup(t: dict[str, DataFrame]) -> DataFrame:
     cell centroid (keep the outlier: prototypical members are the
     redundant ones; ties break on higher vec_id).  The complement of
     LSH blocking: buckets come from the learned cluster structure, so
-    "semantically same" pairs collide even when no random signature
-    family separates at this threshold (the measured weakness of
-    ``dedup_embedding_lsh``'s banding at cos 0.3).
+    the two families miss DIFFERENT pairs — banding misses what no
+    random signature separates, cell blocking misses pairs straddling
+    a cell boundary.  Each family's forfeit is MEASURED, not assumed:
+    :func:`dedup_embedding_recall` gates the banding,
+    :func:`semdedup_recall` gates the cells, and a pipeline owner
+    stacks both blockers (union of verdicts) when either recall alone
+    is too low at the target threshold.
 
     Scale shape: cluster assignment is :func:`similarity.kmeans_cells`
     (zero-shuffle map assignment per Lloyd's round); centroids and
@@ -1691,3 +1695,88 @@ SELECT d.doc_id,
             ELSE 1.0 END AS novelty
 FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
 """
+
+
+def semdedup_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Cell-blocking recall gate for :func:`semdedup` — the honest
+    number for its known structural miss: a ≥-threshold pair whose
+    members land in DIFFERENT k-means cells is never examined (the
+    complement of the LSH gate ``dedup_embedding_recall``, whose
+    misses come from banding instead).  Ground truth is the exact
+    bounded query-vs-corpus pair set; measured is the subset whose
+    members share a trained cell.  The two gates together bound what
+    each blocking family forfeits, which is exactly the information a
+    pipeline owner needs to pick (or stack) them at 100 TB — run BOTH
+    blockers and union verdicts when either recall alone is too low.
+
+    Scale: the pair frame is the bounded truth set; cell attach is two
+    keyed joins against the quantizer assignment (itself a zero-
+    shuffle map pass); the output is one row.
+    """
+    from .similarity import kmeans_cells
+
+    truth = (
+        dedup_embedding(t)
+        .select(
+            F.least("query_id", "cand_id").alias("lo"),
+            F.greatest("query_id", "cand_id").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cells = kmeans_cells(t).localCheckpoint(eager=False)
+    co = (
+        truth.join(
+            cells.select(F.col("vec_id").alias("lo"), F.col("cell").alias("ca")),
+            "lo",
+        )
+        .join(
+            cells.select(F.col("vec_id").alias("hi"), F.col("cell").alias("cb")),
+            "hi",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    n_co = co.agg(F.count(F.lit(1)).cast("long").alias("n_co_cell"))
+    return n_truth.crossJoin(F.broadcast(n_co)).select(
+        "n_truth_pairs",
+        "n_co_cell",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.round(F.col("n_co_cell") / F.col("n_truth_pairs"), 4),
+        ).alias("recall"),
+    )
+
+
+def _semdedup_recall_oracle() -> str:
+    from .similarity import KMEANS_CELLS_ORACLE
+
+    chain = KMEANS_CELLS_ORACLE
+    tail = chain.rindex("\nSELECT vec_id, cell FROM assign")
+    with_block = chain[:tail]
+    final_assign = chain[tail + len("\nSELECT vec_id, cell FROM ") :].strip()
+    return f"""{with_block},
+cells AS MATERIALIZED (SELECT vec_id, cell FROM {final_assign}),
+truth_raw AS MATERIALIZED ({DEDUP_EMBEDDING_ORACLE}),
+truth AS (
+    SELECT DISTINCT least(query_id, cand_id) AS lo,
+                    greatest(query_id, cand_id) AS hi
+    FROM truth_raw
+),
+n_t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs FROM truth),
+n_c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_co_cell
+    FROM truth t
+    JOIN cells a ON a.vec_id = t.lo
+    JOIN cells b ON b.vec_id = t.hi
+    WHERE a.cell = b.cell
+)
+SELECT n_truth_pairs, n_co_cell,
+       CASE WHEN n_truth_pairs > 0
+            THEN round(CAST(n_co_cell AS DOUBLE) / n_truth_pairs, 4)
+       END AS recall
+FROM n_t CROSS JOIN n_c
+"""
+
+
+SEMDEDUP_RECALL_ORACLE = _semdedup_recall_oracle()

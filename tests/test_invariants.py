@@ -149,6 +149,16 @@ def test_semdedup_keeps_cell_outlier(t):
     assert any(r["removed"] for r in rows)
 
 
+def test_semdedup_recall_gate_well_formed(t):
+    """The cell-blocking recall gate: co-cell pairs are a subset of
+    truth (recall ≤ 1), truth is non-empty on this corpus, and the
+    number is strictly positive (cells do catch some pairs)."""
+    [r] = dd.semdedup_recall(t).collect()
+    assert r["n_truth_pairs"] > 0
+    assert 0 < r["n_co_cell"] <= r["n_truth_pairs"]
+    assert 0 < r["recall"] <= 1.0
+
+
 def test_semdedup_blocked_verify_equivalent(t, monkeypatch):
     """The row-blocked in-cell matmul is a pure memory shape: forcing a
     tiny block (3 rows per step, many blocks per cell) must reproduce
