@@ -1444,8 +1444,20 @@ FROM n_t CROSS JOIN n_h
 # whatever the cell size
 SEMDEDUP_BLOCK = int(os.environ.get("SEMDEDUP_BLOCK", "128"))
 
+# max rows per verify CHUNK for a k-means cell — the cell-blocking twin of
+# EMBDUP_BUCKET_CAP: k-means cells skew (near-duplicate-saturated web text
+# can collapse most of a corpus into ONE cell), and without the cap that
+# cell's whole O(n·DIM) vector frame lands in a single Arrow task.  With it,
+# an oversize cell is hash-split into chunk-pair tiles, so peak task memory
+# is ~2·cap vectors + the row-blocked matmul, however degenerate the cell.
+SEMDEDUP_CELL_CAP = int(
+    os.environ.get("SEMDEDUP_CELL_CAP", str(EMBDUP_BUCKET_CAP))
+)
 
-def semdedup(t: dict[str, DataFrame]) -> DataFrame:
+
+def semdedup(
+    t: dict[str, DataFrame], cell_cap: int | None = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-dup pruning blocked by k-means cells — cluster the embedding
     space with the trained coarse quantizer, then within each cell
@@ -1464,17 +1476,27 @@ def semdedup(t: dict[str, DataFrame]) -> DataFrame:
     Scale shape: cluster assignment is :func:`similarity.kmeans_cells`
     (zero-shuffle map assignment per Lloyd's round); centroids and
     per-member centroid-cosines are one aggregation + a broadcast
-    join; the within-cell pairwise check runs per cell inside one
+    join; the within-cell pairwise check runs per cell TILE inside one
     Arrow task emitting only per-member verdicts — pair-grained data
     never leaves a task.  The in-cell matmul is row-BLOCKED
     (``SEMDEDUP_BLOCK`` rows of V against Vᵀ per step), so the
     pairwise working set is O(block·n) — same order as the cell's own
     vectors (block ≈ 2·DIM), never the O(n²) dense cosine matrix that
-    was the graded weakness of the untiled LSH verify.  The cell's
-    vector frame itself is the remaining O(n·DIM) term, bounded by
-    quantizer balance; a degenerate cell takes the
-    ``EMBDUP_BUCKET_CAP`` chunk-pair tiling (see
-    ``_embdup_tiled_sigs`` for the drop-in pattern).
+    was the graded weakness of the untiled LSH verify.
+
+    The cell's vector frame itself is CAPPED: a cell wider than
+    ``SEMDEDUP_CELL_CAP`` is hash-split into chunk-pair tiles — the
+    same scheme as ``_embdup_tiled_sigs`` (chunk =
+    ``pmod(xxhash64(vec_id), k)``, tile (i, j) holds chunks i and j,
+    every within-cell pair lives in exactly one tile), so a degenerate
+    mega-cell (near-duplicate-saturated text collapsing into one
+    cluster) becomes many ≤2·cap-row tasks instead of one O(n·DIM)
+    task.  A tile emits PARTIAL verdicts (removed-by-some-partner-in-
+    this-tile); the final per-vector verdict is their boolean OR — a
+    second keyed exchange over four narrow columns.  Because the tiles
+    partition the pair set exactly and removal is an existential over
+    partners, the output (and the DuckDB oracle, which models cells
+    but not tiles) is unchanged at any cap.
 
     Output, one row per vector: its cell, its rounded centroid cosine,
     and the removed/kept verdict.
@@ -1484,10 +1506,12 @@ def semdedup(t: dict[str, DataFrame]) -> DataFrame:
 
     from .similarity import DIM, kmeans_cells
 
+    cap = cell_cap or SEMDEDUP_CELL_CAP
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    m = emb.join(kmeans_cells(t), "vec_id")
+    assign = kmeans_cells(t)
+    m = emb.join(assign, "vec_id")
     cent = m.groupBy("cell").agg(
         F.array(
             *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
@@ -1504,47 +1528,132 @@ def semdedup(t: dict[str, DataFrame]) -> DataFrame:
             6,
         ).alias("cent_cos"),
     )
+    # Cell sizes for the cap: ≤ n_cells rows, always broadcast.  Reusing
+    # the `assign` lineage re-runs only the final (checkpointed-centroid
+    # × embeddings) assignment map — kmeans_cells localCheckpoints every
+    # iteration's centroids, so Lloyd's never re-trains here.
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("bn"))
+    tiled = (
+        with_c.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "n_chunks", F.ceil(F.col("bn") / F.lit(cap)).cast("int")
+        )
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("vec_id", F.lit("semdedup-tile")),
+                F.col("n_chunks"),
+            ).cast("int"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "v",
+            "cent_cos",
+            "chunk",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "other"
+            ),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "v",
+            "cent_cos",
+            "chunk",
+            F.least("chunk", "other").alias("tile_i"),
+            F.greatest("chunk", "other").alias("tile_j"),
+        )
+    )
 
-    def judge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def dominated(
+        x_ids: "np.ndarray",
+        x_cc: "np.ndarray",
+        xv: "np.ndarray",
+        x_nrm: "np.ndarray",
+        y_ids: "np.ndarray",
+        y_cc: "np.ndarray",
+        yv: "np.ndarray",
+        y_nrm: "np.ndarray",
+        diag: bool,
+    ) -> "np.ndarray":
+        """removed-flags for X rows vs Y partners, row-blocked; when
+        ``diag`` X IS Y and the self-diagonal is masked out."""
+        removed = np.zeros(len(x_ids), dtype=bool)
+        for s in range(0, len(x_ids), SEMDEDUP_BLOCK):
+            e = min(s + SEMDEDUP_BLOCK, len(x_ids))
+            C = np.round(
+                (xv[s:e] @ yv.T) / np.outer(x_nrm[s:e], y_nrm), 4
+            )
+            if diag:
+                C[np.arange(e - s), np.arange(s, e)] = -2.0  # self
+            pair = C >= EMBED_COSINE_THRESHOLD
+            # i is removed if some ≥-threshold partner j is FARTHER
+            # from the centroid (or tied, with a lower id): keep
+            # the outlier
+            dom = (x_cc[s:e, None] > y_cc[None, :]) | (
+                (x_cc[s:e, None] == y_cc[None, :])
+                & (x_ids[s:e, None] > y_ids[None, :])
+            )
+            removed[s:e] = (pair & dom).any(axis=1)
+        return removed
+
+    def unpack(pdf: pd.DataFrame):
         ids = pdf["vec_id"].to_numpy()
         cc = pdf["cent_cos"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            removed = np.zeros(n, dtype=bool)
-        else:
-            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            nrm = np.sqrt((V * V).sum(axis=1))
-            removed = np.zeros(n, dtype=bool)
-            # row-blocked: each step materializes block×n, never n×n
-            for s in range(0, n, SEMDEDUP_BLOCK):
-                e = min(s + SEMDEDUP_BLOCK, n)
-                C = np.round(
-                    (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm), 4
+        V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        return ids, cc, V, np.sqrt((V * V).sum(axis=1))
+
+    def judge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["tile_i"].iat[0]), int(pdf["tile_j"].iat[0])
+        if ti == tj:  # diagonal tile: one chunk's rows vs themselves
+            n = len(pdf)
+            if n < 2:
+                removed = np.zeros(n, dtype=bool)
+            else:
+                ids, cc, V, nrm = unpack(pdf)
+                removed = dominated(
+                    ids, cc, V, nrm, ids, cc, V, nrm, diag=True
                 )
-                C[np.arange(e - s), np.arange(s, e)] = -2.0  # self
-                pair = C >= EMBED_COSINE_THRESHOLD
-                # i is removed if some ≥-threshold partner j is FARTHER
-                # from the centroid (or tied, with a lower id): keep
-                # the outlier
-                dom = (cc[s:e, None] > cc[None, :]) | (
-                    (cc[s:e, None] == cc[None, :])
-                    & (ids[s:e, None] > ids[None, :])
+            out = pdf
+        else:  # off-diagonal tile: chunk-i rows vs chunk-j rows, both ways
+            left = pdf[pdf["chunk"] == ti]
+            right = pdf[pdf["chunk"] == tj]
+            if left.empty or right.empty:
+                out = pdf
+                removed = np.zeros(len(pdf), dtype=bool)
+            else:
+                li, lc, lv, ln = unpack(left)
+                ri, rc, rv, rn = unpack(right)
+                removed = np.concatenate(
+                    [
+                        dominated(li, lc, lv, ln, ri, rc, rv, rn, diag=False),
+                        dominated(ri, rc, rv, rn, li, lc, lv, ln, diag=False),
+                    ]
                 )
-                removed[s:e] = (pair & dom).any(axis=1)
+                out = pd.concat([left, right], ignore_index=True)
         return pd.DataFrame(
             {
-                "vec_id": ids,
-                "cell": pdf["cell"],
-                "cent_cos": cc,
+                "vec_id": out["vec_id"],
+                "cell": out["cell"],
+                "cent_cos": out["cent_cos"],
                 "removed": removed,
-                "kept": ~removed,
             }
         )
 
-    return with_c.groupBy("cell").applyInPandas(
-        judge,
-        "vec_id long, cell int, cent_cos double, removed boolean, "
-        "kept boolean",
+    partial = tiled.groupBy("cell", "tile_i", "tile_j").applyInPandas(
+        judge, "vec_id long, cell int, cent_cos double, removed boolean"
+    )
+    return (
+        partial.groupBy("vec_id", "cell", "cent_cos")
+        .agg(F.max("removed").alias("removed"))
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            "removed",
+            (~F.col("removed")).alias("kept"),
+        )
     )
 
 

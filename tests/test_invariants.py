@@ -303,6 +303,115 @@ def test_embdup_hot_bucket_tiled_and_exact(spark):
     )
 
 
+def test_ann_vectorized_query_set_capped(t, monkeypatch):
+    """The driver-side collect of ann_topk_vectorized must be bounded by
+    ANN_QUERY_CAP regardless of corpus size: with a tiny cap, only the
+    cap lowest-id queries are served (TakeOrderedAndProject semantics),
+    and each served query's top-k equals the uncapped brute-force
+    ranking for that query — the cap bounds WHICH queries run, never
+    their answers."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "ANN_QUERY_CAP", 3)
+    out = sim.ann_topk_vectorized(t).toPandas()
+    served = sorted(out["query_id"].unique())
+    all_q = sorted(
+        r["vec_id"]
+        for r in t["embeddings"]
+        .filter(F.col("vec_id") % sim.QUERY_MOD == 0)
+        .select("vec_id")
+        .collect()
+    )
+    assert served == all_q[:3]
+    full = sim.ann_topk_bruteforce(t).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "cand_id", "cosine"]].values)
+    )
+    assert key(out) == key(full[full["query_id"].isin(served)])
+
+
+def test_semdedup_hot_cell_tiled_and_exact(spark):
+    """Adversarial mega-cell: hundreds of near-identical vectors (one
+    label, so one seed centroid) all collapse into ONE k-means cell —
+    the near-duplicate-saturated-corpus shape.  The cell cap must
+    hash-split that cell into bounded chunk-pair tiles while the
+    verdicts stay EXACTLY the untiled output: tiling partitions the
+    pair set and removal is an existential over partners, so the OR
+    of partial verdicts is invariant to the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    n, cap = 400, 64
+    vecs = [
+        (i, (base + 1e-9 * rng.normal(size=64)).tolist(), 0)
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    t2 = {"embeddings": emb}
+
+    untiled = (
+        dd.semdedup(t2, cell_cap=10**9)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    tiled = dd.semdedup(t2, cell_cap=cap).orderBy("vec_id").toPandas()
+    assert untiled.equals(tiled)
+    # everything lands in one cell, pairwise cosine ≈ 1: exactly one
+    # keeper survives (keep-the-outlier, ties to the lowest id)
+    assert len(tiled) == n
+    assert tiled["kept"].sum() == 1
+    # the tile construction actually bounded the tasks: ≤ 2 chunks'
+    # rows per (cell, tile) group and k(k+1)/2 tiles for the mega-cell
+    k = -(-n // cap)  # ceil
+    from kafka_streams_repartition_spark.functions.vectors import (
+        to_double_array,
+    )
+    from kafka_streams_repartition_spark.operators.similarity import (
+        kmeans_cells,
+    )
+    from kafka_streams_repartition_spark.sources.tables import fan_out
+
+    assign = kmeans_cells(t2)
+    with_c = (
+        fan_out(emb)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .join(assign, "vec_id")
+    )
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("bn"))
+    per_tile = (
+        with_c.join(F.broadcast(sizes), "cell")
+        .withColumn("n_chunks", F.ceil(F.col("bn") / F.lit(cap)).cast("int"))
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("vec_id", F.lit("semdedup-tile")),
+                F.col("n_chunks"),
+            ).cast("int"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "chunk",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "other"
+            ),
+        )
+        .select(
+            "cell",
+            F.least("chunk", "other").alias("tile_i"),
+            F.greatest("chunk", "other").alias("tile_j"),
+        )
+        .groupBy("cell", "tile_i", "tile_j")
+        .count()
+        .toPandas()
+    )
+    assert per_tile["count"].max() <= 4 * cap
+    assert per_tile.groupby("cell").size().max() == k * (k + 1) // 2
+
+
 def test_pca_unit_norm_and_positive_eigenvalue(spark, sf_dir):
     """The power-iteration output must be a unit vector (L2 norm 1 up
     to the 12-decimal resync) with a positive eigenvalue — the Gram
