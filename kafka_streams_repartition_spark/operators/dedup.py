@@ -745,6 +745,13 @@ GROUP BY 1
 
 # --- embedding cosine near-dup (query-vs-corpus brute force) ---------------
 
+# Hard cap on dedup_embedding's broadcast query subset — the ``%
+# QUERY_MOD`` filter alone is N/20 rows and grows linearly with the
+# corpus; the cap keeps the broadcast side constant (4096 × 64 dims × 8 B
+# ≈ 2 MB).  Mirrors similarity.ANN_QUERY_CAP; the oracle LIMITs
+# identically.
+EMBDUP_QUERY_CAP = int(os.environ.get("EMBDUP_QUERY_CAP", "4096"))
+
 
 def dedup_embedding(t: dict[str, DataFrame]) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: BOUNDED query set
@@ -757,15 +764,29 @@ def dedup_embedding(t: dict[str, DataFrame]) -> DataFrame:
     :func:`dedup_embedding_lsh` (banded hyperplane blocking, recall
     measured by :func:`dedup_embedding_recall`); a plain crossJoin of
     the corpus against itself would be quadratic at scale.
+
+    The query subset is HARD-capped at ``EMBDUP_QUERY_CAP`` lowest
+    vec_ids (a ``%``-subset alone grows as N/QUERY_MOD with the corpus,
+    so the broadcast side would stop being broadcastable at 100×): the
+    broadcast frame is ≤ cap × DIM doubles regardless of corpus size.
+    The oracle applies the identical LIMIT — the capped list is the
+    contract, and every gate built on this truth set
+    (:func:`dedup_embedding_recall`, :func:`semdedup_recall`) inherits
+    the same bound on both engines.
     """
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), EMBED_DIM))
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(EMBDUP_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
     )
     cos = dot_unrolled(F.col("qv"), F.col("v"), EMBED_DIM) / (
         F.col("qn") * F.col("nrm")
@@ -789,7 +810,9 @@ WITH e AS (
     FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT * FROM e WHERE vec_id IN (
+    SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ORDER BY vec_id LIMIT {EMBDUP_QUERY_CAP})),
 dots AS (
     SELECT q.vec_id AS query_id, e.vec_id AS cand_id, sum(q.x * e.x) AS dp
     FROM q

@@ -20,6 +20,8 @@ last-ulp float noise can't reorder results between engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -32,6 +34,14 @@ DIM = 64
 TOP_K = 10
 QUERY_MOD = 100
 N_PLANES = 8
+
+# Hard cap on the driver-collected query set of ``ann_topk_vectorized``
+# (production ANN serves a FIXED query list; an uncapped ``% QUERY_MOD``
+# subset grows linearly with the corpus, turning the driver and every
+# task closure into an O(corpus) buffer).  4096 queries × 64 dims × 8 B
+# ≈ 2 MB — constant in corpus size.  The cap is part of the operator's
+# contract: its oracle applies the same lowest-vec_id LIMIT.
+ANN_QUERY_CAP = int(os.environ.get("ANN_QUERY_CAP", "4096"))
 
 
 def _corpus(t: dict[str, DataFrame]) -> DataFrame:
@@ -322,15 +332,22 @@ KMEANS_CELLS_ORACLE = _kmeans_oracle()
 def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
     """Brute-force top-k with the scan math in numpy.
 
-    Same contract and oracle as ``ann_topk_bruteforce``, different
-    physical strategy: the bounded query set is collected once into a
-    numpy matrix shipped to every task; the corpus streams through
-    ``mapInPandas`` in Arrow batches and each batch is one BLAS
+    Same contract as ``ann_topk_bruteforce`` over a CAPPED query list,
+    different physical strategy: the bounded query set is collected
+    once into a numpy matrix shipped to every task; the corpus streams
+    through ``mapInPandas`` in Arrow batches and each batch is one BLAS
     matrix-multiply against all queries. Each batch pre-selects its own
     top-k per query (a superset of the global top-k), so the shuffle
     into the final ``row_number`` carries k·batches rows per query, not
     |corpus|. This is the shape that wins at 100 TB: no per-row
     expression evaluation, no Python loop, shuffle bounded by k.
+
+    Driver-memory bound: the collect is a ``TakeOrderedAndProject`` of
+    the ``ANN_QUERY_CAP`` lowest-id queries — the driver and every task
+    closure hold ≤ cap × DIM doubles (~2 MB at the default) REGARDLESS
+    of corpus size, where the old unbounded ``% QUERY_MOD`` subset grew
+    as N/100.  The oracle applies the identical LIMIT, so the capped
+    list is the operator's contract, not an approximation.
     """
     from collections.abc import Iterator
 
@@ -341,8 +358,10 @@ def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
     q_rows = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
         .collect()
     )
+    assert len(q_rows) <= ANN_QUERY_CAP
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -388,8 +407,15 @@ def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-# shares the brute-force contract — DuckDB replays the same math
-ANN_TOPK_VECTORIZED_ORACLE = ANN_TOPK_BRUTEFORCE_ORACLE
+# the brute-force contract restricted to the capped query list — DuckDB
+# replays the same math with the same lowest-vec_id LIMIT
+ANN_TOPK_VECTORIZED_ORACLE = ANN_TOPK_BRUTEFORCE_ORACLE.replace(
+    f"q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),",
+    f"""q AS (SELECT * FROM e WHERE vec_id IN (
+    SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ORDER BY vec_id LIMIT {ANN_QUERY_CAP})),""",
+)
+assert "LIMIT" in ANN_TOPK_VECTORIZED_ORACLE  # replace() actually matched
 
 
 # --- IVF (coarse-quantizer cells from the label column) -------------------

@@ -91,6 +91,63 @@ def generate_reference_tables(
     }
 
 
+def load_zipcodes_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Geography dimension from a reference-shaped ``zipcodes.csv``
+    (header ``state_fips,state,state_abbr,zipcode,county,city``) — the
+    file the reference's builder loads via commons-csv
+    (``BuildSystem.java:241-270``, RFC4180 with header; the columns it
+    consumes are zipcode, city, state_abbr).
+
+    Spark's built-in CSV reader is the distributed equivalent: the
+    schema is EXPLICIT and ``enforceSchema=false`` validates it against
+    the file's header, so a column rename or reorder in the file fails
+    loudly at read instead of silently shifting geography; at scale the
+    read parallelizes per split and prunes to the three consumed
+    columns.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("state_fips", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("state_abbr", T.StringType()),
+            T.StructField("zipcode", T.StringType()),
+            T.StructField("county", T.StringType()),
+            T.StructField("city", T.StringType()),
+        ]
+    )
+    return spark.read.option("enforceSchema", False).csv(
+        path, header=True, schema=schema
+    ).select(
+        F.col("zipcode").alias("postal_code"),
+        "city",
+        F.col("state_abbr").alias("state"),
+    )
+
+
+def stores_from_zipcodes(
+    spark: SparkSession,
+    csv_path: str,
+    n_stores: int = N_STORES,
+    seed: int = 42,
+) -> DataFrame:
+    """Store dimension with geography drawn from a real zipcodes CSV —
+    the builder's ``generateStore`` + ``getRandomZip``
+    (``BuildSystem.java:224-239``) with a seeded RNG instead of
+    ``RANDOM``.  The zip list is collected ordered (it is a bounded
+    dimension — the reference holds the whole file in memory too), so
+    the pick sequence is deterministic for a given (file, seed)."""
+    zips = load_zipcodes_csv(spark, csv_path).orderBy("postal_code").collect()
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_stores):
+        z = zips[rng.randrange(len(zips))]
+        rows.append((str(i), _name(rng), z.city, z.state, z.postal_code))
+    return spark.createDataFrame(rows, STORE_SCHEMA)
+
+
 def orders_as_lineitems(orders: DataFrame, products: DataFrame) -> DataFrame:
     """Adapter: exploded reference orders → the line-item shape the
     product-stats operators consume (sku≡l_partkey via product join)."""

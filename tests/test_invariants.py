@@ -330,6 +330,21 @@ def test_ann_vectorized_query_set_capped(t, monkeypatch):
     assert key(out) == key(full[full["query_id"].isin(served)])
 
 
+def test_dedup_embedding_query_set_capped(t, monkeypatch):
+    """dedup_embedding's broadcast query subset is bounded by
+    EMBDUP_QUERY_CAP: with a tiny cap only the cap lowest-id queries
+    appear, and their pair sets match the uncapped run exactly."""
+    full = dd.dedup_embedding(t).toPandas()
+    monkeypatch.setattr(dd, "EMBDUP_QUERY_CAP", 2)
+    out = dd.dedup_embedding(t).toPandas()
+    all_q = sorted(full["query_id"].unique())
+    assert sorted(out["query_id"].unique()) == all_q[:2]
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "cand_id", "cosine"]].values)
+    )
+    assert key(out) == key(full[full["query_id"].isin(all_q[:2])])
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —
