@@ -1756,12 +1756,13 @@ def novelty_scoring(t: dict[str, DataFrame]) -> DataFrame:
     diminishing-returns signal for further crawling.
 
     Scale shape: shingles are built map-side per document (one array,
-    no corpus-wide explode+distinct) and leave the task only as 63-bit
-    md5 DIGESTS — the gram text never shuffles.  First-occurrence is
-    one partial-combined min per digest; the verdict rejoins on the
-    digest and folds back to one row per document.  Two keyed
-    exchanges total, both digest-width, both linear.  Hash collisions
-    merge two grams' first-occurrence (rate ~n²/2⁶³); the DuckDB
+    no corpus-wide explode+distinct) and leave the task only as 60-bit
+    md5 DIGESTS (15 hex chars) — the gram text never shuffles.
+    First-occurrence is one partial-combined min per digest; the
+    verdict rejoins on the digest and folds back to one row per
+    document.  Two keyed exchanges total, both digest-width, both
+    linear.  Hash collisions merge two grams' first-occurrence
+    (birthday rate ~n²/2⁶¹); the DuckDB
     oracle hashes identically so the check is exact.
     """
     arr = _doc_gram_arrays(t["documents"])
@@ -1912,3 +1913,136 @@ FROM n_t CROSS JOIN n_c
 
 
 SEMDEDUP_RECALL_ORACLE = _semdedup_recall_oracle()
+
+
+def dedup_stacked_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """The stacked-blocker gate: run BOTH near-dup blocking families —
+    banded hyperplane LSH (:func:`dedup_embedding_lsh`) and trained
+    k-means cells (:func:`semdedup`'s quantizer) — and measure the
+    recall of their UNION against the same exact bounded truth set the
+    single-family gates use.  The two families miss DIFFERENT pairs
+    (banding misses what no random signature separates; cells miss
+    pairs straddling a cluster boundary), so the union's recall is ≥
+    either alone — this query is the measured justification for
+    stacking blockers at 100 TB when one family's forfeit is too high
+    at the target threshold, and its per-family columns show what each
+    contributes.
+
+    Scale: truth is the capped query-vs-corpus set; the LSH side is a
+    semi-join of truth against the production index output; the cell
+    side is two keyed joins against the quantizer assignment; the
+    union/distinct is over truth-sized pair frames.  Output is one
+    row.
+    """
+    from .similarity import kmeans_cells
+
+    truth = (
+        dedup_embedding(t)
+        .select(
+            F.least("query_id", "cand_id").alias("lo"),
+            F.greatest("query_id", "cand_id").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds count + both hit sets
+    )
+    lsh_hit = truth.join(
+        dedup_embedding_lsh(t).select(
+            F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+        ),
+        ["lo", "hi"],
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    cells = kmeans_cells(t).localCheckpoint(eager=False)
+    cell_hit = (
+        truth.join(
+            cells.select(F.col("vec_id").alias("lo"), F.col("cell").alias("ca")),
+            "lo",
+        )
+        .join(
+            cells.select(F.col("vec_id").alias("hi"), F.col("cell").alias("cb")),
+            "hi",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .select("lo", "hi")
+        .localCheckpoint(eager=False)
+    )
+    stacked = lsh_hit.unionByName(cell_hit).distinct()
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    ratio = lambda c: F.when(
+        F.col("n_truth_pairs") > 0,
+        F.round(F.col(c) / F.col("n_truth_pairs"), 4),
+    )
+    return (
+        n(truth, "n_truth_pairs")
+        .crossJoin(F.broadcast(n(lsh_hit, "n_lsh_found")))
+        .crossJoin(F.broadcast(n(cell_hit, "n_co_cell")))
+        .crossJoin(F.broadcast(n(stacked, "n_stacked")))
+        .select(
+            "n_truth_pairs",
+            "n_lsh_found",
+            "n_co_cell",
+            "n_stacked",
+            ratio("n_lsh_found").alias("recall_lsh"),
+            ratio("n_co_cell").alias("recall_cells"),
+            ratio("n_stacked").alias("recall_stacked"),
+        )
+    )
+
+
+def _dedup_stacked_recall_oracle() -> str:
+    from .similarity import KMEANS_CELLS_ORACLE
+
+    chain = KMEANS_CELLS_ORACLE
+    tail = chain.rindex("\nSELECT vec_id, cell FROM assign")
+    with_block = chain[:tail]
+    final_assign = chain[tail + len("\nSELECT vec_id, cell FROM ") :].strip()
+    return f"""{with_block},
+cells AS MATERIALIZED (SELECT vec_id, cell FROM {final_assign}),
+truth_raw AS MATERIALIZED ({DEDUP_EMBEDDING_ORACLE}),
+truth AS MATERIALIZED (
+    SELECT DISTINCT least(query_id, cand_id) AS lo,
+                    greatest(query_id, cand_id) AS hi
+    FROM truth_raw
+),
+lsh_raw AS MATERIALIZED ({DEDUP_EMBEDDING_LSH_ORACLE}),
+lsh_hit AS MATERIALIZED (
+    SELECT t.lo, t.hi FROM truth t
+    WHERE EXISTS (SELECT 1 FROM lsh_raw l
+                  WHERE l.doc_a = t.lo AND l.doc_b = t.hi)
+),
+cell_hit AS MATERIALIZED (
+    SELECT t.lo, t.hi FROM truth t
+    JOIN cells a ON a.vec_id = t.lo
+    JOIN cells b ON b.vec_id = t.hi
+    WHERE a.cell = b.cell
+),
+stacked AS (
+    SELECT lo, hi FROM lsh_hit UNION SELECT lo, hi FROM cell_hit
+),
+n AS (
+    SELECT (SELECT count(*) FROM truth) AS n_truth_pairs,
+           (SELECT count(*) FROM lsh_hit) AS n_lsh_found,
+           (SELECT count(*) FROM cell_hit) AS n_co_cell,
+           (SELECT count(*) FROM stacked) AS n_stacked
+)
+SELECT CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+       CAST(n_lsh_found AS BIGINT) AS n_lsh_found,
+       CAST(n_co_cell AS BIGINT) AS n_co_cell,
+       CAST(n_stacked AS BIGINT) AS n_stacked,
+       CASE WHEN n_truth_pairs > 0
+            THEN round(CAST(n_lsh_found AS DOUBLE) / n_truth_pairs, 4)
+       END AS recall_lsh,
+       CASE WHEN n_truth_pairs > 0
+            THEN round(CAST(n_co_cell AS DOUBLE) / n_truth_pairs, 4)
+       END AS recall_cells,
+       CASE WHEN n_truth_pairs > 0
+            THEN round(CAST(n_stacked AS DOUBLE) / n_truth_pairs, 4)
+       END AS recall_stacked
+FROM n
+"""
+
+
+DEDUP_STACKED_RECALL_ORACLE = _dedup_stacked_recall_oracle()

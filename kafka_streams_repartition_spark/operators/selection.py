@@ -1009,15 +1009,22 @@ def pretrain_pipeline(t: dict[str, DataFrame]) -> DataFrame:
     Document text is read exactly twice — once by the fused
     gate+digest+count pass, once by the LSH pair builder — and no
     intermediate corpus ever materializes.
+
+    The LSH pair builder runs over the GATE-SURVIVING corpus (the same
+    ``_gopher_keep`` filter fused into its gram scan), matching how
+    real pipelines order the stages: a document the quality gate
+    already rejected cannot evict its near-dup partner that passed —
+    without this, boilerplate-heavy junk would take out its cleaner
+    twin on the way out.
     """
     from pyspark.sql import Window
 
     from .dedup import dedup_minhash_lsh
 
     docs = fan_out(t["documents"])
+    gated = docs.filter(_gopher_keep())
     hashed = (
-        docs.filter(_gopher_keep())
-        .select(
+        gated.select(
             "doc_id",
             F.md5("text").alias("h"),
             F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
@@ -1028,7 +1035,9 @@ def pretrain_pipeline(t: dict[str, DataFrame]) -> DataFrame:
         hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")),
         ["h", "doc_id"],
     )
-    losers = dedup_minhash_lsh(t).select(F.col("doc_b").alias("doc_id"))
+    losers = dedup_minhash_lsh({**t, "documents": gated}).select(
+        F.col("doc_b").alias("doc_id")
+    )
     survivors = keepers.join(F.broadcast(losers), "doc_id", "left_anti")
     shard = (
         F.conv(
@@ -1073,14 +1082,22 @@ PACK_BUDGET_PIPE = 2048
 def _pretrain_pipeline_oracle() -> str:
     from .dedup import DEDUP_MINHASH_LSH_ORACLE
 
+    # the loser set runs over the gate-surviving corpus: rebind the LSH
+    # oracle's single `FROM documents` to the gated CTE (asserted below
+    # so a refactor of the LSH oracle can't silently desync the two)
+    assert DEDUP_MINHASH_LSH_ORACLE.count("FROM documents") == 1
+    gated_lsh = DEDUP_MINHASH_LSH_ORACLE.replace("FROM documents", "FROM gated")
     return f"""
 WITH gr AS MATERIALIZED ({GOPHER_RULES_ORACLE}),
+gated AS MATERIALIZED (
+    SELECT d.* FROM documents d JOIN gr ON d.doc_id = gr.doc_id
+    WHERE gr.keep
+),
 hashed AS MATERIALIZED (
     SELECT d.doc_id, md5(d.text) AS h,
            CAST(len(list_filter(string_split(lower(d.text), ' '),
                                 x -> x != '')) AS BIGINT) AS n_tokens
-    FROM documents d JOIN gr ON d.doc_id = gr.doc_id
-    WHERE gr.keep
+    FROM gated d
 ),
 keepers AS (
     SELECT h1.doc_id, h1.n_tokens
@@ -1089,7 +1106,7 @@ keepers AS (
       ON h1.h = k.h AND h1.doc_id = k.doc_id
 ),
 losers AS MATERIALIZED (
-    SELECT DISTINCT doc_b AS doc_id FROM ({DEDUP_MINHASH_LSH_ORACLE})
+    SELECT DISTINCT doc_b AS doc_id FROM ({gated_lsh})
 ),
 survivors AS (
     SELECT k.doc_id, k.n_tokens,

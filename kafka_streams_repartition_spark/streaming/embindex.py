@@ -527,8 +527,8 @@ def stream_novelty_scoring(
     returns signal a continuous ingest watches to decide when a source
     is mined out.
 
-    Per batch: shingles are built map-side and reduced to 63-bit md5
-    digests (gram text never leaves the task); the history contributes
+    Per batch: shingles are built map-side and reduced to 60-bit md5
+    digests (15 hex chars; gram text never leaves the task); the history contributes
     ONLY digest rows to an anti-join-shaped first-occurrence check;
     the batch's previously-unseen digests — and only those — append to
     the index, so the seen-set stores each digest exactly once however

@@ -159,6 +159,20 @@ def test_semdedup_recall_gate_well_formed(t):
     assert 0 < r["recall"] <= 1.0
 
 
+def test_stacked_recall_dominates_each_blocker(t):
+    """Stacking the two blocking families must measurably pay: the
+    union's recall is strictly greater than EACH single family on this
+    fixture (each family catches pairs the other forfeits), and the
+    stacked hit set is bounded by truth and by the per-family sum."""
+    [r] = dd.dedup_stacked_recall(t).collect()
+    assert r["n_truth_pairs"] > 0
+    assert r["n_stacked"] <= r["n_truth_pairs"]
+    assert r["n_stacked"] <= r["n_lsh_found"] + r["n_co_cell"]
+    assert r["recall_stacked"] > r["recall_lsh"]
+    assert r["recall_stacked"] > r["recall_cells"]
+    assert r["recall_stacked"] <= 1.0
+
+
 def test_semdedup_blocked_verify_equivalent(t, monkeypatch):
     """The row-blocked in-cell matmul is a pure memory shape: forcing a
     tiny block (3 rows per step, many blocks per cell) must reproduce

@@ -303,6 +303,38 @@ def test_pretrain_pipeline_plan_single_text_scan(t):
     assert count_scans_of(df, "documents") <= 2
 
 
+def test_pretrain_pipeline_rejected_doc_cannot_evict_survivor(spark):
+    """The LSH loser set runs over the GATE-SURVIVING corpus: a junk
+    near-dup that the Gopher gate already rejected must not evict its
+    clean twin.  doc 1 is doc 2's near-dup (one appended ######## token,
+    gram-Jaccard ≈ 0.9) but fails ok_symbols; with the ungated loser set
+    the pair (1, 2) would mark doc 2 a loser and drop it from the
+    manifest — gated, doc 2 survives."""
+    clean_words = (
+        "the cat and dog run with speed for fun in the park " * 5
+    ).split()
+    clean = " ".join(clean_words)
+    junk = clean + " ########"
+    fillers = [
+        " ".join(
+            f"{w}{i}" if w not in ("the", "and", "for", "with") else w
+            for w in clean_words
+        )
+        for i in range(3, 6)
+    ]
+    docs = spark.createDataFrame(
+        [(1, junk), (2, clean)] + [(i, f) for i, f in enumerate(fillers, 3)],
+        "doc_id long, text string",
+    )
+    t2 = {"documents": docs}
+    gate = sel.gopher_rules(t2).toPandas().set_index("doc_id")["keep"]
+    assert not gate[1] and gate[2] and gate[3:].all()
+    manifest = sel.pretrain_pipeline(t2).toPandas()
+    # every gate survivor (docs 2..5) reaches the manifest — the junk
+    # twin's rejection removed it AND its eviction power
+    assert manifest["n_docs"].sum() == 4
+
+
 # --- cluster sampling ------------------------------------------------------
 
 
