@@ -51,6 +51,8 @@ from .snapshot import _POINTER, _RUN, _checkpoint_query_id
 
 _SIG_SCHEMA = "vec_id long, band int, sig string"
 _VEC_SCHEMA = "vec_id long, v array<double>"
+_EMB_PAIR_SCHEMA = "doc_a long, doc_b long, cosine double"
+_MH_PAIR_SCHEMA = "doc_a long, doc_b long, jaccard double"
 
 
 def _index_version(root: str) -> int | None:
@@ -139,13 +141,38 @@ def stream_embedding_index(
     availableNow, maintaining the persisted band-bucket index at
     ``root`` and returning every emitted near-dup pair row
     (doc_a, doc_b, cosine) — see module doc for the exactly-once pair
-    contract.  ``on_batch(batch_id, rows)`` is an observation hook."""
+    contract.  ``on_batch(batch_id, rows)`` is an observation hook.
+
+    Emitted pairs are the PRODUCTION SINK, not driver state: each
+    batch's pairs land in ``batch=<id>/pairs`` parquet inside the same
+    atomic commit as its sigs/vecs, and the return value is the
+    committed pair table read back — so a process restart against a
+    surviving checkpoint+index (replay-skipped batches) still returns
+    the FULL emission history, and a downstream consumer tails the
+    committed ``pairs`` dirs instead of holding a driver list.  Use
+    :func:`stream_embedding_index_frame` to get the table without
+    collecting."""
+    return (
+        stream_embedding_index_frame(
+            spark, vec_stream, root, checkpoint_dir, on_batch
+        ).collect()
+    )
+
+
+def stream_embedding_index_frame(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Sink-backed form of :func:`stream_embedding_index`: returns the
+    committed (doc_a, doc_b, cosine) pair TABLE."""
     os.makedirs(root, exist_ok=True)
-    emitted: list = []
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not _begin_batch(root, checkpoint_dir, batch_id, "embedding index"):
-            return  # replayed batch already committed (emissions too)
+            return  # replayed batch: sigs/vecs AND pairs already committed
 
         new_vecs = batch_df.select(
             "vec_id", to_double_array("embedding").alias("v")
@@ -195,23 +222,27 @@ def stream_embedding_index(
             ),
             4,
         )
-        rows = (
+        pairs = (
             cand.join(va, "doc_a")
             .join(vb, "doc_b")
             .select("doc_a", "doc_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
-            .collect()
         )
-        emitted.extend(rows)
-        if on_batch is not None:
-            on_batch(batch_id, rows)
 
         out = os.path.join(root, f"batch={batch_id}")
+        pairs.write.mode("overwrite").parquet(os.path.join(out, "pairs"))
         new_sigs.select("vec_id", "band", "sig").write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "sigs"))
         new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
         _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                spark.read.schema(_EMB_PAIR_SCHEMA)
+                .parquet(os.path.join(out, "pairs"))
+                .collect(),
+            )
 
     q = (
         vec_stream.writeStream.foreachBatch(fold)
@@ -221,7 +252,10 @@ def stream_embedding_index(
         .start()
     )
     q.awaitTermination()
-    return emitted
+    pair_dirs = _committed_dirs(root, "pairs")
+    if not pair_dirs:
+        return spark.createDataFrame([], _EMB_PAIR_SCHEMA)
+    return spark.read.schema(_EMB_PAIR_SCHEMA).parquet(*pair_dirs)
 
 
 _BAND_SCHEMA = "doc_id long, band_id int, sig string"
@@ -252,7 +286,28 @@ def stream_minhash_index(
     arrays ONLY for actual collision partners — the historical corpus
     text itself never re-shuffles (the ``dedup_incremental`` asymmetry,
     now continuous).
+
+    Pairs persist per batch (``batch=<id>/pairs``) inside the index
+    commit, exactly as :func:`stream_embedding_index` — the returned
+    list is the committed table read back, replay-safe across process
+    restarts; :func:`stream_minhash_index_frame` returns the table.
     """
+    return (
+        stream_minhash_index_frame(
+            spark, doc_stream, root, checkpoint_dir, on_batch
+        ).collect()
+    )
+
+
+def stream_minhash_index_frame(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Sink-backed form of :func:`stream_minhash_index`: returns the
+    committed (doc_a, doc_b, jaccard) pair TABLE."""
     from ..operators.dedup import (
         JACCARD_THRESHOLD,
         _doc_gram_arrays,
@@ -260,11 +315,10 @@ def stream_minhash_index(
     )
 
     os.makedirs(root, exist_ok=True)
-    emitted: list = []
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not _begin_batch(root, checkpoint_dir, batch_id, "minhash index"):
-            return  # replayed batch already committed (emissions too)
+            return  # replayed batch: bands/grams AND pairs already committed
 
         arr = _doc_gram_arrays(batch_df).localCheckpoint(eager=False)
         bands = _lsh_bands(arr)
@@ -309,23 +363,27 @@ def stream_minhash_index(
         )
         inter = F.size(F.array_intersect("gra", "grb"))
         jac = inter / (F.col("na") + F.col("nb") - inter)
-        rows = (
+        pairs = (
             cand.join(ga, "doc_a")
             .join(gb, "doc_b")
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
             .filter(jac >= JACCARD_THRESHOLD)
-            .collect()
         )
-        emitted.extend(rows)
-        if on_batch is not None:
-            on_batch(batch_id, rows)
 
         out = os.path.join(root, f"batch={batch_id}")
+        pairs.write.mode("overwrite").parquet(os.path.join(out, "pairs"))
         bands.select("doc_id", "band_id", "sig").write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "bands"))
         arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
         _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                spark.read.schema(_MH_PAIR_SCHEMA)
+                .parquet(os.path.join(out, "pairs"))
+                .collect(),
+            )
 
     q = (
         doc_stream.writeStream.foreachBatch(fold)
@@ -335,7 +393,10 @@ def stream_minhash_index(
         .start()
     )
     q.awaitTermination()
-    return emitted
+    pair_dirs = _committed_dirs(root, "pairs")
+    if not pair_dirs:
+        return spark.createDataFrame([], _MH_PAIR_SCHEMA)
+    return spark.read.schema(_MH_PAIR_SCHEMA).parquet(*pair_dirs)
 
 
 _HASH_SCHEMA = "h string"

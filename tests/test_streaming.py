@@ -1373,6 +1373,50 @@ def test_stream_embedding_index_equals_batch_lsh(spark, tmp_path):
     assert set(per_batch) == {0, 1} and per_batch[0] and per_batch[1]
 
 
+def test_stream_index_emissions_survive_restart(spark, tmp_path):
+    """Emitted pairs are committed state, not driver-lifetime state: a
+    process restart against a surviving checkpoint+index (every batch
+    replay-skipped) must return the FULL emission history — the
+    exactly-once emission contract across restarts, not just within one
+    process.  Also pins the production sink artifact: each committed
+    batch dir carries its ``pairs`` parquet."""
+    import os
+
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_embedding_index,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    root, ckpt = str(tmp_path / "index"), str(tmp_path / "ckpt")
+    reader = lambda: (  # noqa: E731
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    first = stream_embedding_index(spark, reader(), root, ckpt)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["doc_a"], r["doc_b"], r["cosine"]) for r in rows
+    )
+    assert first
+    for d in os.listdir(root):
+        if d.startswith("batch="):
+            assert os.path.isdir(os.path.join(root, d, "pairs"))
+    # "restart": same checkpoint + surviving index, nothing new to read
+    # → zero batches run, yet the full history comes back
+    again = stream_embedding_index(spark, reader(), root, ckpt)
+    assert key(again) == key(first)
+
+
 def test_stream_corpus_curation_equals_batch(spark, tmp_path):
     """The full streaming ingest-curation pipeline (quality gate →
     digest-index exact dedup → incremental MinHash near-dup) drained
