@@ -1915,6 +1915,36 @@ FROM n_t CROSS JOIN n_c
 SEMDEDUP_RECALL_ORACLE = _semdedup_recall_oracle()
 
 
+def semdedup_quantizer(t: dict[str, DataFrame]) -> dict:
+    """Freeze :func:`semdedup`'s model state from a training corpus so
+    a STREAM can score against it: ``assign`` = the Lloyd-trained
+    assignment centroids (what places a vector in a cell), ``score`` =
+    the per-cell member-mean centroids (what ``cent_cos`` — and hence
+    the keep-the-outlier dominance — is measured against).  Both are
+    n_cells × DIM rows: kilobytes at any corpus size, the frozen-model
+    artifact a production pipeline ships to its ingest tier.
+    """
+    from .similarity import DIM, kmeans_model
+
+    assign, cent = kmeans_model(t)
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    score = (
+        emb.join(assign, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
+            ).alias("cv")
+        )
+    )
+    return {
+        "assign": [(r["cell"], list(r["cv"])) for r in cent.collect()],
+        "score": [(r["cell"], list(r["cv"])) for r in score.collect()],
+    }
+
+
 def dedup_stacked_recall(t: dict[str, DataFrame]) -> DataFrame:
     """The stacked-blocker gate: run BOTH near-dup blocking families —
     banded hyperplane LSH (:func:`dedup_embedding_lsh`) and trained

@@ -268,6 +268,14 @@ def kmeans_cells(t: dict[str, DataFrame]) -> DataFrame:
     ``ann_topk_ivf`` consumes a pretrained quantizer; this is its
     trainer — together they close the IVF index lifecycle.
     """
+    return kmeans_model(t)[0]
+
+
+def kmeans_model(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """(assignment, trained centroids) — :func:`kmeans_cells` plus the
+    final Lloyd centroid table, so a consumer can FREEZE the quantizer
+    (e.g. ``streaming.stream_semdedup`` assigns streamed vectors with
+    exactly the centroids the batch trainer converged to)."""
     emb_raw = fan_out(t["embeddings"])
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
     cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
@@ -279,7 +287,7 @@ def kmeans_cells(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("cv")
         ).localCheckpoint()
         assign = _assign_cells(emb, cent)
-    return assign.select("vec_id", "cell")
+    return assign.select("vec_id", "cell"), cent
 
 
 def _kmeans_oracle() -> str:

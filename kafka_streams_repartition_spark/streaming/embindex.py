@@ -570,6 +570,194 @@ def stream_corpus_curation(
 
 _DIGEST_SCHEMA = "h long"
 _NOV_SCHEMA = "doc_id long, n_grams long, n_novel long, novelty double"
+_SD_VEC_SCHEMA = (
+    "vec_id long, v array<double>, cell int, cent_cos double"
+)
+_SD_VERDICT_SCHEMA = (
+    "vec_id long, cell int, cent_cos double, removed boolean"
+)
+
+
+def stream_semdedup(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    quantizer: dict,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.semdedup`` — incremental
+    semantic dedup against a FROZEN quantizer (the
+    ``operators.dedup.semdedup_quantizer`` artifact: Lloyd assignment
+    centroids + per-cell score centroids, kilobytes shipped to the
+    ingest tier, as a production pipeline freezes its embedding-space
+    model once and scores arrivals forever).
+
+    Per micro-batch: cell assignment is the batch trainer's own
+    zero-shuffle argmin map (``similarity._assign_cells``) against the
+    frozen centroids; ``cent_cos`` scores against the frozen per-cell
+    means; candidates = batch-vs-INDEX cell collisions ∪ batch-vs-batch
+    (history never re-pairs with itself); dominance is the batch rule
+    exactly (≥-threshold partner closer to the centroid removes you;
+    ties to the higher id).  Removal is MONOTONE — a later arrival can
+    flip an earlier keep to removed, never the reverse — so the verdict
+    log is an append-only changelog: each batch commits its own rows'
+    verdicts plus flip rows for the history it just dominated, and the
+    materialized state is a boolean-OR fold per vec_id.  Returns the
+    committed, materialized verdict table (same schema as the batch
+    operator: vec_id, cell, cent_cos, removed, kept).
+
+    Equivalence contract (tested): drain a corpus through ANY batch cut
+    with the quantizer frozen from that corpus and the folded verdicts
+    equal one-shot ``semdedup`` — including cross-batch flips, which the
+    test pins by exhibiting a batch-0 keep that batch 1 removes.
+
+    Scale: the per-batch joins are keyed on cell (quantizer-balanced;
+    the batch operator's cell-cap tiling is the degenerate-cell answer
+    and applies here per batch the same way); the index contributes one
+    (vec_id, v, cell, cent_cos) row per historical vector only in cells
+    the batch actually touches.
+    """
+    from ..operators.dedup import EMBED_COSINE_THRESHOLD, EMBED_DIM
+    from ..operators.similarity import _assign_cells
+    from ..functions.vectors import dot, norm
+
+    os.makedirs(root, exist_ok=True)
+    assign_cent = spark.createDataFrame(
+        quantizer["assign"], "cell int, cv array<double>"
+    ).localCheckpoint()
+    score_cent = spark.createDataFrame(
+        quantizer["score"], "cell int, cv array<double>"
+    ).localCheckpoint()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "semdedup index"):
+            return  # replayed batch: vecs AND verdicts already committed
+
+        new = _assign_cells(
+            batch_df.select(
+                "vec_id", to_double_array("embedding").alias("v")
+            ),
+            assign_cent,
+        )
+        new = new.join(F.broadcast(score_cent), "cell").select(
+            "vec_id",
+            "v",
+            "cell",
+            F.round(
+                dot(F.col("v"), F.col("cv"))
+                / (norm(F.col("v")) * norm(F.col("cv"))),
+                6,
+            ).alias("cent_cos"),
+        ).localCheckpoint(eager=False)
+
+        vec_dirs = _committed_dirs(root, "vecs")
+        if vec_dirs:
+            idx = spark.read.schema(_SD_VEC_SCHEMA).parquet(*vec_dirs)
+            pool = new.withColumn("is_new", F.lit(True)).unionByName(
+                idx.withColumn("is_new", F.lit(False))
+            )
+        else:
+            pool = new.withColumn("is_new", F.lit(True))
+
+        # directed within-cell pairs touching the batch: (a dominated-by b)
+        a = pool.select(
+            F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+            "cell", F.col("cent_cos").alias("cca"),
+            F.col("is_new").alias("na"),
+        )
+        b = pool.select(
+            F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+            "cell", F.col("cent_cos").alias("ccb"),
+            F.col("is_new").alias("nb"),
+        )
+        cos = F.round(
+            dot_unrolled(F.col("va"), F.col("vb"), EMBED_DIM)
+            / (
+                norm_unrolled(F.col("va"), EMBED_DIM)
+                * norm_unrolled(F.col("vb"), EMBED_DIM)
+            ),
+            4,
+        )
+        dominated = (
+            a.join(b, "cell")
+            .filter(F.col("ia") != F.col("ib"))
+            .filter(F.col("na") | F.col("nb"))  # history never re-pairs
+            .filter(
+                (F.col("cca") > F.col("ccb"))
+                | ((F.col("cca") == F.col("ccb")) & (F.col("ia") > F.col("ib")))
+            )
+            .filter(cos >= EMBED_COSINE_THRESHOLD)
+            .select(F.col("ia").alias("vec_id"), F.col("na").alias("is_new"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        batch_verdicts = new.join(
+            dominated.filter("is_new").select("vec_id"), "vec_id", "left_semi"
+        ).select(
+            "vec_id", "cell", "cent_cos", F.lit(True).alias("removed")
+        ).unionByName(
+            new.join(
+                dominated.filter("is_new").select("vec_id"),
+                "vec_id",
+                "left_anti",
+            ).select(
+                "vec_id", "cell", "cent_cos", F.lit(False).alias("removed")
+            )
+        )
+        if vec_dirs:
+            flips = (
+                spark.read.schema(_SD_VEC_SCHEMA)
+                .parquet(*vec_dirs)
+                .join(
+                    dominated.filter(~F.col("is_new")).select("vec_id"),
+                    "vec_id",
+                    "left_semi",
+                )
+                .select(
+                    "vec_id", "cell", "cent_cos",
+                    F.lit(True).alias("removed"),
+                )
+            )
+            batch_verdicts = batch_verdicts.unionByName(flips)
+
+        out = os.path.join(root, f"batch={batch_id}")
+        batch_verdicts.write.mode("overwrite").parquet(
+            os.path.join(out, "verdicts")
+        )
+        new.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
+        _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                spark.read.schema(_SD_VERDICT_SCHEMA)
+                .parquet(os.path.join(out, "verdicts"))
+                .collect(),
+            )
+
+    q = (
+        vec_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v_dirs = _committed_dirs(root, "verdicts")
+    if not v_dirs:
+        return spark.createDataFrame(
+            [], _SD_VERDICT_SCHEMA + ", kept boolean"
+        )
+    return (
+        spark.read.schema(_SD_VERDICT_SCHEMA)
+        .parquet(*v_dirs)
+        .groupBy("vec_id", "cell", "cent_cos")
+        .agg(F.max("removed").alias("removed"))
+        .select(
+            "vec_id", "cell", "cent_cos", "removed",
+            (~F.col("removed")).alias("kept"),
+        )
+    )
 
 
 def stream_novelty_scoring(

@@ -1373,6 +1373,61 @@ def test_stream_embedding_index_equals_batch_lsh(spark, tmp_path):
     assert set(per_batch) == {0, 1} and per_batch[0] and per_batch[1]
 
 
+def test_stream_semdedup_equals_batch(spark, tmp_path):
+    """Streaming semantic dedup against the FROZEN quantizer drained
+    over a mid-stream cut must materialize EXACTLY the batch semdedup
+    verdicts (same cells, same cent_cos, same removed/kept), including
+    cross-batch dominance: a batch-0 keep flipped to removed by a
+    batch-1 arrival — the changelog semantics a one-shot operator never
+    exercises."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_semdedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    quant = dd.semdedup_quantizer(t)
+    per_batch: dict[int, list] = {}
+    got = stream_semdedup(
+        spark,
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        quant,
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        on_batch=per_batch.__setitem__,
+    ).toPandas()
+    want = dd.semdedup(t).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(
+            tuple,
+            df[["vec_id", "cell", "cent_cos", "removed", "kept"]].values,
+        )
+    )
+    assert key(got) == key(want) and len(want)
+    # the cut genuinely exercised the changelog: some batch-0 vector was
+    # KEPT by batch 0's own verdicts and flipped to removed by batch 1
+    assert set(per_batch) == {0, 1}
+    kept_b0 = {
+        r["vec_id"] for r in per_batch[0] if not r["removed"]
+    }
+    flipped = {
+        r["vec_id"]
+        for r in per_batch[1]
+        if r["removed"] and r["vec_id"] % 2 == 0
+    }
+    assert kept_b0 & flipped
+
+
 def test_stream_index_emissions_survive_restart(spark, tmp_path):
     """Emitted pairs are committed state, not driver-lifetime state: a
     process restart against a surviving checkpoint+index (every batch
