@@ -35,6 +35,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import re
 import weakref
 
 from pyspark.sql import DataFrame
@@ -1913,6 +1914,96 @@ FROM n_t CROSS JOIN n_c
 
 
 SEMDEDUP_RECALL_ORACLE = _semdedup_recall_oracle()
+
+
+def dedup_stacked(t: dict[str, DataFrame]) -> DataFrame:
+    """Union-of-verdicts stacked dedup — the operator a pipeline owner
+    actually runs when :func:`dedup_stacked_recall` says one blocking
+    family's forfeit is too high: every vector's keep/removed verdict
+    under BOTH families.  Cell-blocked dominance is :func:`semdedup`'s
+    verdict unchanged; the LSH index contributes every banded-verified
+    ≥-threshold pair, from which the member MORE prototypical of its
+    own cell is removed (higher ``cent_cos``; ties remove the higher
+    vec_id — the same keep-the-outlier rule, applied with each
+    member's own-cell score so cross-cell pairs are judged on the same
+    scale).  ``removed = cell_removed OR lsh_removed``.
+
+    Scale: composes the two production blockers as-is (both bucketed /
+    cell-capped); the union adds one distinct over dominated ids and
+    one left-join back to the per-vector verdict frame — pair-grained
+    data still never leaves a task.
+    """
+    sd = semdedup(t).localCheckpoint(eager=False)
+    cc = sd.select("vec_id", "cent_cos")
+    pairs = (
+        dedup_embedding_lsh(t)
+        .join(
+            cc.select(
+                F.col("vec_id").alias("doc_a"), F.col("cent_cos").alias("cca")
+            ),
+            "doc_a",
+        )
+        .join(
+            cc.select(
+                F.col("vec_id").alias("doc_b"), F.col("cent_cos").alias("ccb")
+            ),
+            "doc_b",
+        )
+    )
+    # doc_a < doc_b by construction, so the ELSE branch removes doc_b on
+    # both "b more prototypical" and the tie (higher id removed)
+    lsh_removed = pairs.select(
+        F.when(F.col("cca") > F.col("ccb"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        sd.join(
+            lsh_removed.withColumn("lsh_hit", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            (F.col("removed") | F.col("lsh_hit").isNotNull()).alias("removed"),
+            (~(F.col("removed") | F.col("lsh_hit").isNotNull())).alias("kept"),
+        )
+    )
+
+
+def _dedup_stacked_oracle() -> str:
+    tail = """
+SELECT c.vec_id, c.cell, c.cent_cos,
+       r.vec_id IS NOT NULL AS removed,
+       r.vec_id IS NULL AS kept
+FROM cc c
+LEFT JOIN removed r ON c.vec_id = r.vec_id
+"""
+    assert SEMDEDUP_ORACLE.endswith(tail)  # tail surgery stays in sync
+    # rename the semdedup chain's outer `norms` CTE: the nested LSH
+    # oracle defines its own `norms`, and shadowing an outer
+    # MATERIALIZED CTE trips a DuckDB internal ("Recursive CTE scan
+    # found without recursive CTE node")
+    prefix = re.sub(r"\bnorms\b", "sd_norms", SEMDEDUP_ORACLE[: -len(tail)])
+    return prefix + f""",
+lsh_raw AS MATERIALIZED ({DEDUP_EMBEDDING_LSH_ORACLE}),
+lsh_removed AS (
+    SELECT DISTINCT CASE WHEN ca.cent_cos > cb.cent_cos THEN p.doc_a
+                         ELSE p.doc_b END AS vec_id
+    FROM lsh_raw p
+    JOIN cc ca ON ca.vec_id = p.doc_a
+    JOIN cc cb ON cb.vec_id = p.doc_b
+)
+SELECT c.vec_id, c.cell, c.cent_cos,
+       (r.vec_id IS NOT NULL OR l.vec_id IS NOT NULL) AS removed,
+       (r.vec_id IS NULL AND l.vec_id IS NULL) AS kept
+FROM cc c
+LEFT JOIN removed r ON c.vec_id = r.vec_id
+LEFT JOIN lsh_removed l ON c.vec_id = l.vec_id
+"""
+
+
+DEDUP_STACKED_ORACLE = _dedup_stacked_oracle()
 
 
 def semdedup_quantizer(t: dict[str, DataFrame]) -> dict:

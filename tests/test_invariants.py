@@ -159,6 +159,30 @@ def test_semdedup_recall_gate_well_formed(t):
     assert 0 < r["recall"] <= 1.0
 
 
+def test_dedup_stacked_verdicts_superset_of_semdedup(t):
+    """The union-of-verdicts operator only ever ADDS removals on top of
+    the cell-blocked verdict (monotone stacking), every extra removal is
+    a member of some LSH-verified pair, and cells/cent_cos pass through
+    unchanged."""
+    sd = {r["vec_id"]: r for r in dd.semdedup(t).collect()}
+    st = {r["vec_id"]: r for r in dd.dedup_stacked(t).collect()}
+    assert set(sd) == set(st)
+    lsh_members = set()
+    for r in dd.dedup_embedding_lsh(t).collect():
+        lsh_members |= {r["doc_a"], r["doc_b"]}
+    extra = set()
+    for vid, r in st.items():
+        assert (r["cell"], r["cent_cos"]) == (
+            sd[vid]["cell"], sd[vid]["cent_cos"],
+        )
+        assert r["removed"] != r["kept"]
+        if sd[vid]["removed"]:
+            assert r["removed"]  # never un-removes
+        elif r["removed"]:
+            extra.add(vid)
+    assert extra and extra <= lsh_members
+
+
 def test_stacked_recall_dominates_each_blocker(t):
     """Stacking the two blocking families must measurably pay: the
     union's recall is strictly greater than EACH single family on this

@@ -1146,5 +1146,10 @@ def test_semdedup_cell_blocked_no_pair_join(t):
     plan = explain_str(df)
     assert_no_cartesian(df)
     assert "FlatMapGroupsInPandas" in plan
-    assert "BroadcastHashJoin" in plan  # centroid attach
+    assert "BroadcastHashJoin" in plan  # centroid attach AND sizes attach
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # the cell-cap tiling must not add a second Arrow verify stage: one
+    # FlatMapGroupsInPandas node (formatted explain prints a node twice
+    # - tree + detail section), with the sizes table joined broadcast
+    # and only the narrow verdict OR-fold downstream
+    assert plan.count("FlatMapGroupsInPandas") <= 2
