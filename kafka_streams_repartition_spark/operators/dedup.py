@@ -1534,7 +1534,11 @@ def semdedup(
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    assign = kmeans_cells(t)
+    # materialize the (vec_id, cell) assignment once: the member join,
+    # the centroid aggregation AND the sizes pass all read it, and the
+    # frame is narrow (12 B/row) — cheaper than re-running the final
+    # argmin map per consumer
+    assign = kmeans_cells(t).localCheckpoint(eager=False)
     m = emb.join(assign, "vec_id")
     cent = m.groupBy("cell").agg(
         F.array(
