@@ -2171,3 +2171,120 @@ FROM n
 
 
 DEDUP_STACKED_RECALL_ORACLE = _dedup_stacked_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (document-frequency rule)
+# ---------------------------------------------------------------------------
+
+LINE_W = 10  # words per synthetic line (the corpus has no newlines)
+LINE_DF_MIN = 3  # distinct-doc frequency at which a line is boilerplate
+
+
+def line_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-level boilerplate-line removal accounting (the CCNet /
+    RefinedWeb paragraph-dedup rule, Wenzek et al. 2020 §4.1 / Penedo
+    et al. 2023 §G): a *line* — here a non-overlapping ``LINE_W``-word
+    chunk, since the synthetic corpus has no newlines — is boilerplate
+    iff it occurs in at least ``LINE_DF_MIN`` distinct documents
+    (document frequency, NOT instance count: nav bars and license
+    headers repeat across docs, body text repeats within one).
+    Complements :func:`span_dedup`, whose first-owner rule keeps one
+    copy; the DF rule removes *every* copy of corpus-wide boilerplate.
+
+    Scale shape: lines hash to 60-bit digests **map-side**, so no
+    exchange ever carries text: (1) distinct-doc frequency is one
+    partial-aggregated count-distinct on the digest, (2) verdicts
+    rejoin co-partitioned on the digest, (3) per-doc rollup is one
+    keyed agg. Linear in corpus size; no all-pairs stage.
+    """
+    base = fan_out(t["documents"]).select(
+        "doc_id", words(F.col("text")).alias("w")
+    )
+    nlines = F.ceil(F.size("w") / F.lit(float(LINE_W))).cast("int")
+    idx = F.when(F.size("w") > 0, F.sequence(F.lit(0), nlines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ln = (
+        base.select(
+            "doc_id", "w", F.size("w").alias("n"), F.explode_outer(idx).alias("i")
+        )
+        .filter(F.col("i").isNotNull())
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice("w", F.col("i") * LINE_W + 1, LINE_W),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            F.least(F.lit(LINE_W), F.col("n") - F.col("i") * LINE_W).alias(
+                "ln_tokens"
+            ),
+        )
+    )
+    dfreq = ln.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = F.col("df") >= LINE_DF_MIN
+    return (
+        ln.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(boiler.cast("long")).alias("n_boiler"),
+            F.sum(F.when(boiler, F.lit(0)).otherwise(F.col("ln_tokens"))).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.round(F.col("n_boiler") / F.col("n_lines"), 4).alias(
+                "boiler_frac"
+            ),
+            F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+LINE_DEDUP_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+ix AS (
+    SELECT doc_id, w,
+           unnest(range(CAST(ceil(len(w) / {float(LINE_W)}) AS BIGINT))) AS i
+    FROM base
+),
+ln AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(array_to_string(
+               list_slice(w, i * {LINE_W} + 1, i * {LINE_W} + {LINE_W}), ' '
+           )), 1, 15)) AS BIGINT) AS h,
+           least({LINE_W}, len(w) - i * {LINE_W}) AS ln_tokens
+    FROM ix
+),
+dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d.df >= {LINE_DF_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       round(CAST(sum(CASE WHEN d.df >= {LINE_DF_MIN} THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS boiler_frac,
+       CAST(sum(CASE WHEN d.df >= {LINE_DF_MIN} THEN 0 ELSE l.ln_tokens END)
+           AS BIGINT) AS kept_tokens
+FROM ln l JOIN dfreq d USING (h)
+GROUP BY 1
+"""

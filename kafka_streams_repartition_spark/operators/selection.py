@@ -47,6 +47,9 @@ __all__ = [
     "cluster_sample",
     "pair_mining",
     "pretrain_pipeline",
+    "epoch_shuffle",
+    "shard_manifest",
+    "write_training_shards",
 ]
 
 
@@ -1134,3 +1137,158 @@ GROUP BY 1, 2
 
 
 PRETRAIN_PIPELINE_ORACLE = _pretrain_pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle: deterministic training-order assignment
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = 7  # epoch number; changing it yields an independent permutation
+EPOCH_SHARDS = 8  # reader-worker count; scales with the training fleet
+
+
+def _epoch_hash(doc_id: Column) -> Column:
+    """Seeded per-doc shuffle key: md5 over ``seed:doc_id``."""
+    return _md5_long(
+        F.concat_ws(":", F.lit(str(EPOCH_SEED)), doc_id.cast("string"))
+    )
+
+
+def epoch_shuffle(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic epoch shuffle — the "global shuffle before each
+    training epoch" a 100 TB pretraining run needs, without a global
+    sort: every document gets a seeded uniform hash, the hash picks a
+    reader shard, and rank within the shard is the read order.
+
+    Scale shape: ONE hash-partitioned exchange (on ``shard``) followed
+    by a per-shard local sort — shards are independent, so the sort
+    parallelizes across the reader fleet and no total order ever
+    materializes.  md5 is uniform, so shards stay balanced at any
+    corpus size (measured by :func:`shard_manifest`).  Re-running with
+    the same seed is bit-identical (resumable training); bumping
+    ``EPOCH_SEED`` yields an independent permutation for the next
+    epoch.  The (shard, pos) pair is exactly the contract a
+    rank-striped data loader consumes.
+    """
+    d = fan_out(t["documents"]).select(
+        "doc_id", _epoch_hash(F.col("doc_id")).alias("h")
+    )
+    shard = (F.col("h") % EPOCH_SHARDS).alias("shard")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "h", shard)
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id,
+           {_md5_long_sql(f"'{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(h % {EPOCH_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY h % {EPOCH_SHARDS} ORDER BY h, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def shard_manifest(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-shard manifest for the epoch shuffle: document and token
+    totals plus the balance ratio (shard tokens / mean shard tokens) —
+    the number an operator watches to know the hash sharding still
+    feeds every reader evenly.
+
+    Scale shape: reuses :func:`epoch_shuffle`'s single exchange shape
+    but skips the in-shard sort entirely (the manifest is orderless);
+    token counts ride the same row, so the rollup is one partial-
+    aggregated exchange to EPOCH_SHARDS rows, and the balance window
+    runs over those few rows on one task — constant-size final state
+    at any corpus scale.
+    """
+    d = fan_out(t["documents"]).select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("n_tokens"),
+        (_epoch_hash(F.col("doc_id")) % EPOCH_SHARDS).alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    agg = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("shard_tokens").cast("long").alias("shard_tokens"),
+        F.round(
+            F.col("shard_tokens") / F.avg("shard_tokens").over(wall), 4
+        ).alias("balance_ratio"),
+    )
+
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS n_tokens,
+           {_md5_long_sql(f"'{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")}
+               % {EPOCH_SHARDS} AS shard
+    FROM documents
+),
+agg AS (
+    SELECT shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+    FROM d GROUP BY 1
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(shard_tokens AS BIGINT) AS shard_tokens,
+       round(shard_tokens / avg(shard_tokens) OVER (), 4) AS balance_ratio
+FROM agg
+"""
+
+
+def write_training_shards(
+    t: dict[str, DataFrame], out_dir: str, max_records_per_file: int = 100_000
+) -> DataFrame:
+    """Production sink for the epoch shuffle: write the shuffled corpus
+    as ``shard=<k>/`` parquet partitions, each file internally ordered
+    by ``pos`` so a reader streams its shard in training order without
+    re-sorting.
+
+    Scale shape: ``repartition(shard)`` is the ONE exchange (the same
+    one :func:`epoch_shuffle` needs anyway), ``sortWithinPartitions``
+    is the per-shard local sort — keyed ``(shard, pos)`` so the file
+    writer's required ordering (the partition column) is already
+    satisfied and it injects no extra, order-destroying sort of its
+    own — and ``maxRecordsPerFile`` bounds file
+    sizes so a 100 TB shard becomes many seekable files instead of one
+    unsplittable blob.  Deterministic end to end: same seed, same
+    bytes.  Returns the committed table read back (the harness shape;
+    production readers open ``shard=<k>/`` directly).
+    """
+    assign = epoch_shuffle(t)
+    rows = assign.join(
+        t["documents"].select("doc_id", "text", "source"), "doc_id"
+    )
+    spark = rows.sparkSession
+    (
+        rows.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)

@@ -1153,3 +1153,64 @@ def test_semdedup_cell_blocked_no_pair_join(t):
     # - tree + detail section), with the sizes table joined broadcast
     # and only the narrow verdict OR-fold downstream
     assert plan.count("FlatMapGroupsInPandas") <= 2
+
+
+def test_epoch_shuffle_one_exchange_pruned_scan(t):
+    """The epoch shuffle is ONE keyed exchange (hash on shard) plus the
+    per-shard local sort — never a global sort — and the documents scan
+    reads doc_id only (the text column must not ride the shuffle)."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.plans import (
+        count_key_exchanges,
+        count_scans_of,
+    )
+
+    df = sl.epoch_shuffle(t)
+    assert count_key_exchanges(df) == 1
+    assert count_scans_of(df, "documents") == 1
+    assert_read_schema_pruned(df, "documents", "text")
+    plan = explain_str(df)
+    # per-shard Window sort, not a total-order Sort/rangepartitioning
+    assert "rangepartitioning" not in plan
+    assert_no_cartesian(df)
+
+
+def test_shard_manifest_partial_agg_constant_state(t):
+    """Manifest rolls up with ONE keyed exchange to EPOCH_SHARDS rows;
+    the balance window then runs over those few rows (SinglePartition
+    is fine at 8 rows — assert no second keyed exchange appears)."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.plans import (
+        count_key_exchanges,
+        count_scans_of,
+    )
+
+    df = sl.shard_manifest(t)
+    assert count_key_exchanges(df) == 1
+    assert count_scans_of(df, "documents") == 1
+    assert_no_cartesian(df)
+
+
+def test_line_dedup_digest_only_shuffles(t):
+    """Line-dedup exchanges carry 60-bit digests and counts, never the
+    text or token-array columns; one documents scan feeds the whole
+    DF-count/rejoin/rollup chain."""
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.plans import (
+        count_key_exchanges,
+        count_scans_of,
+    )
+
+    df = dd2.line_dedup(t)
+    assert count_key_exchanges(df) <= 4
+    # DF-count branch partial-aggregates BEFORE its exchange, so its
+    # exchange differs from the rejoin branch's and cannot be reused:
+    # two pruned scans, the span_dedup/decontaminate family shape.
+    assert count_scans_of(df, "documents") == 2
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln and " w#" not in ln, (
+                f"wide column crosses a shuffle:\n{ln}"
+            )
