@@ -50,6 +50,8 @@ __all__ = [
     "epoch_shuffle",
     "shard_manifest",
     "write_training_shards",
+    "domain_kl",
+    "token_budget",
 ]
 
 
@@ -1292,3 +1294,230 @@ def write_training_shards(
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Domain KL: per-source distribution shift vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def domain_kl(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source unigram KL divergence D(P_source ‖ P_corpus) — the
+    domain-shift diagnostic behind mixture reweighting (DoReMi, Xie et
+    al. 2023, arXiv:2305.10429, weights domains by how much excess loss
+    they carry; the KL against the pooled corpus is the model-free
+    proxy an operator watches first).  A source whose unigram
+    distribution sits far from the corpus mean is the one a mixture
+    tweak moves most.  Every source term also appears in the corpus
+    distribution by construction, so the divergence is finite with no
+    smoothing.
+
+    Scale shape: one tokenize pass; per-(source, term) counts
+    partial-combine map-side so hot terms collapse before the ONE
+    corpus-sized exchange; corpus term counts RE-aggregate those
+    vocab-sized rows (never a second scan of the text); per-source
+    totals (≤ n_sources rows) broadcast back; the term-keyed join ships
+    vocab-sized frames only.  Final state is n_sources rows.  Per-term
+    contributions sum as DECIMAL(28,10) so shuffle-order double
+    addition cannot diverge from the oracle's sequential sum.
+    """
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select("source", F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    st = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint()
+    )
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    ntot = ct.agg(F.sum("c_t").alias("n_tot"))
+    ps = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    ratio = (F.col("c_st").cast("double") * F.col("n_tot").cast("double")) / (
+        F.col("c_t").cast("double") * F.col("n_s").cast("double")
+    )
+    contrib = (ps * F.log(ratio)).cast("decimal(28,10)")
+    return (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.sum(contrib).cast("double").alias("kl_raw"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            "n_tokens",
+            F.round(F.col("kl_raw"), 4).alias("kl_nats"),
+        )
+    )
+
+
+DOMAIN_KL_ORACLE = """
+WITH toks AS (
+    SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents
+),
+st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+ntot AS (SELECT sum(c_t) AS n_tot FROM ct)
+SELECT st.source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(ns.n_s) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(
+           (CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+           * ln((CAST(st.c_st AS DOUBLE) * CAST(ntot.n_tot AS DOUBLE))
+                / (CAST(ct.c_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE)))
+           AS DECIMAL(28,10))) AS DOUBLE), 4) AS kl_nats
+FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN ntot
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token budget: UniMax water-filling mixture allocation
+# ---------------------------------------------------------------------------
+
+TB_BUDGET_FRAC_PCT = 50  # global budget as a percent of corpus tokens
+TB_EPOCH_CAP = 2  # no source repeats more than this many epochs
+
+
+def token_budget(t: dict[str, DataFrame]) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al., ICLR 2023,
+    arXiv:2304.09151): split a global training-token budget as evenly
+    as possible across sources, but never ask any source for more than
+    ``TB_EPOCH_CAP`` epochs of its available tokens — the fairer
+    alternative to temperature sampling that provably minimizes
+    worst-case repeats.  Water-filling has a closed form once sources
+    are sorted ascending by their cap: a source is capped iff its cap
+    times the sources remaining at its rank fits in the budget left
+    after everything before it is fully capped (the rowwise test is
+    equivalent to the sequential fill because the sort makes the
+    condition monotone); every uncapped source then takes an equal
+    share of what the capped ones left behind.
+
+    Scale shape: the corpus-sized work is ONE partial-aggregated
+    rollup to n_sources rows; the water-fill itself runs as window
+    functions over those few rows on a single task — constant-size
+    final state at any corpus scale, and the capped/uncapped test is
+    all-long arithmetic, so the plan is bit-deterministic.
+    """
+    from pyspark.sql import Window
+
+    avail = (
+        fan_out(t["documents"])
+        .select("source", F.size(words(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("avail"))
+    )
+    w = Window.orderBy("cap_avail", "source")
+    full = Window.partitionBy()
+    ranked = (
+        avail.select(
+            "source",
+            "avail",
+            (F.col("avail") * TB_EPOCH_CAP).alias("cap_avail"),
+        )
+        .withColumn("budget", (F.sum("avail").over(full) * TB_BUDGET_FRAC_PCT).cast("long") / F.lit(100))
+        .withColumn("budget", F.floor("budget").cast("long"))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "prefix_before",
+            F.coalesce(
+                F.sum("cap_avail").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_avail") * (F.col("n_src") - F.col("i") + 1)
+            <= F.col("budget") - F.col("prefix_before"),
+        )
+    )
+    filled = (
+        ranked.withColumn(
+            "sum_capped",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap_avail"))).over(full),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "n_uncapped",
+            F.col("n_src") - F.sum(F.col("capped").cast("long")).over(full),
+        )
+        .withColumn(
+            "alloc",
+            F.when(F.col("capped"), F.col("cap_avail").cast("double")).otherwise(
+                (F.col("budget") - F.col("sum_capped")).cast("double")
+                / F.col("n_uncapped").cast("double")
+            ),
+        )
+    )
+    return filled.select(
+        "source",
+        F.col("avail").cast("long").alias("avail_tokens"),
+        "capped",
+        F.round(F.col("alloc"), 2).alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("avail").cast("double"), 4).alias(
+            "epochs"
+        ),
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH avail AS (
+    SELECT source,
+           sum(len(list_filter(string_split(lower(text), ' '), x -> x != '')))
+               AS avail
+    FROM documents GROUP BY 1
+),
+ranked AS (
+    SELECT source, avail,
+           avail * {TB_EPOCH_CAP} AS cap_avail,
+           CAST(floor(CAST(sum(avail) OVER () * {TB_BUDGET_FRAC_PCT} AS BIGINT)
+                / 100) AS BIGINT) AS budget,
+           row_number() OVER (ORDER BY avail * {TB_EPOCH_CAP}, source) AS i,
+           count(*) OVER () AS n_src,
+           COALESCE(sum(avail * {TB_EPOCH_CAP}) OVER (
+               ORDER BY avail * {TB_EPOCH_CAP}, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS prefix_before
+    FROM avail
+),
+flag AS (
+    SELECT *,
+           cap_avail * (n_src - i + 1) <= budget - prefix_before AS capped
+    FROM ranked
+),
+filled AS (
+    SELECT *,
+           COALESCE(sum(CASE WHEN capped THEN cap_avail END) OVER (), 0)
+               AS sum_capped,
+           n_src - sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+               AS n_uncapped
+    FROM flag
+)
+SELECT source,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       capped,
+       round(CASE WHEN capped THEN CAST(cap_avail AS DOUBLE)
+             ELSE CAST(budget - sum_capped AS DOUBLE)
+                  / CAST(n_uncapped AS DOUBLE) END, 2) AS alloc_tokens,
+       round(CASE WHEN capped THEN CAST(cap_avail AS DOUBLE)
+             ELSE CAST(budget - sum_capped AS DOUBLE)
+                  / CAST(n_uncapped AS DOUBLE) END
+             / CAST(avail AS DOUBLE), 4) AS epochs
+FROM filled
+"""

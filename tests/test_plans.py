@@ -1214,3 +1214,43 @@ def test_line_dedup_digest_only_shuffles(t):
             assert "text" not in ln and " w#" not in ln, (
                 f"wide column crosses a shuffle:\n{ln}"
             )
+
+
+def test_domain_kl_vocab_sized_exchanges(t):
+    """domain_kl tokenizes ONCE; corpus counts re-aggregate the
+    (source, term) rollup rather than re-scanning text; the per-source
+    totals and 1-row grand total broadcast; no cartesian product."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.plans import (
+        assert_broadcast_join,
+        count_key_exchanges,
+    )
+
+    df = sl.domain_kl(t)
+    assert count_key_exchanges(df) <= 4
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+    # the localCheckpointed (source, term) rollup replaces the scan in
+    # the plan; text appears in NO exchange
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+
+
+def test_token_budget_one_exchange_constant_state(t):
+    """The corpus-sized work is ONE keyed exchange to n_sources rows;
+    the water-fill windows run single-partition over those few rows
+    (no rangepartitioning — nothing global-sorts doc rows)."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.plans import (
+        count_key_exchanges,
+        count_scans_of,
+    )
+
+    df = sl.token_budget(t)
+    assert count_key_exchanges(df) == 1
+    assert count_scans_of(df, "documents") == 1
+    assert_read_schema_pruned(df, "documents", "doc_id")
+    assert_no_cartesian(df)
+    assert "rangepartitioning" not in explain_str(df)

@@ -362,3 +362,67 @@ def test_cluster_sample_plan_window_group_limit(t):
     before the exchange), not a full per-cell sort-and-filter."""
     plan = explain_str(sel.cluster_sample(t))
     assert "WindowGroupLimit" in plan
+
+
+# --- domain KL -------------------------------------------------------------
+
+
+def test_domain_kl_matches_counter_replica(t, docs_pdf):
+    """kl_nats equals a plain-python Counter replica of
+    D(P_source ‖ P_corpus) for every source, and KL ≥ 0 (Gibbs)."""
+    from collections import Counter
+    from math import log
+
+    corpus: Counter = Counter()
+    per_src: dict[str, Counter] = {}
+    for _, r in docs_pdf.iterrows():
+        ws = [w for w in r["text"].lower().split(" ") if w != ""]
+        per_src.setdefault(r["source"], Counter()).update(ws)
+        corpus.update(ws)
+    n_tot = sum(corpus.values())
+    got = {r["source"]: r for _, r in sel.domain_kl(t).toPandas().iterrows()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = sum(
+            (c / n_s) * log((c * n_tot) / (corpus[w] * n_s))
+            for w, c in cnt.items()
+        )
+        assert got[src]["n_tokens"] == n_s
+        assert got[src]["n_terms"] == len(cnt)
+        assert abs(got[src]["kl_nats"] - kl) < 5e-4, src
+        assert got[src]["kl_nats"] >= 0.0
+
+
+# --- token budget ----------------------------------------------------------
+
+
+def test_token_budget_matches_sequential_waterfill(t, docs_pdf):
+    """The closed-form window allocation equals the SEQUENTIAL UniMax
+    fill (sort ascending by cap, give each source
+    min(cap·avail, remaining/m)), the budget is exhausted, and no
+    source exceeds the epoch cap."""
+    avail = {
+        src: sum(
+            len([w for w in s.lower().split(" ") if w != ""])
+            for s in g["text"]
+        )
+        for src, g in docs_pdf.groupby("source")
+    }
+    budget = (sum(avail.values()) * sel.TB_BUDGET_FRAC_PCT) // 100
+    order = sorted(avail, key=lambda s: (avail[s] * sel.TB_EPOCH_CAP, s))
+    remaining, want = float(budget), {}
+    for i, src in enumerate(order):
+        share = remaining / (len(order) - i)
+        want[src] = min(float(avail[src] * sel.TB_EPOCH_CAP), share)
+        remaining -= want[src]
+    got = {r["source"]: r for _, r in sel.token_budget(t).toPandas().iterrows()}
+    assert set(got) == set(avail)
+    for src in avail:
+        assert abs(got[src]["alloc_tokens"] - want[src]) < 0.02, src
+        assert got[src]["epochs"] <= sel.TB_EPOCH_CAP + 1e-9
+        assert got[src]["capped"] == (
+            abs(want[src] - avail[src] * sel.TB_EPOCH_CAP) < 1e-6
+        )
+    # the budget is exhausted up to per-row rounding
+    assert abs(sum(r["alloc_tokens"] for r in got.values()) - budget) < 0.01 * len(avail)
