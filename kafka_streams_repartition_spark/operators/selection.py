@@ -52,6 +52,8 @@ __all__ = [
     "write_training_shards",
     "domain_kl",
     "token_budget",
+    "temperature_mixture",
+    "semantic_pipeline",
 ]
 
 
@@ -1521,3 +1523,211 @@ SELECT source,
              / CAST(avail AS DOUBLE), 4) AS epochs
 FROM filled
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture: p^alpha sampling weights (the UniMax foil)
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA_PCT = 30  # sampling exponent alpha = 0.3 (the mT5 default)
+
+
+def temperature_mixture(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-scaled mixture weights w_s ∝ p_s^alpha (Arivazhagan
+    et al. 2019 §4.2; the mT5 recipe, Xue et al. 2021, uses
+    alpha = 0.3): flatten the source distribution so low-resource
+    sources are oversampled, then spend the SAME global token budget
+    as :func:`token_budget` so the two allocation policies are
+    directly comparable — the ``epochs`` column is exactly the repeat
+    blowup UniMax exists to bound (a tiny source under temperature
+    sampling can be asked for 10+ epochs; UniMax caps it at
+    ``TB_EPOCH_CAP``).
+
+    Scale shape: identical to :func:`token_budget` — ONE
+    partial-aggregated rollup of the corpus to n_sources rows, then
+    single-task window math over those few rows; constant-size final
+    state at any corpus scale.  The normalizer sums p^alpha as
+    DECIMAL(28,12) so shuffle-order double addition cannot diverge
+    from the oracle's sequential sum.
+    """
+    from pyspark.sql import Window
+
+    full = Window.partitionBy()
+    avail = (
+        fan_out(t["documents"])
+        .select("source", F.size(words(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("avail"))
+    )
+    base = (
+        avail.withColumn("n_tot", F.sum("avail").over(full))
+        .withColumn(
+            "budget",
+            F.floor(
+                (F.col("n_tot") * TB_BUDGET_FRAC_PCT).cast("long") / F.lit(100)
+            ).cast("long"),
+        )
+        .withColumn(
+            "p", F.col("avail").cast("double") / F.col("n_tot").cast("double")
+        )
+        .withColumn(
+            "wq",
+            F.pow(F.col("p"), F.lit(TEMP_ALPHA_PCT / 100.0)).cast(
+                "decimal(28,12)"
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("wq").cast("double")
+            / F.sum("wq").over(full).cast("double"),
+        )
+        .withColumn("alloc", F.col("w") * F.col("budget").cast("double"))
+    )
+    return base.select(
+        "source",
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.round(F.col("p"), 6).alias("p"),
+        F.round(F.col("w"), 6).alias("weight"),
+        F.round(F.col("alloc"), 2).alias("alloc_tokens"),
+        F.round(
+            F.col("alloc") / F.col("avail").cast("double"), 4
+        ).alias("epochs"),
+    )
+
+
+TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH avail AS (
+    SELECT source,
+           sum(len(list_filter(string_split(lower(text), ' '), x -> x != '')))
+               AS avail
+    FROM documents GROUP BY 1
+),
+base AS (
+    SELECT source, avail,
+           sum(avail) OVER () AS n_tot,
+           CAST(floor(CAST(sum(avail) OVER () * {TB_BUDGET_FRAC_PCT} AS BIGINT)
+                / 100) AS BIGINT) AS budget,
+           CAST(avail AS DOUBLE) / CAST(sum(avail) OVER () AS DOUBLE) AS p,
+           CAST(pow(CAST(avail AS DOUBLE) / CAST(sum(avail) OVER () AS DOUBLE),
+                    {TEMP_ALPHA_PCT} / 100.0) AS DECIMAL(28,12)) AS wq
+    FROM avail
+),
+normed AS (
+    SELECT *,
+           CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE) AS w
+    FROM base
+)
+SELECT source,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       round(p, 6) AS p,
+       round(w, 6) AS weight,
+       round(w * CAST(budget AS DOUBLE), 2) AS alloc_tokens,
+       round(w * CAST(budget AS DOUBLE) / CAST(avail AS DOUBLE), 4) AS epochs
+FROM normed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic pipeline: Gopher gate -> SemDeDup over the survivors
+# ---------------------------------------------------------------------------
+
+
+def semantic_pipeline(t: dict[str, DataFrame]) -> DataFrame:
+    """The cross-modal curation pipeline: Gopher rule gate over the
+    text (Rae et al. 2021 §A.1.1) → SemDeDup over the SURVIVORS'
+    embeddings (Abbas et al. 2023) → per-source survival accounting.
+    This is the stage ordering real corpora ship with (quality gates
+    first, semantic pruning on what passed — e.g. the SemDeDup paper
+    itself prunes an already-filtered LAION/C4): a document the gate
+    already rejected can neither evict a clean near-neighbor nor
+    waste quantizer capacity, so the k-means codebook is trained on
+    the distribution that will actually be pruned.
+
+    Scale shape: the gate verdict frame is (doc_id, source, tokens,
+    keep) — narrow, checkpointed, computed in ONE text scan; the
+    gated embedding corpus is checkpointed once so Lloyd's iterations
+    never re-run the gate join; everything downstream is
+    :func:`~..operators.dedup.semdedup`'s cell-blocked, cell-capped
+    machinery (its 100 TB story is unchanged by the upstream filter);
+    the final rollup is one partial-combined agg to n_sources rows.
+    """
+    from .dedup import semdedup
+
+    docs = fan_out(t["documents"])
+    gate = docs.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        _gopher_keep().alias("keep"),
+    ).localCheckpoint(eager=False)
+    gated_emb = (
+        t["embeddings"]
+        .join(
+            gate.filter(F.col("keep")).select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    verdict = semdedup({**t, "embeddings": gated_emb}).select(
+        "vec_id", "removed"
+    )
+    joined = gate.join(
+        verdict, gate["doc_id"] == verdict["vec_id"], "left"
+    )
+    rm = F.coalesce(F.col("removed"), F.lit(False))
+    kept = F.col("keep") & ~rm
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_gate_fail"),
+        F.sum((F.col("keep") & rm).cast("long"))
+        .cast("long")
+        .alias("n_sem_removed"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+def _semantic_pipeline_oracle() -> str:
+    from .dedup import SEMDEDUP_ORACLE
+
+    # SemDeDup runs over the gate-surviving embeddings: rebind the
+    # chain's single `FROM embeddings` to the gated CTE (count-asserted
+    # so a refactor of the semdedup oracle can't silently desync)
+    assert SEMDEDUP_ORACLE.count("FROM embeddings") == 1
+    sd = SEMDEDUP_ORACLE.replace("FROM embeddings", "FROM gated")
+    return f"""
+WITH gr AS MATERIALIZED ({GOPHER_RULES_ORACLE}),
+gated AS MATERIALIZED (
+    SELECT e.* FROM embeddings e JOIN gr ON e.vec_id = gr.doc_id
+    WHERE gr.keep
+),
+sd AS MATERIALIZED ({sd}),
+docstats AS (
+    SELECT d.doc_id, d.source,
+           CAST(len(list_filter(string_split(lower(d.text), ' '),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
+           gr.keep
+    FROM documents d JOIN gr ON d.doc_id = gr.doc_id
+)
+SELECT ds.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT ds.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gate_fail,
+       CAST(sum(CASE WHEN ds.keep AND coalesce(sd.removed, false)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_removed,
+       CAST(sum(CASE WHEN ds.keep AND NOT coalesce(sd.removed, false)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN ds.keep
+                              AND NOT coalesce(sd.removed, false)
+                         THEN ds.n_tokens END), 0) AS BIGINT)
+           AS kept_tokens
+FROM docstats ds LEFT JOIN sd ON ds.doc_id = sd.vec_id
+GROUP BY 1
+"""
+
+
+SEMANTIC_PIPELINE_ORACLE = _semantic_pipeline_oracle()

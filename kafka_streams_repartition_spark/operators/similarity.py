@@ -1401,3 +1401,250 @@ WHERE rank <= {HYBRID_TOP_K}
 
 
 HYBRID_SEARCH_ORACLE = _hybrid_oracle()
+
+
+# --- scalar (int8) quantization ----------------------------------------------
+
+SQ_LEVELS = 255  # 8-bit codes 0..255
+
+
+def _sq_elements(t: dict[str, DataFrame]) -> DataFrame:
+    """Exploded (vec_id, label, d, x, lo, scale, code) frame behind the
+    SQ family: per-dim min/max trained from the corpus (the codebook —
+    2·DIM doubles, broadcast), affine code = clip(round((x-lo)/scale)).
+
+    Scale shape: ONE corpus scan; the exploded rows are narrow
+    (ids + one double); the codebook aggregation partial-combines to
+    DIM rows before its exchange; everything after the broadcast join
+    is map-side arithmetic.
+    """
+    el = (
+        fan_out(t["embeddings"])
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(to_double_array("embedding")).alias("d", "x"),
+        )
+    )
+    # The codebook is TRAINED (pass 1) then the corpus is ENCODED
+    # (pass 2) — the inherent two-pass contract of trained
+    # quantization.  localCheckpoint materializes the DIM-row codebook
+    # so the encode plan is one scan + one broadcast, and downstream
+    # self-compositions (recall gate) cannot re-derive it.
+    stats = (
+        el.groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .withColumn(
+            "scale",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                (F.col("hi") - F.col("lo")) / F.lit(float(SQ_LEVELS))
+            ),
+        )
+        .drop("hi")
+        .localCheckpoint()
+    )
+    code = F.when(F.col("scale") == 0.0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("lo")) / F.col("scale") + F.lit(0.5)),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(255).cast("long"),
+        )
+    )
+    return el.join(F.broadcast(stats), "d").withColumn("code", code)
+
+
+def sq_codes(t: dict[str, DataFrame]) -> DataFrame:
+    """Scalar (int8) quantization accounting — the cheap sibling of
+    :func:`pq_codes` and the default production compression for vector
+    stores (e.g. the SQ8 index family of Johnson et al. 2019, "Billion-
+    scale similarity search with GPUs"): per-dimension affine codes
+    ``clip(round((x - lo_d) / scale_d), 0, 255)`` with the codebook
+    (per-dim lo/scale) trained from the corpus itself.  Emits the
+    per-vector reconstruction error profile a recall gate builds on:
+    MSE, worst-dim error, mean code (range utilisation) and the count
+    of saturated codes.
+
+    Scale shape: the codebook is 2·DIM doubles — trained in one
+    partial-combining pass, materialized, then **broadcast** into the
+    encode pass, whose only keyed exchange is the per-vector rollup
+    (the two-pass contract of trained quantization).  Error terms
+    sum as DECIMAL so shuffle-order double addition cannot diverge
+    from the oracle.  This is the pass that turns 100 TB of float32
+    into 25 TB of int8 + a kilobyte codebook.
+    """
+    q = _sq_elements(t)
+    err = F.col("x") - (F.col("lo") + F.col("code").cast("double") * F.col("scale"))
+    per = q.select("vec_id", "label", "code", err.alias("err"))
+    return (
+        per.groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("err") * F.col("err")).cast("decimal(38,24)"))
+                .cast("double")
+                / F.lit(float(DIM)),
+                12,
+            ).alias("mse"),
+            F.round(F.max(F.abs("err")), 9).alias("max_abs_err"),
+            F.round(F.sum("code").cast("double") / F.lit(float(DIM)), 4).alias(
+                "avg_code"
+            ),
+            F.sum(
+                F.when(F.col("code").isin(0, 255), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_saturated"),
+        )
+        .select("vec_id", "label", "mse", "max_abs_err", "avg_code", "n_saturated")
+    )
+
+
+_SQ_EL_SQL = f"""
+el AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+st AS (
+    SELECT d, min(x) AS lo,
+           CASE WHEN max(x) = min(x) THEN 0.0
+                ELSE (max(x) - min(x)) / {SQ_LEVELS}.0 END AS scale
+    FROM el GROUP BY 1
+),
+sq AS (
+    SELECT vec_id, label, d, x, lo, scale,
+           CASE WHEN scale = 0.0 THEN 0
+                ELSE CAST(least(greatest(floor((x - lo) / scale + 0.5), 0),
+                                255) AS BIGINT) END AS code
+    FROM el JOIN st USING (d)
+)"""
+
+
+SQ_CODES_ORACLE = f"""
+WITH {_SQ_EL_SQL},
+e AS (
+    SELECT vec_id, label, code,
+           x - (lo + code * scale) AS err
+    FROM sq
+)
+SELECT vec_id, label,
+       round(CAST(sum(CAST(err * err AS DECIMAL(38,24))) AS DOUBLE)
+             / {DIM}.0, 12) AS mse,
+       round(max(abs(err)), 9) AS max_abs_err,
+       round(CAST(sum(code) AS DOUBLE) / {DIM}.0, 4) AS avg_code,
+       CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saturated
+FROM e
+GROUP BY 1, 2
+"""
+
+
+def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of int8-quantized search against the exact brute-force
+    truth — the acceptance gate that decides whether the 4× compression
+    of :func:`sq_codes` costs any retrieval quality.  Asymmetric
+    distance computation (Jégou et al. 2011 §III): queries stay exact
+    float vectors, database vectors are reconstructed from their codes
+    — the production ADC setting where only the stored side is
+    compressed.
+
+    Scale shape: reconstruction is the broadcast-codebook map of
+    :func:`_sq_elements` plus one keyed re-assembly to arrays; scoring
+    reuses the brute-force shape (bounded query set broadcast against
+    the corpus scan); the gate reduces to ONE row.  At 100 TB the
+    ground-truth side is the expensive one — which is exactly why the
+    recall number must be known before the exact path is retired.
+    """
+    xh = F.col("lo") + F.col("code").cast("double") * F.col("scale")
+    recon = (
+        _sq_elements(t)
+        .select("vec_id", "d", xh.alias("xh"))
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "xh"))).alias("s"))
+        .select(
+            "vec_id",
+            F.transform("s", lambda s: s["xh"]).alias("v"),
+        )
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    q = _queries(_corpus(t))
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    ).alias("cosine")
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+    hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_approx))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+SQ_RECALL_ORACLE = f"""
+WITH {_SQ_EL_SQL},
+rc AS (
+    SELECT vec_id, d, lo + code * scale AS xh
+    FROM sq
+),
+rn AS (SELECT vec_id, sqrt(sum(xh * xh)) AS nrm FROM rc GROUP BY 1),
+ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+qn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+qe AS (SELECT * FROM ex WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT qe.vec_id AS query_id, rc.vec_id AS cand_id,
+           round(sum(qe.x * rc.xh) / (qn.nrm * rn.nrm), 6) AS cosine
+    FROM qe
+    JOIN rc ON qe.d = rc.d AND qe.vec_id != rc.vec_id
+    JOIN qn ON qe.vec_id = qn.vec_id
+    JOIN rn ON rc.vec_id = rn.vec_id
+    GROUP BY 1, 2, qn.nrm, rn.nrm
+),
+approx AS (
+    SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id
+        ) AS rank FROM scored
+    ) WHERE rank <= {TOP_K}
+),
+bf AS ({ANN_TOPK_BRUTEFORCE_ORACLE}),
+tr AS (SELECT query_id, cand_id FROM bf),
+hits AS (
+    SELECT tr.query_id, tr.cand_id FROM tr
+    WHERE EXISTS (
+        SELECT 1 FROM approx a
+        WHERE a.query_id = tr.query_id AND a.cand_id = tr.cand_id
+    )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM tr), 4) AS recall
+"""

@@ -477,3 +477,50 @@ def test_pca_unit_norm_and_positive_eigenvalue(spark, sf_dir):
     norm2 = sum(r["loading"] ** 2 for r in rows)
     assert abs(norm2 - 1.0) < 1e-6, norm2
     assert rows[0]["eigenvalue"] > 0
+
+
+def test_sq_codes_matches_numpy_replica(t):
+    """Per-vector mse / max_abs_err / avg_code / n_saturated equal a
+    numpy replica of per-dim affine int8 quantization, and every
+    dimension's corpus min/max land on codes 0 and 255 (the codebook is
+    trained from the corpus, so the range is tight)."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    pdf = t["embeddings"].select("vec_id", "label", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    scale = np.where(hi == lo, 0.0, (hi - lo) / sim.SQ_LEVELS)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    code = np.clip(np.floor((X - lo) / safe + 0.5), 0, 255)
+    code = np.where(scale == 0.0, 0.0, code)
+    err = X - (lo + code * scale)
+    got = sim.sq_codes(t).toPandas().set_index("vec_id")
+    assert len(got) == len(pdf)
+    for i, vid in enumerate(pdf["vec_id"]):
+        r = got.loc[vid]
+        assert abs(r["mse"] - (err[i] ** 2).mean()) < 1e-10, vid
+        assert abs(r["max_abs_err"] - np.abs(err[i]).max()) < 1e-8, vid
+        assert abs(r["avg_code"] - code[i].mean()) < 1e-3, vid
+        assert r["n_saturated"] == int(((code[i] == 0) | (code[i] == 255)).sum())
+    # reconstruction error is bounded by half a quantization step
+    assert (got["max_abs_err"] <= scale.max() / 2 + 1e-12).all()
+    # the trained range is tight: codes 0 and 255 both occur corpus-wide
+    assert int(got["n_saturated"].sum()) >= 2 * sim.DIM
+
+
+def test_sq_recall_gate_shape_and_bounds(t):
+    """The SQ recall gate serves exactly the brute-force query set
+    (n_approx == n_truth: both emit TOP_K per query), hits never exceed
+    either side, and 8-bit quantization at 64 dims retains most of the
+    exact top-k (recall well above the IVF gate's floor)."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    row = sim.sq_recall(t).collect()[0]
+    n_q = t["embeddings"].filter(F.col("vec_id") % sim.QUERY_MOD == 0).count()
+    assert row["n_truth"] == n_q * sim.TOP_K
+    assert row["n_approx"] == n_q * sim.TOP_K
+    assert 0 <= row["n_hits"] <= row["n_truth"]
+    assert row["recall"] == round(row["n_hits"] / row["n_truth"], 4)
+    assert row["recall"] >= 0.8

@@ -1254,3 +1254,63 @@ def test_token_budget_one_exchange_constant_state(t):
     assert_read_schema_pruned(df, "documents", "doc_id")
     assert_no_cartesian(df)
     assert "rangepartitioning" not in explain_str(df)
+
+
+def test_temperature_mixture_one_exchange_constant_state(t):
+    """Same contract as token_budget: the corpus-sized work is ONE
+    keyed exchange to n_sources rows; the normalizer windows run over
+    those few rows; no global sort of doc rows."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.plans import (
+        count_key_exchanges,
+        count_scans_of,
+    )
+
+    df = sl.temperature_mixture(t)
+    assert count_key_exchanges(df) == 1
+    assert count_scans_of(df, "documents") == 1
+    assert_read_schema_pruned(df, "documents", "doc_id")
+    assert_no_cartesian(df)
+    assert "rangepartitioning" not in explain_str(df)
+
+
+def test_sq_codes_broadcast_codebook_single_scan(t):
+    """The encode pass scans embeddings ONCE (the trained DIM-row
+    codebook is materialized, then broadcast back onto the exploded
+    elements — never a shuffled join on d); its only keyed exchange is
+    the per-vector rollup, partial-combining."""
+    from kafka_streams_repartition_spark.plans import (
+        count_key_exchanges,
+        count_scans_of,
+    )
+
+    df = sim.sq_codes(t)
+    assert count_scans_of(df, "embeddings") == 1
+    assert_broadcast_join(df, 1)
+    assert count_key_exchanges(df) == 1
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2  # partials before the exchange
+
+
+def test_sq_recall_bounded_query_product(t):
+    """The quantized scoring side is the brute-force shape: bounded
+    query set via BroadcastNestedLoopJoin, never a shuffled cartesian;
+    the reconstruction codebook broadcasts."""
+    df = sim.sq_recall(t)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert_broadcast_join(df, 1)
+
+
+def test_semantic_pipeline_no_cartesian_single_text_scan(t):
+    """The gate verdict is computed in ONE documents scan; no stage
+    degenerates to a cartesian product (the semdedup interior is
+    cell-blocked; the verdict join is keyed)."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+
+    df = sl.semantic_pipeline(t)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan

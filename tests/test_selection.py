@@ -426,3 +426,85 @@ def test_token_budget_matches_sequential_waterfill(t, docs_pdf):
         )
     # the budget is exhausted up to per-row rounding
     assert abs(sum(r["alloc_tokens"] for r in got.values()) - budget) < 0.01 * len(avail)
+
+
+# --- temperature mixture -----------------------------------------------------
+
+
+def test_temperature_mixture_matches_replica(t, docs_pdf):
+    """Weights equal the p^alpha replica; they sum to 1; epochs are
+    monotone non-increasing in source size (flattening oversamples the
+    small sources — the repeat blowup UniMax caps)."""
+    avail = {
+        src: sum(
+            len([w for w in s.lower().split(" ") if w != ""])
+            for s in g["text"]
+        )
+        for src, g in docs_pdf.groupby("source")
+    }
+    n_tot = sum(avail.values())
+    budget = (n_tot * sel.TB_BUDGET_FRAC_PCT) // 100
+    alpha = sel.TEMP_ALPHA_PCT / 100.0
+    wq = {s: (a / n_tot) ** alpha for s, a in avail.items()}
+    z = sum(wq.values())
+    got = {
+        r["source"]: r
+        for _, r in sel.temperature_mixture(t).toPandas().iterrows()
+    }
+    assert set(got) == set(avail)
+    for src, a in avail.items():
+        w = wq[src] / z
+        assert abs(got[src]["weight"] - w) < 1e-5, src
+        assert abs(got[src]["alloc_tokens"] - w * budget) < 0.5, src
+        assert abs(got[src]["epochs"] - w * budget / a) < 1e-3, src
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-4
+    by_size = sorted(avail, key=avail.get)
+    eps = [got[s]["epochs"] for s in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(eps, eps[1:]))
+
+
+# --- semantic pipeline -------------------------------------------------------
+
+
+def test_semantic_pipeline_matches_manual_composition(t):
+    """The pipeline's per-source rollup equals composing its own
+    stages by hand: gopher_rules keeps → semdedup over the gated
+    embeddings → pandas rollup.  Verifies the stage ORDER (the
+    quantizer sees only gate survivors) and the accounting identity
+    n_docs = n_gate_fail + n_sem_removed + n_kept."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    keeps = sel.gopher_rules(t).select("doc_id", "keep").toPandas()
+    keep_ids = set(keeps[keeps["keep"]]["doc_id"])
+    gated_emb = t["embeddings"].filter(F.col("vec_id").isin(keep_ids))
+    removed = {
+        r["vec_id"]
+        for r in dd.semdedup({**t, "embeddings": gated_emb})
+        .filter("removed")
+        .select("vec_id")
+        .collect()
+    }
+    docs = t["documents"].select("doc_id", "source", "text").toPandas()
+    got = {
+        r["source"]: r
+        for _, r in sel.semantic_pipeline(t).toPandas().iterrows()
+    }
+    for src, g in docs.groupby("source"):
+        ids = list(g["doc_id"])
+        n_fail = sum(1 for i in ids if i not in keep_ids)
+        n_rm = sum(1 for i in ids if i in keep_ids and i in removed)
+        n_kept = sum(1 for i in ids if i in keep_ids and i not in removed)
+        kept_tok = sum(
+            len([w for w in txt.lower().split(" ") if w != ""])
+            for i, txt in zip(g["doc_id"], g["text"])
+            if i in keep_ids and i not in removed
+        )
+        r = got[src]
+        assert r["n_docs"] == len(ids), src
+        assert r["n_gate_fail"] == n_fail, src
+        assert r["n_sem_removed"] == n_rm, src
+        assert r["n_kept"] == n_kept, src
+        assert r["kept_tokens"] == kept_tok, src
+        assert r["n_docs"] == r["n_gate_fail"] + r["n_sem_removed"] + r["n_kept"]
