@@ -2288,3 +2288,144 @@ SELECT l.doc_id,
 FROM ln l JOIN dfreq d USING (h)
 GROUP BY 1
 """
+
+
+# --- cross-source span overlap ----------------------------------------------
+
+
+def source_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-``SPAN_N``-gram digests they share and the
+    Jaccard similarity of their span sets — the audit that tells a
+    mixture designer which "independent" corpora are actually the same
+    crawl twice (the CC-dump-overlap problem; cf. the cross-snapshot
+    dedup analyses of Penedo et al. 2023 §3.2).  Complements
+    :func:`~.text_analysis.duplicate_rate_by_source`, which is
+    within-source only.
+
+    Scale shape: spans hash to 60-bit digests **map-side** and
+    collapse to distinct (source, digest) rows before anything wide
+    (one partial-combining exchange); the pair builder self-joins that
+    collapsed frame co-partitioned on the digest — a digest present in
+    k sources contributes k(k-1)/2 rows, bounded by n_sources² per
+    digest however hot the boilerplate; per-source span counts
+    (n_sources rows) broadcast back.  Final state is ≤ n_sources²/2
+    rows at any corpus size.
+    """
+    sp = (
+        fan_out(t["documents"])
+        .select(
+            "source",
+            F.explode_outer(
+                F.transform(
+                    word_ngrams(words(F.col("text")), SPAN_N),
+                    lambda g: F.conv(
+                        F.substring(F.md5(g), 1, 15), 16, 10
+                    ).cast("long"),
+                )
+            ).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds per-source counts AND the pair join
+    )
+    per = sp.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
+    pairs = (
+        sp.select(F.col("source").alias("src_a"), "h")
+        .join(sp.select(F.col("source").alias("src_b"), "h"), "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("n_spans").alias("na"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("n_spans").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH base AS (
+    SELECT source,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+sp AS (
+    SELECT DISTINCT source,
+           CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+    FROM (
+        SELECT source, unnest({_decon_gram_sql(SPAN_N)}) AS gram FROM base
+    )
+),
+per AS (SELECT source, count(*) AS n FROM sp GROUP BY 1)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(count(*) / (max(pa.n) + max(pb.n) - count(*)), 6) AS jaccard
+FROM sp a
+JOIN sp b ON a.h = b.h AND a.source < b.source
+JOIN per pa ON pa.source = a.source
+JOIN per pb ON pb.source = b.source
+GROUP BY 1, 2
+"""
+
+
+# --- dedup threshold sweep ---------------------------------------------------
+
+DEDUP_CURVE_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+
+
+def dedup_threshold_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Removal-rate curve over the Jaccard threshold — the sweep a
+    curation team runs before pinning a dedup threshold (Lee et al.
+    2022 tune exactly this trade-off): for each candidate threshold ≥
+    the LSH band design point ``JACCARD_THRESHOLD``, how many verified
+    near-dup pairs survive and how many documents the keep-lowest rule
+    would drop.  Thresholds BELOW the band design point are
+    deliberately out of range: the banding was tuned to recall pairs
+    at ≥ the design threshold, so counts below it would be
+    recall-censored, not a curve point.
+
+    Scale shape: the expensive part is the verified pair set — built
+    once by :func:`dedup_minhash_lsh`'s bucketed machinery and
+    checkpointed; the sweep itself explodes each pair into its
+    qualifying thresholds (≤ |thresholds| rows per pair, map-side) and
+    rolls up per threshold — |thresholds| output rows at any corpus
+    size.
+    """
+    pairs = dedup_minhash_lsh(t).localCheckpoint(eager=False)
+    exp = pairs.select(
+        F.explode(
+            F.array(*[F.lit(float(x)) for x in DEDUP_CURVE_THRESHOLDS])
+        ).alias("threshold"),
+        "doc_b",
+        "jaccard",
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    return exp.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("doc_b").cast("long").alias("n_docs_removed"),
+    )
+
+
+DEDUP_THRESHOLD_CURVE_ORACLE = f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+th AS (
+    SELECT unnest([{", ".join(f"CAST({x} AS DOUBLE)" for x in DEDUP_CURVE_THRESHOLDS)}])
+        AS threshold
+)
+SELECT th.threshold,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_removed
+FROM th JOIN pairs p ON p.jaccard >= th.threshold
+GROUP BY 1
+"""

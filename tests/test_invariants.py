@@ -524,3 +524,55 @@ def test_sq_recall_gate_shape_and_bounds(t):
     assert 0 <= row["n_hits"] <= row["n_truth"]
     assert row["recall"] == round(row["n_hits"] / row["n_truth"], 4)
     assert row["recall"] >= 0.8
+
+
+def test_source_overlap_matches_set_replica(t):
+    """n_shared / jaccard equal a plain-python set replica over word
+    8-gram digest sets per source; pairs are canonical (src_a < src_b)
+    and only overlapping pairs appear."""
+    import hashlib
+
+    docs = t["documents"].select("source", "text").toPandas()
+    spans: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        ws = [w for w in r["text"].lower().split(" ") if w != ""]
+        s = spans.setdefault(r["source"], set())
+        for i in range(len(ws) - dd.SPAN_N + 1):
+            g = " ".join(ws[i : i + dd.SPAN_N])
+            s.add(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+    got = dd.source_overlap(t).toPandas()
+    assert (got["src_a"] < got["src_b"]).all()
+    want = {}
+    for a in spans:
+        for b in spans:
+            if a < b and spans[a] & spans[b]:
+                inter = len(spans[a] & spans[b])
+                want[(a, b)] = (
+                    inter,
+                    round(inter / len(spans[a] | spans[b]), 6),
+                )
+    assert {
+        (r["src_a"], r["src_b"]): (r["n_shared"], round(r["jaccard"], 6))
+        for _, r in got.iterrows()
+    } == want
+    assert len(want) > 0  # the fixture actually exercises the op
+
+
+def test_dedup_threshold_curve_monotone_and_consistent(t):
+    """The curve equals filtering dedup_minhash_lsh's own verified
+    pairs at each threshold, and both counts are monotone
+    non-increasing in the threshold."""
+    pairs = dd.dedup_minhash_lsh(t).toPandas()
+    got = (
+        dd.dedup_threshold_curve(t)
+        .toPandas()
+        .sort_values("threshold", ignore_index=True)
+    )
+    for _, r in got.iterrows():
+        sub = pairs[pairs["jaccard"] >= r["threshold"]]
+        assert r["n_pairs"] == len(sub)
+        assert r["n_docs_removed"] == sub["doc_b"].nunique()
+    assert (got["n_pairs"].diff().dropna() <= 0).all()
+    assert (got["n_docs_removed"].diff().dropna() <= 0).all()
+    assert got.iloc[0]["threshold"] == dd.JACCARD_THRESHOLD
+    assert got.iloc[0]["n_pairs"] == len(pairs)

@@ -1314,3 +1314,18 @@ def test_semantic_pipeline_no_cartesian_single_text_scan(t):
     assert_no_cartesian(df)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_digest_only_shuffles(t):
+    """Spans collapse to distinct (source, 60-bit digest) rows before
+    the pair self-join; text never crosses an exchange; the per-source
+    counts broadcast back."""
+    from kafka_streams_repartition_spark.plans import count_key_exchanges
+
+    df = dd.source_overlap(t)
+    assert_broadcast_join(df, 2)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
