@@ -2198,14 +2198,22 @@ def line_dedup(t: dict[str, DataFrame]) -> DataFrame:
     rejoin co-partitioned on the digest, (3) per-doc rollup is one
     keyed agg. Linear in corpus size; no all-pairs stage.
     """
-    base = fan_out(t["documents"]).select(
-        "doc_id", words(F.col("text")).alias("w")
-    )
+    ln = _doc_lines(fan_out(t["documents"]))
+    dfreq = ln.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    return _line_rollup(ln.join(dfreq, "h"))
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, ln_tokens) — one row per non-overlapping
+    ``LINE_W``-word chunk, digested to a 60-bit hash map-side (shared
+    by the batch op and its streaming twin so the two can never
+    tokenize differently)."""
+    base = docs.select("doc_id", words(F.col("text")).alias("w"))
     nlines = F.ceil(F.size("w") / F.lit(float(LINE_W))).cast("int")
     idx = F.when(F.size("w") > 0, F.sequence(F.lit(0), nlines - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    ln = (
+    return (
         base.select(
             "doc_id", "w", F.size("w").alias("n"), F.explode_outer(idx).alias("i")
         )
@@ -2233,11 +2241,15 @@ def line_dedup(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
     )
-    dfreq = ln.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+
+
+def _line_rollup(ln_with_df: DataFrame) -> DataFrame:
+    """Per-doc boilerplate accounting over (doc_id, h, ln_tokens, df)
+    rows — the verdict + rollup half of :func:`line_dedup`, shared
+    with the streaming twin."""
     boiler = F.col("df") >= LINE_DF_MIN
     return (
-        ln.join(dfreq, "h")
-        .groupBy("doc_id")
+        ln_with_df.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(boiler.cast("long")).alias("n_boiler"),

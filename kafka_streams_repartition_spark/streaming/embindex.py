@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_unrolled, norm_unrolled, to_double_array
@@ -864,3 +864,150 @@ def stream_novelty_scoring(
     if not score_dirs:
         return spark.createDataFrame([], _NOV_SCHEMA)
     return spark.read.schema(_NOV_SCHEMA).parquet(*score_dirs)
+
+
+# --- streaming boilerplate line-dedup ----------------------------------------
+
+_LN_SCHEMA = "doc_id long, h long, ln_tokens int"
+_LN_DF_SCHEMA = "h long, n_docs long"
+_LN_DOC_SCHEMA = (
+    "doc_id long, n_lines long, n_boiler long, boiler_frac double, "
+    "kept_tokens long, batch long"
+)
+
+
+def stream_line_dedup(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.line_dedup`` — incremental
+    corpus-wide boilerplate detection: each micro-batch folds its
+    lines' distinct-doc counts into a persisted document-frequency
+    table, scores its own documents against the UPDATED totals, and —
+    because a digest's df only ever GROWS — re-emits corrected rows
+    for exactly the HISTORY documents whose lines just crossed the
+    ``LINE_DF_MIN`` boilerplate threshold.  Verdicts are monotone
+    (keep → boiler, never back), so the per-doc rows form a
+    latest-wins changelog and the materialized state is one
+    row_number fold.
+
+    State layout (``maintain_snapshot`` commit discipline, all inside
+    the batch's atomic commit): ``batch=<id>/lines`` — the batch's
+    (doc_id, 60-bit digest, ln_tokens) rows (text never persists);
+    ``batch=<id>/dfs`` — the batch's per-digest distinct-doc
+    contributions (summable across batches because a document arrives
+    in exactly one batch); ``batch=<id>/docs`` — the changelog rows
+    (batch docs + re-scored history docs).  Per-batch history work is
+    digest-keyed and restricted to the batch's digests / the crossing
+    digests' documents — the corpus is never re-paired or re-scored
+    wholesale.
+
+    Equivalence contract (tested): the folded changelog over ANY
+    id-ordered batch cut equals one-shot ``line_dedup`` on the full
+    corpus, including the cross-batch flips.  Returns the folded
+    current state read back from the committed tables.
+    """
+    from ..operators.dedup import LINE_DF_MIN, _doc_lines, _line_rollup
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "line-dedup index"):
+            return
+        ln = _doc_lines(batch_df).localCheckpoint(eager=False)
+        bdf = (
+            ln.groupBy("h")
+            .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+            .localCheckpoint(eager=False)
+        )
+        df_dirs = _committed_dirs(root, "dfs")
+        line_dirs = _committed_dirs(root, "lines")
+        if df_dirs:
+            # history df totals for the BATCH's digests only (keyed
+            # semi-join before the aggregate — never a corpus-vocab
+            # rollup per batch)
+            hist_tot = (
+                spark.read.schema(_LN_DF_SCHEMA)
+                .parquet(*df_dirs)
+                .join(bdf.select("h"), "h", "left_semi")
+                .groupBy("h")
+                .agg(F.sum("n_docs").alias("hist_docs"))
+            )
+            tot = (
+                bdf.join(hist_tot, "h", "left")
+                .select(
+                    "h",
+                    F.coalesce(F.col("hist_docs"), F.lit(0)).alias("df_hist"),
+                    (
+                        F.col("n_docs")
+                        + F.coalesce(F.col("hist_docs"), F.lit(0))
+                    ).alias("df"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            tot = bdf.select(
+                "h", F.lit(0).cast("long").alias("df_hist"),
+                F.col("n_docs").alias("df"),
+            ).localCheckpoint(eager=False)
+        rows = _line_rollup(ln.join(tot.select("h", "df"), "h"))
+        if line_dirs:
+            # digests flipping to boilerplate THIS batch re-score the
+            # history documents that contain them
+            crossed = tot.filter(
+                (F.col("df_hist") < LINE_DF_MIN)
+                & (F.col("df") >= LINE_DF_MIN)
+                & (F.col("df_hist") > 0)
+            ).select("h")
+            hist_ln = spark.read.schema(_LN_SCHEMA).parquet(*line_dirs)
+            aff_ids = (
+                hist_ln.join(crossed, "h", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            aff_ln = hist_ln.join(aff_ids, "doc_id", "left_semi")
+            need_h = aff_ln.select("h").distinct()
+            need_tot = (
+                spark.read.schema(_LN_DF_SCHEMA)
+                .parquet(*df_dirs)
+                .join(need_h, "h", "left_semi")
+                .unionByName(bdf.join(need_h, "h", "left_semi"))
+                .groupBy("h")
+                .agg(F.sum("n_docs").alias("df"))
+            )
+            rows = rows.unionByName(
+                _line_rollup(aff_ln.join(need_tot, "h"))
+            )
+        out = os.path.join(root, f"batch={batch_id}")
+        rows.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "docs"))
+        ln.write.mode("overwrite").parquet(os.path.join(out, "lines"))
+        bdf.write.mode("overwrite").parquet(os.path.join(out, "dfs"))
+        _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    doc_dirs = _committed_dirs(root, "docs")
+    if not doc_dirs:
+        return spark.createDataFrame(
+            [], _LN_DOC_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_LN_DOC_SCHEMA).parquet(*doc_dirs)
+    w = Window.partitionBy("doc_id").orderBy(F.col("batch").desc())
+    return (
+        allr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch")
+    )

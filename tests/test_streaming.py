@@ -1743,3 +1743,116 @@ def test_stream_interval_join_outer_null_pads_on_window_close(spark, tmp_path):
         if r["ad_id"] != "ad-sentinel"
     )
     assert got == want
+
+
+def test_stream_line_dedup_equals_batch(spark, tmp_path):
+    """The incrementally-maintained document-frequency table drained
+    over an id-ordered mid-corpus cut reproduces one-shot line_dedup
+    exactly — the latest-wins changelog fold corrects every history
+    doc whose lines crossed the boilerplate threshold after it was
+    first scored."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_line_dedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    seen: list[int] = []
+    folded = stream_line_dedup(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        on_batch=seen.append,
+    )
+    got = {tuple(r) for r in folded.collect()}
+    want = {tuple(r) for r in dd.line_dedup(t).collect()}
+    assert seen == [0, 1]
+    assert got == want and want
+
+
+def test_stream_line_dedup_cross_batch_flip(spark, tmp_path):
+    """A line below the df threshold in batch 0 crosses it in batch 1:
+    the batch-0 documents are RE-EMITTED with corrected verdicts, and
+    the fold equals the one-shot batch op.  Constructs the flip
+    explicitly: docs 1 and 2 share line L (df=2 < LINE_DF_MIN=3) in
+    batch 0; batch 1's doc 3 brings L to df=3."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.streaming import stream_line_dedup
+
+    L = " ".join(f"tok{i}" for i in range(dd.LINE_W))  # one exact line
+    uniq = lambda d: " ".join(  # noqa: E731
+        f"only{d}w{i}" for i in range(dd.LINE_W)
+    )
+    rows = [
+        (1, L + " " + uniq(1)),
+        (2, L + " " + uniq(2)),
+        (3, L + " " + uniq(3)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id = 3").coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_line_dedup(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    got = {r["doc_id"]: r for r in folded.collect()}
+    # every doc has 2 lines; after batch 1 the shared line is boiler
+    for d in (1, 2, 3):
+        assert got[d]["n_lines"] == 2 and got[d]["n_boiler"] == 1
+        assert got[d]["kept_tokens"] == dd.LINE_W
+    # the fold equals the one-shot batch op on the full corpus
+    t = {"documents": docs}
+    want = {tuple(r) for r in dd.line_dedup(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want
+    # the flip is visible in the changelog: docs 1 and 2 were scored
+    # clean in batch 0 and re-emitted as boiler by batch 1
+    b0 = spark.read.parquet(os.path.join(root, "batch=0", "docs"))
+    b1 = spark.read.parquet(os.path.join(root, "batch=1", "docs"))
+    assert {r["doc_id"]: r["n_boiler"] for r in b0.collect()} == {1: 0, 2: 0}
+    re_emitted = {r["doc_id"]: r["n_boiler"] for r in b1.collect()}
+    assert re_emitted == {1: 1, 2: 1, 3: 1}
+
+
+def test_stream_line_dedup_restart_returns_full_state(spark, tmp_path):
+    """A process restart against a surviving checkpoint+index (every
+    batch replay-skipped) still returns the FULL folded state — the
+    changelog is committed state, not driver-lifetime memory."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_line_dedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text").filter("doc_id < 100")
+    src = str(tmp_path / "src")
+    docs.filter("doc_id < 50").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 50").coalesce(1).write.mode("append").parquet(src)
+    args = (
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+    )
+    stream = lambda: spark.readStream.schema(docs.schema).option(  # noqa: E731
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    first = stream_line_dedup(spark, stream(), *args).collect()
+    second = stream_line_dedup(spark, stream(), *args).collect()
+    assert {tuple(r) for r in second} == {tuple(r) for r in first}
+    assert first
