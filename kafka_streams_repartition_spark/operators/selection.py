@@ -54,6 +54,7 @@ __all__ = [
     "token_budget",
     "temperature_mixture",
     "semantic_pipeline",
+    "quality_auc",
 ]
 
 
@@ -1731,3 +1732,92 @@ GROUP BY 1
 
 
 SEMANTIC_PIPELINE_ORACLE = _semantic_pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier AUC: the calibration gate for quality_logreg
+# ---------------------------------------------------------------------------
+
+
+def quality_auc(t: dict[str, DataFrame]) -> DataFrame:
+    """Calibration gate for :func:`quality_logreg` — AUC (area under
+    the ROC curve), accuracy, and class counts of the trained filter
+    against its own labels, reduced to ONE row.  A trained quality
+    classifier replaces a rule gate only after this number is known
+    (the fastText-filter acceptance step of GPT-3/LLaMA-style
+    pipelines, Brown et al. 2020 §A).
+
+    AUC is computed histogram-exact, not by a global rank: scores are
+    already rounded (6 dp), so grouping to per-score (n_pos, n_neg)
+    counts loses nothing, the Mann-Whitney statistic is the tie-aware
+    sum Σ n_pos(s)·(2·cum_neg(<s) + n_neg(s)) over score values (kept
+    in doubled units so every term is an exact integer), and the one
+    division happens at the end.  Scale shape: the per-score rollup is
+    one partial-combining keyed exchange to ≤10⁶ distinct rounded
+    scores; the cumulative window and the final reduce run on that
+    score-histogram frame, never on document rows — no global sort of
+    the corpus at any size.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_logreg(t).localCheckpoint(eager=False)
+    g = scored.groupBy("prob").agg(
+        F.sum((F.col("label") == 1).cast("long")).alias("np"),
+        F.sum((F.col("label") != 1).cast("long")).alias("nn"),
+    )
+    w = Window.orderBy("prob").rowsBetween(Window.unboundedPreceding, -1)
+    terms = g.withColumn(
+        "cum_neg", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    ).select(
+        "np",
+        "nn",
+        (F.col("np") * (F.lit(2) * F.col("cum_neg") + F.col("nn"))).alias(
+            "t2"
+        ),
+    )
+    tots = terms.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum("t2").cast("long").alias("t2"),
+    )
+    cor = scored.agg(
+        F.sum(F.col("correct").cast("long")).cast("long").alias("n_correct")
+    )
+    return tots.crossJoin(F.broadcast(cor)).select(
+        "n_pos",
+        "n_neg",
+        "n_correct",
+        F.round(
+            F.col("n_correct") / (F.col("n_pos") + F.col("n_neg")), 6
+        ).alias("accuracy"),
+        F.round(
+            F.col("t2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
+QUALITY_AUC_ORACLE = f"""
+WITH ql AS MATERIALIZED ({QUALITY_LOGREG_ORACLE}),
+sg AS (
+    SELECT prob,
+           sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN label != 1 THEN 1 ELSE 0 END) AS nn
+    FROM ql GROUP BY 1
+),
+cm AS (
+    SELECT np, nn,
+           np * (2 * COALESCE(sum(nn) OVER (
+               ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + nn) AS t2
+    FROM sg
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       (SELECT CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+        FROM ql) AS n_correct,
+       round((SELECT sum(CASE WHEN correct THEN 1 ELSE 0 END) FROM ql)
+             / (sum(np) + sum(nn)), 6) AS accuracy,
+       round(sum(t2) / (2.0 * sum(np) * sum(nn)), 6) AS auc
+FROM cm
+"""

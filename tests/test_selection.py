@@ -508,3 +508,29 @@ def test_semantic_pipeline_matches_manual_composition(t):
         assert r["n_kept"] == n_kept, src
         assert r["kept_tokens"] == kept_tok, src
         assert r["n_docs"] == r["n_gate_fail"] + r["n_sem_removed"] + r["n_kept"]
+
+
+# --- quality AUC -------------------------------------------------------------
+
+
+def test_quality_auc_matches_rank_replica(t):
+    """The histogram-exact AUC equals the tie-aware Mann-Whitney
+    midrank replica over quality_logreg's own scores, accuracy equals
+    the mean of `correct`, and the trained filter beats chance."""
+    scored = sel.quality_logreg(t).toPandas()
+    pos = sorted(scored[scored["label"] == 1]["prob"])
+    neg = sorted(scored[scored["label"] != 1]["prob"])
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    want_auc = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+    row = sel.quality_auc(t).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc"] == want_auc
+    assert row["n_correct"] == int(scored["correct"].sum())
+    assert row["accuracy"] == round(row["n_correct"] / len(scored), 6)
+    assert row["auc"] > 0.5
