@@ -603,3 +603,93 @@ def test_cdc_apply_matches_reference_replay(spark):
         assert got == _cdc_reference(snap, rows)
 
     check()
+
+
+# --- UniMax water-fill -------------------------------------------------------
+
+_SOURCE_TOKENS = st.lists(
+    st.integers(min_value=1, max_value=400),  # tokens per source
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_SOURCE_TOKENS)
+@settings(**_SETTINGS)
+def test_token_budget_waterfill_property(spark, sizes):
+    """On ARBITRARY source-size profiles the closed-form window
+    allocation equals the sequential UniMax fill, exhausts the budget,
+    and never exceeds the epoch cap."""
+    from kafka_streams_repartition_spark.operators import selection as sel
+
+    rows = [
+        (i, " ".join(f"s{i}w{j}" for j in range(n)), f"src{i:02d}")
+        for i, n in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {
+        r["source"]: r
+        for r in sel.token_budget({"documents": docs}).collect()
+    }
+    avail = {f"src{i:02d}": n for i, n in enumerate(sizes)}
+    budget = (sum(sizes) * sel.TB_BUDGET_FRAC_PCT) // 100
+    order = sorted(avail, key=lambda s: (avail[s] * sel.TB_EPOCH_CAP, s))
+    remaining, want = float(budget), {}
+    for i, src in enumerate(order):
+        share = remaining / (len(order) - i)
+        want[src] = min(float(avail[src] * sel.TB_EPOCH_CAP), share)
+        remaining -= want[src]
+    assert set(got) == set(avail)
+    for src in avail:
+        assert abs(got[src]["alloc_tokens"] - want[src]) < 0.02, (src, sizes)
+        assert got[src]["epochs"] <= sel.TB_EPOCH_CAP + 1e-9
+    assert (
+        abs(sum(r["alloc_tokens"] for r in got.values()) - budget)
+        < 0.01 * len(avail) + 1e-9
+    )
+
+
+# --- int8 scalar quantization -------------------------------------------------
+
+_SQ_SEED = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@given(_SQ_SEED, st.integers(min_value=2, max_value=12))
+@settings(**_SETTINGS)
+def test_sq_codes_property(spark, seed, n_vecs):
+    """On ARBITRARY 64-dim float corpora the per-vector error profile
+    matches the numpy replica and every error is within half a
+    quantization step of its dimension."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(scale=rng.uniform(0.01, 10.0), size=(n_vecs, sim.DIM))
+    X = X.astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist(), int(i % 3)) for i in range(n_vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in sim.sq_codes({"embeddings": emb}).collect()
+    }
+    Xd = X.astype(np.float64)
+    lo, hi = Xd.min(axis=0), Xd.max(axis=0)
+    scale = np.where(hi == lo, 0.0, (hi - lo) / sim.SQ_LEVELS)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    code = np.where(
+        scale == 0.0, 0.0, np.clip(np.floor((Xd - lo) / safe + 0.5), 0, 255)
+    )
+    err = Xd - (lo + code * scale)
+    assert set(got) == set(range(n_vecs))
+    for i in range(n_vecs):
+        assert abs(got[i]["mse"] - (err[i] ** 2).mean()) < 1e-9, (seed, i)
+        assert abs(got[i]["max_abs_err"] - np.abs(err[i]).max()) < 1e-7
+        assert got[i]["max_abs_err"] <= scale.max() / 2 + 1e-9
+        assert got[i]["n_saturated"] == int(
+            ((code[i] == 0) | (code[i] == 255)).sum()
+        )
