@@ -1335,6 +1335,13 @@ def domain_kl(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_st"))
         .localCheckpoint()
     )
+    return _kl_from_counts(st)
+
+
+def _kl_from_counts(st: DataFrame) -> DataFrame:
+    """Per-source KL from a (source, term, c_st) count rollup — the
+    math half of :func:`domain_kl`, shared with the streaming monitor
+    so the two faces can never diverge on the divergence."""
     ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     ntot = ct.agg(F.sum("c_t").alias("n_tot"))

@@ -1011,3 +1011,97 @@ def stream_line_dedup(
         .filter(F.col("rn") == 1)
         .drop("rn", "batch")
     )
+
+
+# --- streaming domain-KL mixture monitor --------------------------------------
+
+_KL_CNT_SCHEMA = "source string, term string, c_st long"
+_KL_SNAP_SCHEMA = (
+    "source string, n_terms long, n_tokens long, kl_nats double, batch long"
+)
+
+
+def stream_domain_kl(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.selection.domain_kl`` — the
+    mixture-drift monitor a continuous ingest watches: every
+    micro-batch folds its (source, term) token counts into a persisted
+    vocabulary-sized count table and emits a full per-source KL
+    snapshot over the CUMULATIVE counts (KL is a global functional —
+    every source's divergence moves when the corpus distribution
+    moves, so each snapshot recomputes from the folded counts rather
+    than patching).
+
+    State layout (``maintain_snapshot`` commit discipline):
+    ``batch=<id>/counts`` — the batch's (source, term, c_st)
+    contributions, summable across batches; ``batch=<id>/kl`` — the
+    snapshot (the monitor curve a dashboard tails).  Per-batch work is
+    VOCABULARY-sized (the persisted state is the count rollup, never
+    document text), the same re-aggregation shape the batch op's
+    localCheckpointed rollup feeds.
+
+    Equivalence contract (tested): every batch's snapshot equals the
+    one-shot ``domain_kl`` over exactly the documents ingested so far
+    — at EVERY cut, not just the last.  Returns the latest committed
+    snapshot.
+    """
+    from ..functions.text import words
+    from ..operators.selection import _kl_from_counts
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "domain-KL monitor"):
+            return
+        bc = (
+            batch_df.select(
+                "source",
+                F.explode_outer(words(F.col("text"))).alias("term"),
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+            .localCheckpoint(eager=False)
+        )
+        cnt_dirs = _committed_dirs(root, "counts")
+        if cnt_dirs:
+            cum = (
+                spark.read.schema(_KL_CNT_SCHEMA)
+                .parquet(*cnt_dirs)
+                .unionByName(bc)
+                .groupBy("source", "term")
+                .agg(F.sum("c_st").alias("c_st"))
+            )
+        else:
+            cum = bc
+        snap = _kl_from_counts(cum)
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "kl"))
+        bc.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kl_dirs = _committed_dirs(root, "kl")
+    if not kl_dirs:
+        return spark.createDataFrame(
+            [], _KL_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_KL_SNAP_SCHEMA).parquet(*kl_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")

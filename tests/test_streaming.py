@@ -1856,3 +1856,45 @@ def test_stream_line_dedup_restart_returns_full_state(spark, tmp_path):
     second = stream_line_dedup(spark, stream(), *args).collect()
     assert {tuple(r) for r in second} == {tuple(r) for r in first}
     assert first
+
+
+def test_stream_domain_kl_every_snapshot_equals_batch(spark, tmp_path):
+    """The mixture-drift monitor's snapshot equals one-shot domain_kl
+    over exactly the documents ingested so far — at EVERY cut, not
+    just the last (each snapshot recomputes the global functional
+    from the folded vocabulary counts)."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_domain_kl
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text", "source")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first_half = docs.filter(F.col("doc_id") <= cut)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_domain_kl(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    # final snapshot == one-shot over the full corpus
+    want = {tuple(r) for r in sel.domain_kl(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    # batch-0 snapshot == one-shot over the first half only
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "kl")).drop(
+        "batch"
+    )
+    want0 = {
+        tuple(r) for r in sel.domain_kl({"documents": first_half}).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0

@@ -30,6 +30,7 @@ QUERIES = [
     "sq_recall",
     "semantic_pipeline",
     "dedup_stacked",
+    "quality_auc",
 ]
 RATIO_BAR = 12.0  # 10x rows: <=12 is "linear-ish" (same bar as BENCH_sf1)
 
