@@ -109,6 +109,19 @@ def _begin_batch(
     return not (current is not None and current >= batch_id)
 
 
+def _latest_committed_dir(root: str, sub: str) -> str | None:
+    """The highest-numbered committed batch's ``sub`` table (numeric
+    order — lexicographic sorting would put batch=10 before batch=2),
+    for state kept as a cumulative rollup rather than per-batch
+    contributions."""
+    dirs = _committed_dirs(root, sub)
+    if not dirs:
+        return None
+    return max(
+        dirs, key=lambda p: int(p.split("batch=")[1].split(os.sep)[0])
+    )
+
+
 def _commit_batch(root: str, batch_id: int) -> None:
     tmp = os.path.join(root, f".{_POINTER}.tmp")
     with open(tmp, "w") as fh:
@@ -954,14 +967,17 @@ def stream_line_dedup(
                 F.col("n_docs").alias("df"),
             ).localCheckpoint(eager=False)
         rows = _line_rollup(ln.join(tot.select("h", "df"), "h"))
-        if line_dirs:
-            # digests flipping to boilerplate THIS batch re-score the
-            # history documents that contain them
-            crossed = tot.filter(
-                (F.col("df_hist") < LINE_DF_MIN)
-                & (F.col("df") >= LINE_DF_MIN)
-                & (F.col("df_hist") > 0)
-            ).select("h")
+        # digests flipping to boilerplate THIS batch re-score the
+        # history documents that contain them; the guard makes the
+        # common no-flip batch skip the history-lines read entirely
+        # (at 100 TB the lines table is additionally digest-bucketed
+        # so a flip batch prunes to the crossing digests' buckets)
+        crossed = tot.filter(
+            (F.col("df_hist") < LINE_DF_MIN)
+            & (F.col("df") >= LINE_DF_MIN)
+            & (F.col("df_hist") > 0)
+        ).select("h")
+        if line_dirs and not crossed.isEmpty():
             hist_ln = spark.read.schema(_LN_SCHEMA).parquet(*line_dirs)
             aff_ids = (
                 hist_ln.join(crossed, "h", "left_semi")
@@ -1038,12 +1054,13 @@ def stream_domain_kl(
     than patching).
 
     State layout (``maintain_snapshot`` commit discipline):
-    ``batch=<id>/counts`` — the batch's (source, term, c_st)
-    contributions, summable across batches; ``batch=<id>/kl`` — the
-    snapshot (the monitor curve a dashboard tails).  Per-batch work is
-    VOCABULARY-sized (the persisted state is the count rollup, never
-    document text), the same re-aggregation shape the batch op's
-    localCheckpointed rollup feeds.
+    ``batch=<id>/counts`` — the CUMULATIVE (source, term, c_st)
+    rollup as of this batch (vocabulary-sized, so rewriting it costs
+    the same O(vocab) as reading it); ``batch=<id>/kl`` — the
+    snapshot (the monitor curve a dashboard tails).  Each batch reads
+    only the LATEST committed rollup plus its own counts, so per-batch
+    work is VOCABULARY-sized and independent of how many batches have
+    ever run; document text never persists.
 
     Equivalence contract (tested): every batch's snapshot equals the
     one-shot ``domain_kl`` over exactly the documents ingested so far
@@ -1068,23 +1085,28 @@ def stream_domain_kl(
             .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
             .localCheckpoint(eager=False)
         )
-        cnt_dirs = _committed_dirs(root, "counts")
-        if cnt_dirs:
+        # each batch persists the CUMULATIVE rollup (vocabulary-sized,
+        # so rewriting it is the same O(vocab) as reading it), and the
+        # next batch reads ONLY the latest committed dir — per-batch
+        # work is independent of how many batches have ever run
+        latest = _latest_committed_dir(root, "counts")
+        if latest is not None:
             cum = (
                 spark.read.schema(_KL_CNT_SCHEMA)
-                .parquet(*cnt_dirs)
+                .parquet(latest)
                 .unionByName(bc)
                 .groupBy("source", "term")
                 .agg(F.sum("c_st").alias("c_st"))
             )
         else:
             cum = bc
+        cum = cum.localCheckpoint(eager=False)
         snap = _kl_from_counts(cum)
         out = os.path.join(root, f"batch={batch_id}")
         snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "kl"))
-        bc.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
         _commit_batch(root, batch_id)
         if on_batch is not None:
             on_batch(batch_id)

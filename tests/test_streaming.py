@@ -1898,3 +1898,23 @@ def test_stream_domain_kl_every_snapshot_equals_batch(spark, tmp_path):
         tuple(r) for r in sel.domain_kl({"documents": first_half}).collect()
     }
     assert {tuple(r) for r in snap0.collect()} == want0 and want0
+
+
+def test_latest_committed_dir_numeric_order(tmp_path):
+    """batch=10 must beat batch=2 (numeric, not lexicographic), and
+    uncommitted dirs past the pointer are ignored."""
+    import os
+
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        _latest_committed_dir,
+    )
+
+    root = str(tmp_path / "idx")
+    for b in (0, 2, 10, 11):  # 11 is uncommitted (past the pointer)
+        os.makedirs(os.path.join(root, f"batch={b}", "counts"))
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        fh.write("10")
+    got = _latest_committed_dir(root, "counts")
+    assert got == os.path.join(root, "batch=10", "counts")
+    assert _latest_committed_dir(root, "missing-sub") is not None  # same dirs
+    assert _latest_committed_dir(str(tmp_path / "empty"), "counts") is None
