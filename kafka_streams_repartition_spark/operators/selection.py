@@ -55,6 +55,7 @@ __all__ = [
     "temperature_mixture",
     "semantic_pipeline",
     "quality_auc",
+    "mixture_plan",
 ]
 
 
@@ -1827,4 +1828,78 @@ SELECT CAST(sum(np) AS BIGINT) AS n_pos,
              / (sum(np) + sum(nn)), 6) AS accuracy,
        round(sum(t2) / (2.0 * sum(np) * sum(nn)), 6) AS auc
 FROM cm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mixture plan: the one-table decision view over the allocation trio
+# ---------------------------------------------------------------------------
+
+
+def mixture_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """The mixture-design decision table — one row per source joining
+    the three diagnostics a data-mixture review actually compares:
+    distribution shift (:func:`domain_kl`), the UniMax allocation
+    (:func:`token_budget`) and the temperature allocation
+    (:func:`temperature_mixture`), with the epoch delta between the
+    two policies (positive = temperature over-repeats this source
+    relative to UniMax — the small-source blowup the cap exists for).
+
+    Pure composition of three oracled rollups: each side is
+    n_sources rows, the joins are on the source key, and the plan
+    inherits the trio's ONE-corpus-scan-per-diagnostic shape —
+    constant-size final state at any corpus scale.
+    """
+    kl = domain_kl(t).select("source", "n_terms", "kl_nats")
+    ub = token_budget(t).select(
+        "source",
+        "avail_tokens",
+        F.col("capped").alias("unimax_capped"),
+        F.col("alloc_tokens").alias("unimax_tokens"),
+        F.col("epochs").alias("unimax_epochs"),
+    )
+    tm = temperature_mixture(t).select(
+        "source",
+        F.col("weight").alias("temp_weight"),
+        F.col("alloc_tokens").alias("temp_tokens"),
+        F.col("epochs").alias("temp_epochs"),
+    )
+    return (
+        ub.join(tm, "source")
+        .join(kl, "source")
+        .select(
+            "source",
+            "avail_tokens",
+            "n_terms",
+            "kl_nats",
+            "unimax_capped",
+            "unimax_tokens",
+            "unimax_epochs",
+            "temp_weight",
+            "temp_tokens",
+            "temp_epochs",
+            F.round(F.col("temp_epochs") - F.col("unimax_epochs"), 4).alias(
+                "epoch_delta"
+            ),
+        )
+    )
+
+
+MIXTURE_PLAN_ORACLE = f"""
+WITH kl AS MATERIALIZED ({DOMAIN_KL_ORACLE}),
+ub AS MATERIALIZED ({TOKEN_BUDGET_ORACLE}),
+tm AS MATERIALIZED ({TEMPERATURE_MIXTURE_ORACLE})
+SELECT ub.source,
+       ub.avail_tokens,
+       kl.n_terms,
+       kl.kl_nats,
+       ub.capped AS unimax_capped,
+       ub.alloc_tokens AS unimax_tokens,
+       ub.epochs AS unimax_epochs,
+       tm.weight AS temp_weight,
+       tm.alloc_tokens AS temp_tokens,
+       tm.epochs AS temp_epochs,
+       round(tm.epochs - ub.epochs, 4) AS epoch_delta
+FROM ub JOIN tm ON ub.source = tm.source
+JOIN kl ON ub.source = kl.source
 """

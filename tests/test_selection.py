@@ -534,3 +534,38 @@ def test_quality_auc_matches_rank_replica(t):
     assert row["n_correct"] == int(scored["correct"].sum())
     assert row["accuracy"] == round(row["n_correct"] / len(scored), 6)
     assert row["auc"] > 0.5
+
+
+# --- mixture plan ------------------------------------------------------------
+
+
+def test_mixture_plan_consistent_with_trio(t):
+    """Every row reproduces its three source queries' values, every
+    source appears once, and epoch_delta is positive exactly where
+    temperature over-repeats relative to UniMax (the smallest sources
+    under an epoch-capped budget)."""
+    plan = {r["source"]: r for _, r in sel.mixture_plan(t).toPandas().iterrows()}
+    kl = {r["source"]: r for _, r in sel.domain_kl(t).toPandas().iterrows()}
+    ub = {r["source"]: r for _, r in sel.token_budget(t).toPandas().iterrows()}
+    tm = {
+        r["source"]: r
+        for _, r in sel.temperature_mixture(t).toPandas().iterrows()
+    }
+    assert set(plan) == set(kl) == set(ub) == set(tm)
+    for s, r in plan.items():
+        assert r["kl_nats"] == kl[s]["kl_nats"]
+        assert r["unimax_tokens"] == ub[s]["alloc_tokens"]
+        assert r["unimax_capped"] == ub[s]["capped"]
+        assert r["temp_tokens"] == tm[s]["alloc_tokens"]
+        assert r["epoch_delta"] == round(
+            tm[s]["epochs"] - ub[s]["epochs"], 4
+        )
+    # both policies spend the SAME global budget (that is what makes
+    # the per-source epoch_delta comparable), and UniMax respects its
+    # epoch cap everywhere while temperature is free to exceed it
+    t_sum = sum(r["temp_tokens"] for r in plan.values())
+    u_sum = sum(r["unimax_tokens"] for r in plan.values())
+    assert abs(t_sum - u_sum) < 0.02 * len(plan)
+    assert all(
+        r["unimax_epochs"] <= sel.TB_EPOCH_CAP + 1e-9 for r in plan.values()
+    )
