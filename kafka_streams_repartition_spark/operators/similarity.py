@@ -1556,6 +1556,15 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
     the corpus scan); the gate reduces to ONE row.  At 100 TB the
     ground-truth side is the expensive one — which is exactly why the
     recall number must be known before the exact path is retired.
+
+    The query side is CAPPED to the ``ANN_QUERY_CAP`` lowest-id
+    queries — the same bound (and the same contract: the oracle LIMITs
+    identically) as ``ann_topk_vectorized``.  An uncapped
+    ``% QUERY_MOD`` subset grows as N/100 with the corpus, and this
+    gate would otherwise broadcast/crossJoin exactly the unbounded
+    shape the caps were introduced to remove; the brute-force truth is
+    restricted to the same capped query list so recall is measured
+    over one well-defined query set.
     """
     xh = F.col("lo") + F.col("code").cast("double") * F.col("scale")
     recon = (
@@ -1569,7 +1578,12 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
         )
         .withColumn("nrm", norm(F.col("v")))
     )
-    q = _queries(_corpus(t))
+    q = (
+        _queries(_corpus(t))
+        .orderBy("query_id")
+        .limit(ANN_QUERY_CAP)  # bounded broadcast: ≤ cap × DIM doubles
+        .localCheckpoint(eager=False)  # feeds approx AND the truth cut
+    )
     cos = F.round(
         dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
@@ -1586,7 +1600,11 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id")
     )
-    truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+    truth = (
+        ann_topk_bruteforce(t)
+        .join(F.broadcast(q.select("query_id")), "query_id", "left_semi")
+        .select("query_id", "cand_id")
+    )
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
@@ -1616,7 +1634,9 @@ ex AS (
     FROM embeddings
 ),
 qn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
-qe AS (SELECT * FROM ex WHERE vec_id % {QUERY_MOD} = 0),
+qcap AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+         ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
+qe AS (SELECT * FROM ex WHERE vec_id IN (SELECT vec_id FROM qcap)),
 scored AS (
     SELECT qe.vec_id AS query_id, rc.vec_id AS cand_id,
            round(sum(qe.x * rc.xh) / (qn.nrm * rn.nrm), 6) AS cosine
@@ -1634,7 +1654,8 @@ approx AS (
     ) WHERE rank <= {TOP_K}
 ),
 bf AS ({ANN_TOPK_BRUTEFORCE_ORACLE}),
-tr AS (SELECT query_id, cand_id FROM bf),
+tr AS (SELECT query_id, cand_id FROM bf
+       WHERE query_id IN (SELECT vec_id FROM qcap)),
 hits AS (
     SELECT tr.query_id, tr.cand_id FROM tr
     WHERE EXISTS (

@@ -113,13 +113,43 @@ def _latest_committed_dir(root: str, sub: str) -> str | None:
     """The highest-numbered committed batch's ``sub`` table (numeric
     order — lexicographic sorting would put batch=10 before batch=2),
     for state kept as a cumulative rollup rather than per-batch
-    contributions."""
-    dirs = _committed_dirs(root, sub)
-    if not dirs:
+    contributions.  The batch id is parsed from each entry's own
+    directory NAME, never by splitting the full path on "batch=" —
+    a root path that itself contains a "batch=" substring must not
+    silently select a stale rollup."""
+    cur = _index_version(root)
+    if cur is None:
         return None
-    return max(
-        dirs, key=lambda p: int(p.split("batch=")[1].split(os.sep)[0])
-    )
+    best = None
+    for d in os.listdir(root):
+        if d.startswith("batch="):
+            bid = int(d.split("=", 1)[1])
+            if bid <= cur and (best is None or bid > best):
+                best = bid
+    if best is None:
+        return None
+    return os.path.join(root, f"batch={best}", sub)
+
+
+def _prune_superseded(root: str, sub: str) -> None:
+    """Delete every committed batch's ``sub`` table BELOW the current
+    pointer — for state kept as a CUMULATIVE rollup (each batch
+    persists the full fold and only the latest committed copy is ever
+    read), where retaining history would grow disk as
+    O(n_batches × state).  Idempotent and crash-safe: the pointer's own
+    batch is never touched, so :func:`_latest_committed_dir` always
+    resolves; a crash mid-prune just leaves superseded dirs the next
+    batch's prune removes."""
+    import shutil
+
+    cur = _index_version(root)
+    if cur is None:
+        return
+    for d in os.listdir(root):
+        if d.startswith("batch=") and int(d.split("=", 1)[1]) < cur:
+            p = os.path.join(root, d, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
 
 def _commit_batch(root: str, batch_id: int) -> None:
@@ -1060,7 +1090,11 @@ def stream_domain_kl(
     snapshot (the monitor curve a dashboard tails).  Each batch reads
     only the LATEST committed rollup plus its own counts, so per-batch
     work is VOCABULARY-sized and independent of how many batches have
-    ever run; document text never persists.
+    ever run; document text never persists.  Superseded ``counts``
+    rollups are PRUNED right after each commit (only the latest is
+    ever read), so on-disk state is one vocabulary-sized table plus
+    the per-batch KL snapshots (n_sources rows each — the curve IS
+    the product) instead of O(n_batches × vocab).
 
     Equivalence contract (tested): every batch's snapshot equals the
     one-shot ``domain_kl`` over exactly the documents ingested so far
@@ -1108,6 +1142,10 @@ def stream_domain_kl(
         ).parquet(os.path.join(out, "kl"))
         cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
         _commit_batch(root, batch_id)
+        # the rollup is cumulative: every pre-pointer copy is dead
+        # state — drop it so disk holds ONE vocab-sized table, not
+        # O(n_batches × vocab)
+        _prune_superseded(root, "counts")
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -383,6 +383,30 @@ def test_dedup_embedding_query_set_capped(t, monkeypatch):
     assert key(out) == key(full[full["query_id"].isin(all_q[:2])])
 
 
+def test_sq_recall_query_set_capped(t, monkeypatch):
+    """sq_recall inherits the bounded-query contract (the same
+    ANN_QUERY_CAP as ann_topk_vectorized): with a tiny cap the gate
+    measures recall over exactly the cap lowest-id queries — the
+    truth AND approx sides are cut to the same capped list, so
+    n_truth equals the brute-force rows of just those queries and the
+    broadcast query matrix is ≤ cap × DIM doubles at any corpus
+    size."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    full_truth = sim.ann_topk_bruteforce(t).toPandas()
+    all_q = sorted(full_truth["query_id"].unique())
+    assert len(all_q) > 2  # the cap below genuinely cuts
+    monkeypatch.setattr(sim, "ANN_QUERY_CAP", 2)
+    out = sim.sq_recall(t).collect()[0]
+    served = all_q[:2]
+    assert out["n_truth"] == int(
+        (full_truth["query_id"].isin(served)).sum()
+    )
+    assert out["n_approx"] == 2 * sim.TOP_K
+    assert out["n_hits"] <= out["n_truth"]
+    assert 0.0 <= out["recall"] <= 1.0
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —

@@ -1898,6 +1898,11 @@ def test_stream_domain_kl_every_snapshot_equals_batch(spark, tmp_path):
         tuple(r) for r in sel.domain_kl({"documents": first_half}).collect()
     }
     assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    # superseded cumulative rollups are pruned: only the LATEST batch
+    # still carries counts (on-disk state is one vocab-sized table,
+    # not O(n_batches x vocab)), while every batch keeps its snapshot
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
 
 
 def test_latest_committed_dir_numeric_order(tmp_path):
@@ -1918,3 +1923,44 @@ def test_latest_committed_dir_numeric_order(tmp_path):
     assert got == os.path.join(root, "batch=10", "counts")
     assert _latest_committed_dir(root, "missing-sub") is not None  # same dirs
     assert _latest_committed_dir(str(tmp_path / "empty"), "counts") is None
+    # a ROOT path containing "batch=" must not confuse the id parse
+    # (ids come from each entry's own directory name, never from
+    # splitting the full path)
+    trap = str(tmp_path / "runs" / "batch=99-replay" / "idx")
+    for b in (2, 10):
+        os.makedirs(os.path.join(trap, f"batch={b}", "counts"))
+    with open(os.path.join(trap, "_CURRENT"), "w") as fh:
+        fh.write("10")
+    assert _latest_committed_dir(trap, "counts") == os.path.join(
+        trap, "batch=10", "counts"
+    )
+
+
+def test_prune_superseded_keeps_pointer_batch(tmp_path):
+    """_prune_superseded drops only pre-pointer copies of the named
+    sub-table: the pointer's own batch and other sub-tables survive,
+    and the call is idempotent."""
+    import os
+
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        _latest_committed_dir,
+        _prune_superseded,
+    )
+
+    root = str(tmp_path / "idx")
+    for b in (0, 1, 2):
+        os.makedirs(os.path.join(root, f"batch={b}", "counts"))
+        os.makedirs(os.path.join(root, f"batch={b}", "kl"))
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        fh.write("2")
+    for _ in range(2):  # idempotent
+        _prune_superseded(root, "counts")
+        assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+        assert not os.path.isdir(os.path.join(root, "batch=1", "counts"))
+        assert os.path.isdir(os.path.join(root, "batch=2", "counts"))
+        # other sub-tables (the snapshot curve) are untouched
+        for b in (0, 1, 2):
+            assert os.path.isdir(os.path.join(root, f"batch={b}", "kl"))
+    assert _latest_committed_dir(root, "counts") == os.path.join(
+        root, "batch=2", "counts"
+    )
