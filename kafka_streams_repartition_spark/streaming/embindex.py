@@ -628,6 +628,7 @@ def stream_semdedup(
     root: str,
     checkpoint_dir: str,
     on_batch=None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Streaming face of ``operators.dedup.semdedup`` — incremental
     semantic dedup against a FROZEN quantizer (the
@@ -655,15 +656,33 @@ def stream_semdedup(
     equal one-shot ``semdedup`` — including cross-batch flips, which the
     test pins by exhibiting a batch-0 keep that batch 1 removes.
 
-    Scale: the per-batch joins are keyed on cell (quantizer-balanced;
-    the batch operator's cell-cap tiling is the degenerate-cell answer
-    and applies here per batch the same way); the index contributes one
-    (vec_id, v, cell, cent_cos) row per historical vector only in cells
-    the batch actually touches.
+    Scale: candidates are built as two PRE-FILTERED joins — new-vs-pool
+    for the batch side's verdicts and history-vs-new for the flips —
+    never one pool-vs-pool join post-filtered on "some side is new":
+    the pre-filter is pushed below each join, so history-vs-history
+    pairs (the O(|cell|²) bulk in a touched cell, all of which a
+    post-join filter would discard) are never materialized.  Both
+    joins are additionally keyed on (cell, chunk): a cell wider than
+    ``cell_cap`` (default ``operators.dedup.SEMDEDUP_CELL_CAP``) is
+    hash-split into k = ceil(|cell|/cap) chunks — the dominator side
+    hash-places each row in ONE chunk, the dominated side replicates
+    into all k — so every candidate pair meets in exactly one chunk,
+    per-key buffering is bounded by ~cap rows however degenerate the
+    cell, and a mega cell becomes k parallel tasks instead of one.
+    The verdict is an existential over partners, so chunking (like the
+    batch operator's tiling) is output-invariant at any cap.  The
+    index contributes one (vec_id, v, cell, cent_cos) row per
+    historical vector only in cells the batch actually touches.
     """
-    from ..operators.dedup import EMBED_COSINE_THRESHOLD, EMBED_DIM
+    from ..operators.dedup import (
+        EMBED_COSINE_THRESHOLD,
+        EMBED_DIM,
+        SEMDEDUP_CELL_CAP,
+    )
     from ..operators.similarity import _assign_cells
     from ..functions.vectors import dot, norm
+
+    cap = cell_cap or SEMDEDUP_CELL_CAP
 
     os.makedirs(root, exist_ok=True)
     assign_cent = spark.createDataFrame(
@@ -695,25 +714,42 @@ def stream_semdedup(
         ).localCheckpoint(eager=False)
 
         vec_dirs = _committed_dirs(root, "vecs")
-        if vec_dirs:
-            idx = spark.read.schema(_SD_VEC_SCHEMA).parquet(*vec_dirs)
-            pool = new.withColumn("is_new", F.lit(True)).unionByName(
-                idx.withColumn("is_new", F.lit(False))
-            )
-        else:
-            pool = new.withColumn("is_new", F.lit(True))
+        idx = (
+            spark.read.schema(_SD_VEC_SCHEMA).parquet(*vec_dirs)
+            if vec_dirs
+            else None
+        )
+        pool = new if idx is None else new.unionByName(idx)
 
-        # directed within-cell pairs touching the batch: (a dominated-by b)
-        a = pool.select(
-            F.col("vec_id").alias("ia"), F.col("v").alias("va"),
-            "cell", F.col("cent_cos").alias("cca"),
-            F.col("is_new").alias("na"),
-        )
-        b = pool.select(
-            F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
-            "cell", F.col("cent_cos").alias("ccb"),
-            F.col("is_new").alias("nb"),
-        )
+        # per-cell chunk count k = ceil(|cell|/cap) — ≤ n_cells rows
+        # (the frozen quantizer bounds the cell count), broadcast into
+        # both join sides
+        sizes = pool.groupBy("cell").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("k")
+        ).localCheckpoint(eager=False)
+
+        def side(df: DataFrame, suffix: str, how: str) -> DataFrame:
+            """One join side keyed (cell, chunk): ``chunk`` hash-places
+            each row in exactly one of the cell's k chunks, ``explode``
+            replicates it into all k — so every (dominated, dominator)
+            pair meets in exactly one chunk and per-key buffering is
+            bounded by ~cap rows of the chunked side."""
+            j = df.join(F.broadcast(sizes), "cell")
+            chunk = (
+                F.pmod(
+                    F.xxhash64("vec_id", F.lit("sd-stream-tile")), F.col("k")
+                ).cast("int")
+                if how == "chunk"
+                else F.explode(F.sequence(F.lit(0), F.col("k") - 1))
+            )
+            return j.select(
+                F.col("vec_id").alias(f"i{suffix}"),
+                F.col("v").alias(f"v{suffix}"),
+                "cell",
+                F.col("cent_cos").alias(f"cc{suffix}"),
+                chunk.alias("chunk"),
+            )
+
         cos = F.round(
             dot_unrolled(F.col("va"), F.col("vb"), EMBED_DIM)
             / (
@@ -722,45 +758,42 @@ def stream_semdedup(
             ),
             4,
         )
-        dominated = (
-            a.join(b, "cell")
-            .filter(F.col("ia") != F.col("ib"))
-            .filter(F.col("na") | F.col("nb"))  # history never re-pairs
-            .filter(
-                (F.col("cca") > F.col("ccb"))
-                | ((F.col("cca") == F.col("ccb")) & (F.col("ia") > F.col("ib")))
-            )
-            .filter(cos >= EMBED_COSINE_THRESHOLD)
-            .select(F.col("ia").alias("vec_id"), F.col("na").alias("is_new"))
-            .distinct()
-            .localCheckpoint(eager=False)
+        dom = (F.col("cca") > F.col("ccb")) | (
+            (F.col("cca") == F.col("ccb")) & (F.col("ia") > F.col("ib"))
         )
+
+        def dominated_ids(a: DataFrame, b: DataFrame) -> DataFrame:
+            """vec_ids of a-side rows with some ≥-threshold b-side
+            partner closer to the centroid (ties: lower id wins)."""
+            return (
+                a.join(b, ["cell", "chunk"])
+                .filter(F.col("ia") != F.col("ib"))
+                .filter(dom)
+                .filter(cos >= EMBED_COSINE_THRESHOLD)
+                .select(F.col("ia").alias("vec_id"))
+                .distinct()
+            )
+
+        # two PRE-FILTERED joins instead of pool-vs-pool + OR filter:
+        # history-vs-history pairs never materialize (see docstring)
+        dominated_new = dominated_ids(
+            side(new, "a", "explode"), side(pool, "b", "chunk")
+        ).localCheckpoint(eager=False)
         batch_verdicts = new.join(
-            dominated.filter("is_new").select("vec_id"), "vec_id", "left_semi"
+            dominated_new, "vec_id", "left_semi"
         ).select(
             "vec_id", "cell", "cent_cos", F.lit(True).alias("removed")
         ).unionByName(
-            new.join(
-                dominated.filter("is_new").select("vec_id"),
-                "vec_id",
-                "left_anti",
-            ).select(
+            new.join(dominated_new, "vec_id", "left_anti").select(
                 "vec_id", "cell", "cent_cos", F.lit(False).alias("removed")
             )
         )
-        if vec_dirs:
-            flips = (
-                spark.read.schema(_SD_VEC_SCHEMA)
-                .parquet(*vec_dirs)
-                .join(
-                    dominated.filter(~F.col("is_new")).select("vec_id"),
-                    "vec_id",
-                    "left_semi",
-                )
-                .select(
-                    "vec_id", "cell", "cent_cos",
-                    F.lit(True).alias("removed"),
-                )
+        if idx is not None:
+            dominated_hist = dominated_ids(
+                side(idx, "a", "chunk"), side(new, "b", "explode")
+            )
+            flips = idx.join(dominated_hist, "vec_id", "left_semi").select(
+                "vec_id", "cell", "cent_cos", F.lit(True).alias("removed")
             )
             batch_verdicts = batch_verdicts.unionByName(flips)
 

@@ -1428,6 +1428,76 @@ def test_stream_semdedup_equals_batch(spark, tmp_path):
     assert kept_b0 & flipped
 
 
+def test_stream_semdedup_mega_cell_capped_and_exact(spark, tmp_path):
+    """Adversarial mega-cell on the STREAMING path (mirror of the batch
+    test): hundreds of near-identical one-label vectors collapse into
+    ONE quantizer cell, streamed across two batches with a tiny
+    cell_cap.  The per-batch (cell, chunk) tiling must keep every
+    candidate join key bounded (chunked side ≤ ~cap rows per chunk)
+    while the folded verdicts stay EXACTLY the one-shot batch semdedup
+    output — chunking partitions the candidate pair set and removal is
+    an existential over partners, so the cap is output-invariant."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.streaming import stream_semdedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=64)
+    n, cap = 400, 8
+    vecs = [
+        (i, (base + 1e-9 * rng.normal(size=64)).tolist(), 0)
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    t2 = {"embeddings": emb}
+    src = str(tmp_path / "src")
+    emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") % 2 == 0
+    ).coalesce(1).write.mode("append").parquet(src)
+    emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") % 2 == 1
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    quant = dd.semdedup_quantizer(t2)
+    got = stream_semdedup(
+        spark,
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        quant,
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        cell_cap=cap,
+    ).toPandas()
+    want = dd.semdedup(t2).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(
+            tuple,
+            df[["vec_id", "cell", "cent_cos", "removed", "kept"]].values,
+        )
+    )
+    assert key(got) == key(want)
+    # the mega-cell shape really happened: one cell, one keeper
+    assert len(got) == n and got["kept"].sum() == 1
+    # the hash-chunking really bounds each join key: the dominator side
+    # places ≤ ~cap rows per (cell, chunk) (4x slack for hash skew)
+    k = -(-n // cap)  # ceil: chunk count the second batch used
+    per_chunk = (
+        emb.select(
+            F.pmod(
+                F.xxhash64("vec_id", F.lit("sd-stream-tile")), F.lit(k)
+            ).alias("chunk")
+        )
+        .groupBy("chunk")
+        .count()
+        .toPandas()
+    )
+    assert per_chunk["count"].max() <= 4 * cap
+
+
 def test_stream_index_emissions_survive_restart(spark, tmp_path):
     """Emitted pairs are committed state, not driver-lifetime state: a
     process restart against a surviving checkpoint+index (every batch
