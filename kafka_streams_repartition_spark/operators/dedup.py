@@ -496,6 +496,320 @@ SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
 """
 
 
+# --- quality-aware dedup (keep the BEST copy, not the first) ---------------
+
+
+def dedup_quality_aware(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup clusters where the keeper is the HIGHEST-QUALITY member
+    (ties to the lowest doc_id) instead of the min-id convention — the
+    production keep-rule: when a crawl holds five near-copies of an
+    article, you keep the cleanest extraction, not the one that happened
+    to arrive first (RefinedWeb/FineWeb keep by heuristic score for
+    exactly this reason).  Composes :func:`dedup_clusters` (connected
+    components over the verified MinHash-LSH pair graph) with
+    ``text_analysis.text_stats``'s quality score.
+
+    Scale shape: the cluster table is bounded by near-dup pair count
+    (collision-bounded, never all-pairs); the quality join is one keyed
+    exchange of (doc_id, score) pairs restricted to clustered docs; the
+    keeper choice is a per-cluster ``max(struct(score, -id))`` — a
+    partial-combining aggregate over four narrow columns, broadcast
+    back.  Document text never shuffles.
+
+    One row per clustered document: its cluster, its score, the
+    cluster's keeper and the keep verdict.
+    """
+    from .text_analysis import text_stats
+
+    clusters = dedup_clusters(t)
+    stats = text_stats(t).select("doc_id", "quality_score")
+    m = clusters.join(stats, "doc_id").localCheckpoint(eager=False)
+    # lexicographic max over (quality, -id): highest quality wins,
+    # ties go to the LOWEST doc_id — deterministic, oracle-replayable
+    best = (
+        m.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select(
+            "cluster_id", (-F.col("b.neg_id")).cast("long").alias("keeper_id")
+        )
+    )
+    return m.join(F.broadcast(best), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+    )
+
+
+def _quality_aware_oracle() -> str:
+    from .text_analysis import TEXT_STATS_ORACLE
+
+    return f"""
+WITH clus AS (SELECT * FROM ({DEDUP_CLUSTERS_ORACLE})),
+stats AS ({TEXT_STATS_ORACLE}),
+m AS (
+    SELECT c.doc_id, c.cluster_id, s.quality_score
+    FROM clus c JOIN stats s ON c.doc_id = s.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS keeper_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, doc_id
+               ) AS rn
+        FROM m
+    ) WHERE rn = 1
+)
+SELECT m.doc_id, m.cluster_id, m.quality_score, b.keeper_id,
+       m.doc_id = b.keeper_id AS kept
+FROM m JOIN best b ON m.cluster_id = b.cluster_id
+"""
+
+
+DEDUP_QUALITY_AWARE_ORACLE = _quality_aware_oracle()
+
+
+# --- contamination-safe train/val split ------------------------------------
+
+VAL_PCT = 10  # val split = docs whose md5 bucket < 10 (≈10%)
+
+
+def leakage_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Dedup-aware train/validation split audit: hash-split the corpus
+    (deterministic md5 bucket of doc_id — reproducible across runs and
+    engines, never ``rand()``), then measure near-dup LEAKAGE across
+    the cut: every verified MinHash-LSH pair with one side in train and
+    one in val is a doc whose "held-out" loss the model has effectively
+    seen.  The production discipline (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" §6 measures exactly
+    this train/val overlap effect): evict the TRAIN side of every
+    straddling pair before training, so the val set stays meaningful.
+
+    One audit row: split sizes, total verified pairs, straddling
+    pairs, the distinct train docs to evict, the distinct val docs
+    that were contaminated, and the straddle fraction.
+
+    Scale shape: the split is a map-side bucket expression; the pair
+    table is collision-bounded; the audit is two broadcast-joins of
+    (doc_id, split) onto the pair frame plus count-distinct aggregates
+    over pair-sized frames.  One row out.
+    """
+    split = fan_out(t["documents"]).select(
+        "doc_id",
+        (_hash_bucket(F.col("doc_id")) < VAL_PCT).alias("is_val"),
+    )
+    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("is_val").alias("va"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("is_val").alias("vb"))
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b").localCheckpoint(
+        eager=False
+    )
+    straddle = tagged.filter(F.col("va") != F.col("vb"))
+    counts = split.agg(
+        F.sum(F.when(~F.col("is_val"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("is_val"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+    )
+    pair_counts = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("va") != F.col("vb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddle"),
+    )
+    evict = straddle.select(
+        F.when(F.col("va"), F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "train_doc"
+        ),
+        F.when(F.col("va"), F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "val_doc"
+        ),
+    ).agg(
+        F.count_distinct("train_doc").cast("long").alias("n_train_evicted"),
+        F.count_distinct("val_doc").cast("long").alias("n_val_contaminated"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(pair_counts))
+        .crossJoin(F.broadcast(evict))
+        .select(
+            "n_train",
+            "n_val",
+            "n_pairs",
+            "n_straddle",
+            "n_train_evicted",
+            "n_val_contaminated",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.round(F.col("n_straddle") / F.col("n_pairs"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("straddle_frac"),
+        )
+    )
+
+
+LEAKAGE_SPLIT_ORACLE = f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+split AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 < {VAL_PCT} AS is_val
+    FROM documents
+),
+tagged AS (
+    SELECT p.doc_a, p.doc_b, a.is_val AS va, b.is_val AS vb
+    FROM pairs p
+    JOIN split a ON p.doc_a = a.doc_id
+    JOIN split b ON p.doc_b = b.doc_id
+),
+evict AS (
+    SELECT CASE WHEN va THEN doc_b ELSE doc_a END AS train_doc,
+           CASE WHEN va THEN doc_a ELSE doc_b END AS val_doc
+    FROM tagged WHERE va != vb
+)
+SELECT (SELECT CAST(count(*) FILTER (NOT is_val) AS BIGINT) FROM split)
+           AS n_train,
+       (SELECT CAST(count(*) FILTER (is_val) AS BIGINT) FROM split) AS n_val,
+       (SELECT CAST(count(*) AS BIGINT) FROM tagged) AS n_pairs,
+       (SELECT CAST(count(*) FILTER (va != vb) AS BIGINT) FROM tagged)
+           AS n_straddle,
+       (SELECT CAST(count(DISTINCT train_doc) AS BIGINT) FROM evict)
+           AS n_train_evicted,
+       (SELECT CAST(count(DISTINCT val_doc) AS BIGINT) FROM evict)
+           AS n_val_contaminated,
+       CASE WHEN (SELECT count(*) FROM tagged) > 0
+            THEN round((SELECT count(*) FILTER (va != vb) FROM tagged) * 1.0
+                       / (SELECT count(*) FROM tagged), 4)
+            ELSE 0.0 END AS straddle_frac
+"""
+
+
+# --- MinHash banding design curve -------------------------------------------
+
+# every (bands, rows) factorization of the MINHASH_SEEDS signature
+BAND_LAYOUTS = [(b, MINHASH_SEEDS // b) for b in (1, 2, 3, 4, 6, 12)]
+
+
+def _ipow(col: F.Column, n: int) -> F.Column:
+    """Integer power as a left-assoc multiplication chain — bit-exact
+    across engines, unlike libm ``pow`` (whose last-ulp behavior the
+    JVM and DuckDB need not share)."""
+    out = F.lit(1.0)
+    for _ in range(n):
+        out = out * col
+    return out
+
+
+def _ipow_sql(expr: str, n: int) -> str:
+    out = "1.0"
+    for _ in range(n):
+        out = f"({out} * {expr})"
+    return out
+
+
+def minhash_band_tuning(t: dict[str, DataFrame]) -> DataFrame:
+    """The index-design table an engineer reads BEFORE committing a
+    100 TB dedup run: for every (bands b × rows r) factorization of
+    the ``MINHASH_SEEDS``-hash signature, the expected catch
+    probability ``1 - (1 - j^r)^b`` (the LSH S-curve, MMDS ch.3
+    §3.4.3) evaluated over the VERIFIED near-dup pairs' exact Jaccard
+    values — i.e. how each alternative banding would have performed on
+    the pair population this corpus actually contains, plus the
+    layout's S-curve threshold ``(1/b)^(1/r)``.  The production run
+    then picks the cheapest layout whose expected recall clears the
+    target — measured on real data, not on an assumed similarity
+    distribution.
+
+    Scale shape: ONE pass of the production LSH pair builder (the same
+    collision-bounded machinery, no extra signatures), then per-pair
+    closed-form expressions; the per-layout expectations sum as exact
+    DECIMAL over pair-rounded terms, so the rollup is order-independent
+    across engines.  Output is ≤ |layouts| rows from one aggregate row
+    — constant at any corpus size.
+    """
+    jac = F.col("jaccard")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for b, r in BAND_LAYOUTS:
+        p = F.lit(1.0) - _ipow(F.lit(1.0) - _ipow(jac, r), b)
+        aggs.append(
+            F.sum(F.round(p, 6).cast("decimal(18,6)")).alias(f"s_{b}")
+        )
+    one = dedup_minhash_lsh(t).agg(*aggs)
+    layout_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.lit(r).cast("long").alias("rows_per_band"),
+                    F.round(
+                        F.pow(F.lit(1.0 / b), F.lit(1.0 / r)), 4
+                    ).alias("s_curve_threshold"),
+                    F.coalesce(
+                        F.round(F.col(f"s_{b}").cast("double"), 4),
+                        F.lit(0.0),
+                    ).alias("expected_caught"),
+                )
+                for b, r in BAND_LAYOUTS
+            ]
+        )
+    ).alias("L")
+    return one.select("n_pairs", layout_rows).select(
+        "L.bands",
+        "L.rows_per_band",
+        "L.s_curve_threshold",
+        "n_pairs",
+        "L.expected_caught",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(F.col("L.expected_caught") / F.col("n_pairs"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("expected_recall"),
+    )
+
+
+def _band_tuning_oracle() -> str:
+    sums = ",\n       ".join(
+        f"sum(CAST(round(1.0 - {_ipow_sql(f'(1.0 - {_ipow_sql(chr(106), r)})', b)}, 6)"
+        f" AS DECIMAL(18,6))) AS s_{b}"
+        for b, r in BAND_LAYOUTS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       round(pow(1.0 / {b}, 1.0 / {r}), 4) AS s_curve_threshold,
+       n_pairs,
+       COALESCE(round(CAST(s_{b} AS DOUBLE), 4), 0.0) AS expected_caught,
+       CASE WHEN n_pairs > 0
+            THEN round(COALESCE(CAST(s_{b} AS DOUBLE), 0.0) / n_pairs, 4)
+            ELSE 0.0 END AS expected_recall
+FROM agg"""
+        for b, r in BAND_LAYOUTS
+    )
+    return f"""
+WITH pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {sums}
+    FROM (SELECT jaccard AS j FROM pairs)
+)
+{rows}
+"""
+
+
+MINHASH_BAND_TUNING_ORACLE = _band_tuning_oracle()
+
+
 # --- benchmark decontamination --------------------------------------------
 
 DECON_NGRAM = 4

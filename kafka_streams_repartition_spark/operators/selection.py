@@ -1421,14 +1421,22 @@ def token_budget(t: dict[str, DataFrame]) -> DataFrame:
     final state at any corpus scale, and the capped/uncapped test is
     all-long arithmetic, so the plan is bit-deterministic.
     """
-    from pyspark.sql import Window
-
     avail = (
         fan_out(t["documents"])
         .select("source", F.size(words(F.col("text"))).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("avail"))
     )
+    return _unimax_fill(avail)
+
+
+def _unimax_fill(avail: DataFrame) -> DataFrame:
+    """The UniMax water-fill over a (source, avail) token rollup —
+    shared by :func:`token_budget` and the streaming twin
+    (``streaming.embindex.stream_token_budget``) so the two faces
+    cannot diverge.  Pure window math over n_sources rows."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("cap_avail", "source")
     full = Window.partitionBy()
     ranked = (

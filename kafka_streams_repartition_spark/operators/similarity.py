@@ -642,6 +642,254 @@ WHERE rank <= {N_PROBE_K}
 """
 
 
+# --- IVF-PQ: the composed production index ---------------------------------
+
+N_PROBE = 2  # coarse cells probed per query
+
+
+def ann_topk_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
+    """The composed two-level production index (Jégou et al. 2011 §IV,
+    IVFADC; FAISS "IVF,PQ" with by_residual=false): the coarse
+    quantizer restricts the SCAN — each query probes its ``N_PROBE``
+    nearest cells and only their members become candidates — and
+    product quantization compresses the SCORING — candidates rank by
+    ADC table lookup over their PQ codes, never by touching raw
+    floats.  :func:`ann_topk_ivf` and :func:`ann_topk_pq` are the two
+    halves; this is how they actually ship together: at 100 TB the
+    query-time cost is (n_probe/n_cells) of the corpus in 16-byte
+    codes.
+
+    Scale shape: the centroid table is tiny (broadcast twice — once as
+    the coarse probe table, once sliced into the PQ sub-codebooks);
+    cell assignment is the zero-shuffle ``_assign_cells`` map; the
+    probe list is |queries|×N_PROBE rows and broadcasts into the
+    candidate equi-join on cell id; ADC contributions sum as exact
+    DECIMAL so the M-term addition is order-independent across
+    engines; per-query top-k is a WindowGroupLimit-prunable rank.
+    """
+    emb_raw = fan_out(t["embeddings"])
+    cent = _centroids(emb_raw)
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    cells = _assign_cells(
+        emb, cent.select(F.col("label").alias("cell"), "cv")
+    ).select("vec_id", "cell")
+
+    # probe list: each query's N_PROBE nearest coarse centroids (same
+    # rounded euclidean + label tie-break as assignment, so probe
+    # rank 1 IS the query's own cell)
+    cdist = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    qd = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cent.select(F.col("label").alias("cell"), "cv")))
+        .select(
+            F.col("vec_id").alias("query_id"), "cell", cdist.alias("cdist")
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cdist"), F.col("cell"))
+    probed = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        cells.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    # PQ codes + per-query ADC tables (identical math to ann_topk_pq)
+    sub_c = cent.select(
+        "label",
+        F.posexplode(
+            F.array(*[F.slice("cv", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "csub"),
+    )
+    sub_v = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "vsub"),
+    )
+    sdist = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+    scored = sub_v.join(F.broadcast(sub_c), "m").select(
+        "vec_id", "m", "label", sdist
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "label")).alias("b"))
+        .select("vec_id", "m", F.col("b.label").alias("code"))
+    )
+    qtab = scored.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qq"),
+        F.col("m").alias("qm"),
+        F.col("label").alias("qlabel"),
+        F.col("dist").cast("decimal(18,6)").alias("qdist"),
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qtab),
+            (F.col("query_id") == F.col("qq"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qlabel")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("qdist").cast("double")), 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("cand_id"),
+            "adc",
+        )
+    )
+
+
+ANN_TOPK_IVFPQ_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS c_label, pos, avg(x) AS c
+    FROM e
+    GROUP BY 1, 2
+),
+coarse AS (
+    SELECT e.vec_id, c.c_label,
+           round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+    FROM e JOIN cent c ON e.pos = c.pos
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT vec_id, c_label AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, c_label
+        ) AS rn
+        FROM coarse
+    )
+    WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id AS query_id, c_label AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, c_label
+        ) AS rn
+        FROM coarse WHERE vec_id % {QUERY_MOD} = 0
+    )
+    WHERE rn <= {N_PROBE}
+),
+cand AS (
+    SELECT p.query_id, s.vec_id
+    FROM probe p JOIN cells s ON p.cell = s.cell
+                             AND s.vec_id != p.query_id
+),
+d AS (
+    SELECT e.vec_id, (e.pos - 1) // {PQ_SUB} AS m, c.c_label,
+           round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+    FROM e JOIN cent c ON e.pos = c.pos
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, c_label AS code FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY dist, c_label
+        ) AS rn
+        FROM d
+    )
+    WHERE rn = 1
+),
+qtab AS (
+    SELECT vec_id AS qq, m, c_label AS qlabel,
+           CAST(dist AS DECIMAL(18,6)) AS qdist
+    FROM d WHERE vec_id % {QUERY_MOD} = 0
+),
+adc AS (
+    SELECT c.query_id, c.vec_id,
+           round(sqrt(CAST(sum(q.qdist) AS DOUBLE)), 6) AS adc
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN qtab q ON q.qq = c.query_id AND q.m = k.m AND q.qlabel = k.code
+    GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, adc FROM (
+    SELECT query_id, vec_id AS cand_id, adc,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, vec_id
+           ) AS rank
+    FROM adc
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ivfpq_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the composed IVF-PQ index against the brute-force
+    ground truth — the acceptance gate for :func:`ann_topk_ivfpq`,
+    completing the pattern that every approximate index in this repo
+    ships with its forfeit MEASURED (``ann_recall_eval`` gates IVF,
+    ``sq_recall`` gates scalar quantization, ``dedup_embedding_recall``
+    gates the banding): IVF-PQ loses candidates to cell blocking AND
+    precision to code quantization, so its recall is the number that
+    decides n_probe and M before the exact path is retired at 100 TB.
+
+    Pure composition of two oracle-gated queries, reduced to one row.
+    """
+    truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+    approx = ann_topk_ivfpq(t).select("query_id", "cand_id")
+    hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_approx))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+IVFPQ_RECALL_ORACLE = f"""
+WITH bf AS ({ANN_TOPK_BRUTEFORCE_ORACLE}),
+iv AS ({ANN_TOPK_IVFPQ_ORACLE}),
+hits AS (
+    SELECT bf.query_id, bf.cand_id
+    FROM bf WHERE EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.query_id = bf.query_id AND iv.cand_id = bf.cand_id
+    )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS recall
+"""
+
+
 # --------------------------------------------------------------------------
 # Mutual k-NN graph (the neighborhood structure behind semantic dedup /
 # clustering — reference has no graph surface; north-star extension)

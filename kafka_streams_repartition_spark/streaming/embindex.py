@@ -1198,3 +1198,100 @@ def stream_domain_kl(
     allr = spark.read.schema(_KL_SNAP_SCHEMA).parquet(*kl_dirs)
     last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
     return allr.filter(F.col("batch") == last).drop("batch")
+
+
+# --- streaming UniMax token-budget controller ---------------------------------
+
+_TB_AVAIL_SCHEMA = "source string, avail long"
+_TB_ALLOC_SCHEMA = (
+    "source string, avail_tokens long, capped boolean, "
+    "alloc_tokens double, epochs double, batch long"
+)
+
+
+def stream_token_budget(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.selection.token_budget`` — the
+    mixture CONTROLLER a continuous ingest tails: every micro-batch
+    folds its per-source whitespace-token counts into a persisted
+    n_sources-row availability rollup and emits the full UniMax
+    water-fill allocation over the CUMULATIVE counts (the allocation is
+    a global functional of all sources' availability — every source's
+    share moves when any source grows, so each snapshot recomputes via
+    the shared ``selection._unimax_fill``, the batch operator's own
+    math).
+
+    State layout (``maintain_snapshot`` commit discipline):
+    ``batch=<id>/avail`` — the CUMULATIVE (source, avail) rollup
+    (n_sources rows; superseded copies pruned after commit, like
+    ``stream_domain_kl``'s counts); ``batch=<id>/alloc`` — the
+    allocation snapshot (the controller curve).  Per-batch work is one
+    batch-sized tokenize rollup plus window math over n_sources rows;
+    document text never persists.
+
+    Equivalence contract (tested): every batch's snapshot equals the
+    one-shot ``token_budget`` over exactly the documents ingested so
+    far — at every cut.  Returns the latest committed snapshot.
+    """
+    from ..functions.text import words
+    from ..operators.selection import _unimax_fill
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "token-budget controller"
+        ):
+            return
+        bc = (
+            batch_df.select(
+                "source", F.size(words(F.col("text"))).alias("n")
+            )
+            .groupBy("source")
+            .agg(F.sum("n").alias("avail"))
+            .localCheckpoint(eager=False)
+        )
+        latest = _latest_committed_dir(root, "avail")
+        if latest is not None:
+            cum = (
+                spark.read.schema(_TB_AVAIL_SCHEMA)
+                .parquet(latest)
+                .unionByName(bc)
+                .groupBy("source")
+                .agg(F.sum("avail").alias("avail"))
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+        snap = _unimax_fill(cum)
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "alloc"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "avail"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "avail")  # cumulative rollup: latest only
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    alloc_dirs = _committed_dirs(root, "alloc")
+    if not alloc_dirs:
+        return spark.createDataFrame(
+            [], _TB_ALLOC_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_TB_ALLOC_SCHEMA).parquet(*alloc_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")

@@ -407,6 +407,126 @@ def test_sq_recall_query_set_capped(t, monkeypatch):
     assert 0.0 <= out["recall"] <= 1.0
 
 
+def test_dedup_quality_aware_keeper_is_best(t):
+    """The keeper of every near-dup cluster is its highest-quality
+    member (ties to the lowest doc_id), exactly one keeper exists per
+    cluster, and the clustering itself is dedup_clusters unchanged."""
+    rows = dd.dedup_quality_aware(t).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    want_clusters = {
+        (r["doc_id"], r["cluster_id"]) for r in dd.dedup_clusters(t).collect()
+    }
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == want_clusters
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["kept"]]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(r["keeper_id"] == best["doc_id"] for r in members)
+    # the rule genuinely differs from min-id somewhere on real data,
+    # or the operator would be dedup_clusters with extra columns
+    assert any(
+        min(m["doc_id"] for m in members) != next(
+            r["doc_id"] for r in members if r["kept"]
+        )
+        for members in by_cluster.values()
+        if len(members) > 1
+    )
+
+
+def test_leakage_split_accounting(spark):
+    """Constructed leak: two near-identical docs whose md5(doc_id)
+    buckets straddle the val cut must be counted as one straddling
+    pair, one train eviction and one contaminated val doc."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    # bucket(doc_id): find one val-side and one train-side id
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    val_id = next(i for i in range(1000) if bucket(i) < dd.VAL_PCT)
+    train_id = next(i for i in range(1000) if bucket(i) >= dd.VAL_PCT)
+    docs = spark.createDataFrame(
+        [
+            (val_id, base + " tailv"),
+            (train_id, base + " tailt"),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = dd.leakage_split({"documents": docs}).collect()
+    assert r["n_train"] == 1 and r["n_val"] == 1
+    assert r["n_pairs"] == 1 and r["n_straddle"] == 1
+    assert r["n_train_evicted"] == 1 and r["n_val_contaminated"] == 1
+    assert r["straddle_frac"] == 1.0
+
+
+def test_leakage_split_bounds(t):
+    """On real data the audit's internal arithmetic holds: straddling
+    pairs are a subset of all pairs, evictions are bounded by straddle
+    count, and the split partitions the corpus."""
+    [r] = dd.leakage_split(t).collect()
+    n_docs = t["documents"].count()
+    assert r["n_train"] + r["n_val"] == n_docs
+    assert 0 <= r["n_straddle"] <= r["n_pairs"]
+    assert r["n_train_evicted"] <= r["n_straddle"]
+    assert r["n_val_contaminated"] <= r["n_straddle"]
+
+
+def test_minhash_band_tuning_s_curve(t):
+    """More bands (fewer rows per band) can only increase the catch
+    probability of any fixed pair — expected recall is nondecreasing
+    in the band count across factorizations of the same signature; the
+    production layout appears; every expectation is a probability."""
+    rows = {r["bands"]: r for r in dd.minhash_band_tuning(t).collect()}
+    assert set(rows) == {b for b, _ in dd.BAND_LAYOUTS}
+    n_pairs = {r["n_pairs"] for r in rows.values()}
+    assert len(n_pairs) == 1  # one shared pair population
+    prev = -1.0
+    for b in sorted(rows):
+        r = rows[b]
+        assert 0.0 <= r["expected_recall"] <= 1.0
+        assert r["expected_recall"] >= prev
+        prev = r["expected_recall"]
+        assert 0.0 < r["s_curve_threshold"] <= 1.0
+    # the production design point (MINHASH_BANDS x rows) is in the table
+    assert rows[dd.MINHASH_BANDS]["rows_per_band"] == (
+        dd.MINHASH_SEEDS // dd.MINHASH_BANDS
+    )
+
+
+def test_ann_ivfpq_consistent_with_pq(t):
+    """IVF-PQ is the PQ scorer restricted to probed cells: every ADC
+    value it reports equals ann_topk_pq's ADC for the same (query,
+    cand) pair where both rank it, and per-query output is a
+    contiguous rank prefix of at most TOP_K rows."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    ivfpq = sim.ann_topk_ivfpq(t).collect()
+    assert ivfpq
+    by_q: dict[int, list] = {}
+    for r in ivfpq:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= sim.TOP_K
+    pq_adc = {
+        (r["query_id"], r["cand_id"]): r["adc"]
+        for r in sim.ann_topk_pq(t).collect()
+    }
+    overlap = [
+        r for r in ivfpq if (r["query_id"], r["cand_id"]) in pq_adc
+    ]
+    assert overlap  # probing rank 1 is the query's own cell
+    assert all(
+        r["adc"] == pq_adc[(r["query_id"], r["cand_id"])] for r in overlap
+    )
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —

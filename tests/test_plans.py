@@ -1329,3 +1329,52 @@ def test_source_overlap_digest_only_shuffles(t):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln and "Arguments" in ln:
             assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+
+
+def test_dedup_quality_aware_broadcasts_keeper(t):
+    """The per-cluster keeper table broadcasts back onto the member
+    frame (it is cluster-count-sized); no stage is a cartesian, and
+    document text never crosses an exchange (the quality join carries
+    (doc_id, score) pairs only)."""
+    df = dd.dedup_quality_aware(t)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+
+
+def test_leakage_split_no_cartesian_pruned_scan(t):
+    """The audit's joins are keyed on doc ids (split tags broadcast
+    onto the pair frame); nothing degenerates to a cartesian except
+    the final 1-row x 1-row rollup stitches."""
+    df = dd.leakage_split(t)
+    plan = explain_str(df)
+    # the only nested-loop joins are the single-row rollup stitches
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+
+
+def test_minhash_band_tuning_single_pair_pass(t):
+    """The design curve is ONE pass of the production LSH pair builder
+    reduced to a single aggregate row — the layout fan-out happens
+    AFTER the aggregate (explode of a literal array), so the pair
+    table is scanned once, not once per layout."""
+    df = dd.minhash_band_tuning(t)
+    plan = explain_str(df)
+    assert plan.count("Generate explode") <= 3  # grams + bands + layouts
+    assert_no_cartesian(df)
+
+
+def test_ann_ivfpq_broadcasts_probe_and_codebook(t):
+    """The probe list and the ADC tables broadcast into keyed joins;
+    the only nested-loop join is the bounded query x centroid probe
+    build (|queries| x n_cells rows); candidate generation is an
+    equi-join on cell id."""
+    df = sim.ann_topk_ivfpq(t)
+    assert_broadcast_join(df, 2)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan

@@ -1975,6 +1975,52 @@ def test_stream_domain_kl_every_snapshot_equals_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
 
 
+def test_stream_token_budget_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming UniMax controller's allocation snapshot equals
+    one-shot token_budget over exactly the documents ingested so far —
+    at EVERY cut (the allocation is a global functional of all
+    sources' availability, recomputed per batch via the shared
+    _unimax_fill) — and superseded cumulative avail rollups are
+    pruned."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_token_budget
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text", "source")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first_half = docs.filter(F.col("doc_id") <= cut)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_token_budget(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in sel.token_budget(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "alloc")).drop(
+        "batch"
+    )
+    want0 = {
+        tuple(r)
+        for r in sel.token_budget({"documents": first_half}).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    # cumulative rollup pruned to the latest committed copy
+    assert not os.path.isdir(os.path.join(root, "batch=0", "avail"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "avail"))
+
+
 def test_latest_committed_dir_numeric_order(tmp_path):
     """batch=10 must beat batch=2 (numeric, not lexicographic), and
     uncommitted dirs past the pointer are ignored."""
