@@ -1911,3 +1911,145 @@ SELECT ub.source,
 FROM ub JOIN tm ON ub.source = tm.source
 JOIN kl ON ub.source = kl.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Filter attribution: why is my corpus shrinking?
+# ---------------------------------------------------------------------------
+
+
+def filter_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source rejection ATTRIBUTION across the four standing gates
+    — the diagnosis table a pipeline owner reads when a source's
+    survival rate drops: for every source, how many documents each
+    gate rejects (Gopher rule battery, text_stats quality threshold,
+    exact-dup non-keeper, verified near-dup loser), how many are
+    rejected by more than one gate (the overlap that makes naive
+    per-gate subtraction wrong), and the final survival fraction.
+    FineWeb/RefinedWeb publish exactly this cascade accounting per
+    dump; it is how gate thresholds get tuned without re-running the
+    corpus per candidate threshold.
+
+    Scale shape: the Gopher and quality flags are narrow map passes
+    over one documents scan; exact-dup keeper is the md5-keyed
+    aggregate (32-byte shuffle keys); the near-dup loser set is the
+    collision-bounded LSH output broadcast as a tiny id list; the
+    final rollup is one partial-combining groupBy(source) over boolean
+    flags.  Document text never crosses an exchange.
+    """
+    from .dedup import dedup_minhash_lsh
+    from .text_analysis import QUALITY_THRESHOLD, text_stats
+
+    docs = t["documents"]
+    g = gopher_rules(t).select(
+        "doc_id", (~F.col("keep")).alias("r_gopher")
+    )
+    q = text_stats(t).select(
+        "doc_id",
+        (F.col("quality_score") < QUALITY_THRESHOLD).alias("r_quality"),
+    )
+    hashed = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    keeper = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    e = hashed.join(keeper, "h").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") != F.col("keeper_id")).alias("r_exact"),
+    )
+    near = (
+        dedup_minhash_lsh(t)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("r_near", F.lit(True))
+    )
+    n_rej = sum(
+        F.col(c).cast("int") for c in ("r_gopher", "r_quality", "r_exact", "r_near")
+    )
+    flags = (
+        e.join(g, "doc_id")
+        .join(q, "doc_id")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "source",
+            "r_gopher",
+            "r_quality",
+            "r_exact",
+            F.coalesce(F.col("r_near"), F.lit(False)).alias("r_near"),
+        )
+        .withColumn("n_rej", n_rej)
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt("r_gopher").alias("n_gopher_rejected"),
+        cnt("r_quality").alias("n_quality_rejected"),
+        cnt("r_exact").alias("n_exact_dup"),
+        cnt("r_near").alias("n_near_dup"),
+        F.sum(F.when(F.col("n_rej") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rejected_any"),
+        F.sum(F.when(F.col("n_rej") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_rejected"),
+        F.round(
+            F.sum(F.when(F.col("n_rej") == 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("survival_frac"),
+    )
+
+
+def _filter_attribution_oracle() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_ORACLE
+    from .text_analysis import QUALITY_THRESHOLD, TEXT_STATS_ORACLE
+
+    return f"""
+WITH grj AS (SELECT doc_id, keep FROM ({GOPHER_RULES_ORACLE})),
+st AS ({TEXT_STATS_ORACLE}),
+pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+hsh AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+kp AS (SELECT digest, min(doc_id) AS keeper_id FROM hsh GROUP BY 1),
+flags AS (
+    SELECT hsh.doc_id, hsh.source,
+           NOT g.keep AS r_gopher,
+           s.quality_score < {QUALITY_THRESHOLD} AS r_quality,
+           hsh.doc_id != kp.keeper_id AS r_exact,
+           nd.doc_id IS NOT NULL AS r_near
+    FROM hsh
+    JOIN kp ON hsh.digest = kp.digest
+    JOIN grj g ON g.doc_id = hsh.doc_id
+    JOIN st s ON s.doc_id = hsh.doc_id
+    LEFT JOIN nd ON nd.doc_id = hsh.doc_id
+),
+scored AS (
+    SELECT *,
+           CASE WHEN r_gopher THEN 1 ELSE 0 END
+           + CASE WHEN r_quality THEN 1 ELSE 0 END
+           + CASE WHEN r_exact THEN 1 ELSE 0 END
+           + CASE WHEN r_near THEN 1 ELSE 0 END AS n_rej
+    FROM flags
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r_gopher THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gopher_rejected,
+       CAST(sum(CASE WHEN r_quality THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_rejected,
+       CAST(sum(CASE WHEN r_exact THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dup,
+       CAST(sum(CASE WHEN r_near THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_dup,
+       CAST(sum(CASE WHEN n_rej > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rejected_any,
+       CAST(sum(CASE WHEN n_rej >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_rejected,
+       round(CAST(sum(CASE WHEN n_rej = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS survival_frac
+FROM scored
+GROUP BY 1
+"""
+
+
+FILTER_ATTRIBUTION_ORACLE = _filter_attribution_oracle()
+
+__all__.append("filter_attribution")

@@ -527,6 +527,38 @@ def test_ann_ivfpq_consistent_with_pq(t):
     )
 
 
+def test_filter_attribution_arithmetic(t):
+    """The cascade accounting is internally consistent per source:
+    any-gate rejections are bounded by the per-gate sum (overlap can
+    only shrink the union) and by the doc count; multi-gate rejections
+    are bounded by every pairwise implication; survival is exactly the
+    untouched fraction."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+
+    rows = sl.filter_attribution(t).collect()
+    assert rows
+    for r in rows:
+        per_gate = (
+            r["n_gopher_rejected"]
+            + r["n_quality_rejected"]
+            + r["n_exact_dup"]
+            + r["n_near_dup"]
+        )
+        assert r["n_rejected_any"] <= min(per_gate, r["n_docs"])
+        assert r["n_multi_rejected"] <= r["n_rejected_any"]
+        # union >= largest single gate
+        assert r["n_rejected_any"] >= max(
+            r["n_gopher_rejected"],
+            r["n_quality_rejected"],
+            r["n_exact_dup"],
+            r["n_near_dup"],
+        )
+        want = (r["n_docs"] - r["n_rejected_any"]) / r["n_docs"]
+        assert abs(r["survival_frac"] - want) < 5.1e-5  # round(.,4) slack
+    # totals must cover the whole corpus exactly once
+    assert sum(r["n_docs"] for r in rows) == t["documents"].count()
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —

@@ -23,6 +23,8 @@ QUERIES = [
     "leakage_split",
     "minhash_band_tuning",
     "ann_topk_ivfpq",
+    "ivfpq_recall",
+    "filter_attribution",
     # r8-touched: capped sq_recall query set
     "sq_recall",
 ]
