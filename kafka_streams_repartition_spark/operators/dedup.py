@@ -447,7 +447,15 @@ def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     no extra package is required, and large-diameter graphs (not dup
     clusters) are where GraphFrames' alternating-algorithm would win.
     """
-    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    return _connected_components(dedup_minhash_lsh(t).select("doc_a", "doc_b"))
+
+
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) pair
+    frame → (doc_id, cluster_id); the shared CC kernel behind
+    :func:`dedup_clusters` and :func:`crossmodal_clusters` (see the
+    former's docstring for the convergence argument and GraphFrames
+    equivalence)."""
     # Lazy checkpoints: each round's convergence-check action is the
     # one job that also materializes that round's labels (an eager
     # checkpoint would run a second job per round just to cache).
@@ -494,6 +502,135 @@ reach(doc_id, r) AS (
 )
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
 """
+
+
+# --- cross-modal duplicate entity resolution --------------------------------
+
+
+def crossmodal_clusters(t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-modal duplicate ENTITY resolution: connected components
+    over the UNION of both production near-dup pair families — text
+    MinHash-LSH pairs (:func:`dedup_minhash_lsh`) and embedding
+    hyperplane-LSH pairs (:func:`dedup_embedding_lsh`); the corpus
+    keys its text row and its embedding row by the same id, so
+    duplicate evidence from EITHER modality merges items into one
+    entity cluster.  This is the resolution step a multimodal corpus
+    needs: a paraphrase cluster invisible to shingles is stitched by
+    embeddings, an embedding-drifted exact repost is stitched by
+    shingles, and the union graph is what keep-one-per-entity must
+    run over (keeping per-family survivors independently double-keeps
+    entities that straddle families).
+
+    Per clustered item: its cluster, which famil(ies) implicated it,
+    the cluster size, and whether the cluster is CROSS-MODAL (holds
+    evidence from both families — the rows that justify running both
+    blockers at 100 TB, measured rather than assumed).
+
+    Scale shape: both pair families are collision-bounded (never
+    all-pairs); the union/distinct and the min-label-propagation
+    rounds shuffle pair-sized id frames only; membership flags and
+    per-cluster rollups are cluster-sized, broadcast back.
+    """
+    tp = (
+        dedup_minhash_lsh(t)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    ep = (
+        dedup_embedding_lsh(t)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    labels = _connected_components(tp.unionByName(ep).distinct())
+
+    def members(pairs: DataFrame, flag: str) -> DataFrame:
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    m = (
+        labels.join(members(tp, "text_dup"), "doc_id", "left")
+        .join(members(ep, "embed_dup"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce("text_dup", F.lit(False)).alias("text_dup"),
+            F.coalesce("embed_dup", F.lit(False)).alias("embed_dup"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cstats = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.max("text_dup").alias("has_text"),
+        F.max("embed_dup").alias("has_embed"),
+    )
+    return m.join(F.broadcast(cstats), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "text_dup",
+        "embed_dup",
+        "cluster_size",
+        (F.col("has_text") & F.col("has_embed")).alias("cross_modal"),
+    )
+
+
+def _crossmodal_oracle() -> str:
+    return f"""
+WITH RECURSIVE tp AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_ORACLE})
+),
+ep AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_EMBEDDING_LSH_ORACLE})
+),
+upairs AS (SELECT * FROM tp UNION SELECT * FROM ep),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM upairs
+    UNION
+    SELECT doc_b, doc_a FROM upairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT R.doc_id, e.dst FROM reach R JOIN edges e ON R.r = e.src
+),
+lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+tm AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM tp UNION SELECT doc_b FROM tp
+    )
+),
+em AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM ep UNION SELECT doc_b FROM ep
+    )
+),
+flagged AS (
+    SELECT l.doc_id, l.cluster_id,
+           tm.doc_id IS NOT NULL AS text_dup,
+           em.doc_id IS NOT NULL AS embed_dup
+    FROM lab l
+    LEFT JOIN tm ON tm.doc_id = l.doc_id
+    LEFT JOIN em ON em.doc_id = l.doc_id
+),
+cstats AS (
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           bool_or(text_dup) AS has_text,
+           bool_or(embed_dup) AS has_embed
+    FROM flagged GROUP BY 1
+)
+SELECT f.doc_id, f.cluster_id, f.text_dup, f.embed_dup,
+       c.cluster_size, c.has_text AND c.has_embed AS cross_modal
+FROM flagged f JOIN cstats c ON f.cluster_id = c.cluster_id
+"""
+
+
+# (CROSSMODAL_CLUSTERS_ORACLE is assigned at module end: its builder
+# embeds DEDUP_EMBEDDING_LSH_ORACLE, which is defined further down.)
 
 
 # --- quality-aware dedup (keep the BEST copy, not the first) ---------------
@@ -2755,3 +2892,6 @@ SELECT th.threshold,
 FROM th JOIN pairs p ON p.jaccard >= th.threshold
 GROUP BY 1
 """
+
+
+CROSSMODAL_CLUSTERS_ORACLE = _crossmodal_oracle()

@@ -890,6 +890,160 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
 """
 
 
+# --- Johnson-Lindenstrauss random projection --------------------------------
+
+JL_K = 16  # projected dimensionality (DIM 64 -> 16, a 4x cut)
+
+
+def jl_project(t: dict[str, DataFrame]) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection (Achlioptas 2003,
+    "Database-friendly random projections"): project every embedding
+    from DIM=64 to ``JL_K``=16 dims with a deterministic ±1 matrix
+    (md5-derived signs, shared bit-exactly with the oracle), scaled by
+    1/√k so squared distances are preserved in expectation — the cheap
+    dimensionality cut a vector corpus takes before indexing when 4×
+    less ANN scan traffic is worth a measured distance distortion.
+    The op EMITS that measurement (the JL analog of the recall gates):
+    over the bounded query-vs-corpus pair set, the mean/max relative
+    error of pairwise euclidean distance under projection and the
+    fraction of pairs within 10% — the numbers that decide k before
+    committing the 100 TB re-index.
+
+    Scale shape: the sign matrix is k×DIM literals (broadcast); the
+    projection is one narrow pass per vector (posexplode → sign join →
+    (vec, k)-keyed partial-combining sum — 16 rows per vector cross
+    the exchange, not 64); distances reuse the brute-force bounded
+    shape (``ANN_QUERY_CAP`` lowest-id queries broadcast against the
+    corpus scan); the per-pair relative errors are rounded then summed
+    as exact DECIMAL, so the one-row gate is order-independent across
+    engines.
+    """
+    emb = _corpus(t).select("vec_id", "v")
+    spark = emb.sparkSession
+    signs = spark.createDataFrame(
+        [
+            (k, j, hex_sign(f"jl{k}:{j}"))
+            for k in range(JL_K)
+            for j in range(DIM)
+        ],
+        "k int, j int, s int",
+    )
+    e = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
+    proj = (
+        e.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.round(
+                F.sum(F.col("s") * F.col("x")) / F.lit(float(JL_K) ** 0.5), 6
+            ).alias("y")
+        )
+    )
+    parr = (
+        proj.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("k", "y"))).alias("s"))
+        .select("vec_id", F.transform("s", lambda s: s["y"]).alias("p"))
+    )
+    base = emb.join(parr, "vec_id")
+    q = (
+        base.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("p").alias("qp"),
+        )
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    d_orig = F.round(F.sqrt(sqdist(F.col("qv"), F.col("v"))), 6)
+    d_proj = F.round(F.sqrt(sqdist(F.col("qp"), F.col("p"))), 6)
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(d_orig.alias("d0"), d_proj.alias("dp"))
+        .filter(F.col("d0") > 0)
+        .select(
+            F.round(F.abs(F.col("dp") - F.col("d0")) / F.col("d0"), 6).alias(
+                "rel_err"
+            )
+        )
+    )
+    return pairs.agg(
+        F.lit(JL_K).cast("long").alias("k_dims"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("rel_err").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_rel_err"),
+        F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+        F.round(
+            F.sum(F.when(F.col("rel_err") <= 0.10, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_within_10pct"),
+    )
+
+
+JL_PROJECT_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) - 1 AS j
+    FROM embeddings
+),
+signs AS (
+    SELECT k, j,
+           CASE WHEN substring(md5('jl' || CAST(k AS VARCHAR) || ':'
+                                    || CAST(j AS VARCHAR)), 1, 1) >= '8'
+                THEN 1 ELSE -1 END AS s
+    FROM range(0, {JL_K}) t1(k), range(0, {DIM}) t2(j)
+),
+proj AS (
+    SELECT e.vec_id, sg.k,
+           round(sum(sg.s * e.x) / sqrt({JL_K}.0), 6) AS y
+    FROM e JOIN signs sg ON e.j = sg.j
+    GROUP BY 1, 2
+),
+qcap AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+         ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
+d0 AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           round(sqrt(sum((a.x - b.x) * (a.x - b.x))), 6) AS d0
+    FROM e a JOIN e b ON a.j = b.j AND a.vec_id != b.vec_id
+    WHERE a.vec_id IN (SELECT vec_id FROM qcap)
+    GROUP BY 1, 2
+),
+dp AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           round(sqrt(sum((a.y - b.y) * (a.y - b.y))), 6) AS dp
+    FROM proj a JOIN proj b ON a.k = b.k AND a.vec_id != b.vec_id
+    WHERE a.vec_id IN (SELECT vec_id FROM qcap)
+    GROUP BY 1, 2
+),
+rel AS (
+    SELECT round(abs(dp.dp - d0.d0) / d0.d0, 6) AS rel_err
+    FROM d0 JOIN dp ON d0.query_id = dp.query_id
+                   AND d0.cand_id = dp.cand_id
+    WHERE d0.d0 > 0
+)
+SELECT CAST({JL_K} AS BIGINT) AS k_dims,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(rel_err AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_rel_err,
+       round(max(rel_err), 6) AS max_rel_err,
+       round(sum(CASE WHEN rel_err <= 0.10 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS frac_within_10pct
+FROM rel
+"""
+
+
 # --------------------------------------------------------------------------
 # Mutual k-NN graph (the neighborhood structure behind semantic dedup /
 # clustering — reference has no graph surface; north-star extension)

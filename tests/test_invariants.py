@@ -559,6 +559,56 @@ def test_filter_attribution_arithmetic(t):
     assert sum(r["n_docs"] for r in rows) == t["documents"].count()
 
 
+def test_crossmodal_clusters_union_refines_families(t):
+    """The union graph can only MERGE clusters, never split them:
+    every text-only cluster (dedup_clusters) maps entirely inside one
+    cross-modal cluster; every member is implicated by at least one
+    family; cross_modal clusters really hold evidence from both."""
+    rows = dd.crossmodal_clusters(t).collect()
+    assert rows
+    assert all(r["text_dup"] or r["embed_dup"] for r in rows)
+    cm = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # refinement: text clusters never straddle cross-modal clusters
+    text_groups: dict[int, set] = {}
+    for x in dd.dedup_clusters(t).collect():
+        text_groups.setdefault(x["cluster_id"], set()).add(cm[x["doc_id"]])
+    assert text_groups and all(len(g) == 1 for g in text_groups.values())
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        sizes = {m["cluster_size"] for m in members}
+        assert sizes == {len(members)}
+        want_cm = any(m["text_dup"] for m in members) and any(
+            m["embed_dup"] for m in members
+        )
+        assert all(m["cross_modal"] == want_cm for m in members)
+    # the corpus genuinely exhibits a cross-modal stitch
+    assert any(r["cross_modal"] for r in rows)
+
+
+def test_jl_project_distortion_sane(t):
+    """The projection gate's numbers are probabilities/ratios in
+    range, the pair population matches the capped-query contract, and
+    with k=DIM/4 the typical distortion is moderate (JL bound) while
+    max can exceed it — avg strictly below max on real data."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    [r] = sim.jl_project(t).collect()
+    assert r["k_dims"] == sim.JL_K
+    n_q = (
+        t["embeddings"].filter(F.col("vec_id") % sim.QUERY_MOD == 0).count()
+    )
+    n = t["embeddings"].count()
+    assert r["n_pairs"] <= min(n_q, sim.ANN_QUERY_CAP) * (n - 1)
+    assert 0.0 <= r["avg_rel_err"] <= r["max_rel_err"]
+    assert 0.0 <= r["frac_within_10pct"] <= 1.0
+    # 16 random signs per dim: typical relative distance error should
+    # land well under 100% (sanity that the math is a projection, not
+    # noise) — JL with k=16 gives ~1/sqrt(k) scale distortion
+    assert r["avg_rel_err"] < 0.5
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —

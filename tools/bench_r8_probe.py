@@ -25,6 +25,8 @@ QUERIES = [
     "ann_topk_ivfpq",
     "ivfpq_recall",
     "filter_attribution",
+    "crossmodal_clusters",
+    "jl_project",
     # r8-touched: capped sq_recall query set
     "sq_recall",
 ]
