@@ -1200,6 +1200,262 @@ def stream_domain_kl(
     return allr.filter(F.col("batch") == last).drop("batch")
 
 
+# --- streaming filter-attribution cascade monitor -----------------------------
+
+_FA_CNT_SCHEMA = (
+    "source string, n_docs long, n_gopher_rejected long, "
+    "n_quality_rejected long, n_exact_dup long, n_near_dup long, "
+    "n_rejected_any long, n_multi_rejected long"
+)
+
+
+def stream_filter_attribution(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.selection.filter_attribution`` —
+    the ingest-time cascade monitor: every micro-batch scores its
+    documents against the four standing gates and folds per-source
+    rejection counters cumulatively.  Under id-ordered arrival every
+    verdict is FINAL at arrival, so the counters are purely additive
+    (no history re-scoring, unlike ``stream_line_dedup``'s flips):
+
+    - Gopher and quality are per-row expressions (batch-invariant);
+    - exact-dup's batch rule ("not the min-id of my hash group") is
+      first-arrival-wins — flag a doc whose md5(text) is already in
+      the persisted digest index or held by a smaller id in the same
+      batch;
+    - near-dup's batch rule ("the HIGHER id of a verified pair") means
+      the flagged side is always the later-arriving one — flag a doc
+      that Jaccard-verifies against an indexed doc or an earlier
+      (smaller-id) doc of the same batch.  The indexes ingest ALL
+      arriving docs (the batch operator's pair population is the full
+      corpus, not gate survivors).
+
+    State (``maintain_snapshot`` commit discipline): per batch its
+    digest/band/gram contributions (append-only, the
+    ``stream_minhash_index`` asymmetry — history text never
+    re-shuffles), plus the CUMULATIVE per-source counter rollup
+    (n_sources rows, superseded copies pruned).  Equivalence contract
+    (tested): after draining an id-ordered stream the latest snapshot
+    equals one-shot ``filter_attribution`` over the full corpus.
+    Returns the latest committed snapshot (same schema as the batch
+    operator).
+    """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_gram_arrays,
+        _lsh_bands,
+    )
+    from ..operators.selection import gopher_rules
+    from ..operators.text_analysis import QUALITY_THRESHOLD, text_stats
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "filter-attribution monitor"
+        ):
+            return
+        batch_df = batch_df.localCheckpoint(eager=False)
+        t_b = {"documents": batch_df}
+
+        g = gopher_rules(t_b).select(
+            "doc_id", (~F.col("keep")).alias("r_gopher")
+        )
+        q = text_stats(t_b).select(
+            "doc_id",
+            (F.col("quality_score") < QUALITY_THRESHOLD).alias("r_quality"),
+        )
+
+        # exact-dup: in the digest index, or a smaller batch id holds it
+        hashed = batch_df.select(
+            "doc_id", "source", F.md5("text").alias("h")
+        ).localCheckpoint(eager=False)
+        first = hashed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+        ex = hashed.join(first, "h").select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") != F.col("first_id")).alias("later_copy"),
+            "h",
+        )
+        hash_dirs = _committed_dirs(root, "hashes")
+        if hash_dirs:
+            # distinct BEFORE the flag join: the index holds one row per
+            # historical DOC, so a twice-seen digest would otherwise fan
+            # the probe join out and inflate the counters
+            idx_h = (
+                spark.read.schema(_HASH_SCHEMA)
+                .parquet(*hash_dirs)
+                .distinct()
+                .withColumn("seen", F.lit(True))
+            )
+            ex = ex.join(F.broadcast(idx_h), "h", "left").select(
+                "doc_id",
+                "source",
+                (
+                    F.col("later_copy")
+                    | F.coalesce(F.col("seen"), F.lit(False))
+                ).alias("r_exact"),
+            )
+        else:
+            ex = ex.select(
+                "doc_id", "source", F.col("later_copy").alias("r_exact")
+            )
+
+        # near-dup: verified against an earlier doc (index or batch)
+        arr = _doc_gram_arrays(batch_df).localCheckpoint(eager=False)
+        bands = _lsh_bands(arr)
+        cand_self = (
+            bands.alias("x")
+            .join(
+                bands.select("band_id", "sig", "doc_id").alias("y"),
+                ["band_id", "sig"],
+            )
+            .filter(F.col("y.doc_id") < F.col("x.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("later"),
+                F.col("y.doc_id").alias("earlier"),
+            )
+        )
+        band_dirs = _committed_dirs(root, "bands")
+        if band_dirs:
+            idx_b = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
+            cand_cross = bands.join(
+                idx_b.select("band_id", "sig", F.col("doc_id").alias("old_id")),
+                ["band_id", "sig"],
+            ).select(
+                F.col("doc_id").alias("later"),
+                F.col("old_id").alias("earlier"),
+            )
+            cand = cand_self.unionByName(cand_cross)
+            all_grams = arr.unionByName(
+                spark.read.schema(_GRAM_SCHEMA).parquet(
+                    *_committed_dirs(root, "grams")
+                )
+            )
+        else:
+            cand = cand_self
+            all_grams = arr
+        cand = cand.distinct()
+        ga = all_grams.select(
+            F.col("doc_id").alias("later"),
+            F.col("grams").alias("gra"),
+            F.col("n").alias("na"),
+        )
+        gb = all_grams.select(
+            F.col("doc_id").alias("earlier"),
+            F.col("grams").alias("grb"),
+            F.col("n").alias("nb"),
+        )
+        inter = F.size(F.array_intersect("gra", "grb"))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        near = (
+            cand.join(ga, "later")
+            .join(gb, "earlier")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select(F.col("later").alias("doc_id"))
+            .distinct()
+            .withColumn("r_near", F.lit(True))
+        )
+
+        flags = (
+            ex.join(g, "doc_id")
+            .join(q, "doc_id")
+            .join(F.broadcast(near), "doc_id", "left")
+            .select(
+                "source",
+                "r_gopher",
+                "r_quality",
+                "r_exact",
+                F.coalesce(F.col("r_near"), F.lit(False)).alias("r_near"),
+            )
+            .withColumn(
+                "n_rej",
+                sum(
+                    F.col(c).cast("int")
+                    for c in ("r_gopher", "r_quality", "r_exact", "r_near")
+                ),
+            )
+        )
+        cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+        bc = flags.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt("r_gopher").alias("n_gopher_rejected"),
+            cnt("r_quality").alias("n_quality_rejected"),
+            cnt("r_exact").alias("n_exact_dup"),
+            cnt("r_near").alias("n_near_dup"),
+            F.sum(F.when(F.col("n_rej") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rejected_any"),
+            F.sum(F.when(F.col("n_rej") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_rejected"),
+        )
+        latest = _latest_committed_dir(root, "counters")
+        if latest is not None:
+            prev = spark.read.schema(_FA_CNT_SCHEMA).parquet(latest)
+            cum = (
+                prev.unionByName(bc)
+                .groupBy("source")
+                .agg(
+                    *[
+                        F.sum(c).cast("long").alias(c)
+                        for c in (
+                            "n_docs",
+                            "n_gopher_rejected",
+                            "n_quality_rejected",
+                            "n_exact_dup",
+                            "n_near_dup",
+                            "n_rejected_any",
+                            "n_multi_rejected",
+                        )
+                    ]
+                )
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+
+        out = os.path.join(root, f"batch={batch_id}")
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counters"))
+        hashed.select("h").write.mode("overwrite").parquet(
+            os.path.join(out, "hashes")
+        )
+        bands.select("doc_id", "band_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counters")  # cumulative: latest only
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _latest_committed_dir(root, "counters")
+    if latest is None:
+        return spark.createDataFrame(
+            [], _FA_CNT_SCHEMA + ", survival_frac double"
+        )
+    cum = spark.read.schema(_FA_CNT_SCHEMA).parquet(latest)
+    return cum.select(
+        "*",
+        F.round(
+            (F.col("n_docs") - F.col("n_rejected_any")) / F.col("n_docs"), 4
+        ).alias("survival_frac"),
+    )
+
+
 # --- streaming UniMax token-budget controller ---------------------------------
 
 _TB_AVAIL_SCHEMA = "source string, avail long"

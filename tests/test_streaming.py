@@ -2021,6 +2021,90 @@ def test_stream_token_budget_every_snapshot_equals_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "batch=1", "avail"))
 
 
+def test_stream_filter_attribution_equals_batch(spark, tmp_path):
+    """The ingest-time cascade monitor drained over a mid-corpus
+    id-ordered cut folds to EXACTLY the one-shot filter_attribution
+    table (verdicts are final at arrival: Gopher/quality are per-row,
+    exact-dup is first-arrival-wins, near-dup flags the later side),
+    and the cumulative counter rollup is pruned to its latest copy."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_filter_attribution,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_filter_attribution(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in sel.filter_attribution(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    # both batches committed; superseded counter rollup pruned
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counters"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counters"))
+    # the near-dup/exact gates really exercised the cross-batch index
+    # (batch 1 flags against batch 0's digests/bands): the one-shot
+    # table must show dup rejections that a batch-0-only run lacks
+    half = sel.filter_attribution(
+        {"documents": docs.filter(F.col("doc_id") <= cut)}
+    ).collect()
+    full_dups = sum(r["n_exact_dup"] + r["n_near_dup"] for r in half)
+    got_dups = sum(
+        r["n_exact_dup"] + r["n_near_dup"] for r in folded.collect()
+    )
+    assert got_dups >= full_dups
+
+
+def test_stream_filter_attribution_twice_seen_digest(spark, tmp_path):
+    """A digest already held by TWO history docs must flag a new copy
+    once, not fan the probe join out: three identical docs split 2+1
+    across the cut fold to exactly the one-shot table (n_docs exact,
+    one exact-dup per later copy)."""
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.streaming import (
+        stream_filter_attribution,
+    )
+
+    text = "the and is in it of to a " * 20  # stopword-rich: gates pass
+    docs = spark.createDataFrame(
+        [(i, text, "en", "webA", len(text)) for i in (1, 2, 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "src")
+    docs.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id = 3").coalesce(1).write.mode("append").parquet(src)
+    folded = stream_filter_attribution(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+    )
+    [got] = folded.collect()
+    assert got["n_docs"] == 3  # no fanout inflation
+    assert got["n_exact_dup"] == 2  # docs 2 and 3, once each
+    want = {tuple(r) for r in sel.filter_attribution({"documents": docs}).collect()}
+    assert {tuple(r) for r in folded.collect()} == want
+
+
 def test_latest_committed_dir_numeric_order(tmp_path):
     """batch=10 must beat batch=2 (numeric, not lexicographic), and
     uncommitted dirs past the pointer are ignored."""
