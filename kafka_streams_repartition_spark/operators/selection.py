@@ -1567,15 +1567,23 @@ def temperature_mixture(t: dict[str, DataFrame]) -> DataFrame:
     DECIMAL(28,12) so shuffle-order double addition cannot diverge
     from the oracle's sequential sum.
     """
-    from pyspark.sql import Window
-
-    full = Window.partitionBy()
     avail = (
         fan_out(t["documents"])
         .select("source", F.size(words(F.col("text"))).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("avail"))
     )
+    return _temperature_fill(avail)
+
+
+def _temperature_fill(avail: DataFrame) -> DataFrame:
+    """The p^alpha allocation over a (source, avail) token rollup —
+    shared by :func:`temperature_mixture` and the streaming mixture
+    table (``streaming.embindex.stream_mixture_plan``) so the two
+    faces cannot diverge.  Pure window math over n_sources rows."""
+    from pyspark.sql import Window
+
+    full = Window.partitionBy()
     base = (
         avail.withColumn("n_tot", F.sum("avail").over(full))
         .withColumn(
@@ -1858,15 +1866,25 @@ def mixture_plan(t: dict[str, DataFrame]) -> DataFrame:
     inherits the trio's ONE-corpus-scan-per-diagnostic shape —
     constant-size final state at any corpus scale.
     """
-    kl = domain_kl(t).select("source", "n_terms", "kl_nats")
-    ub = token_budget(t).select(
+    return _mixture_table(domain_kl(t), token_budget(t), temperature_mixture(t))
+
+
+def _mixture_table(
+    kl_snap: DataFrame, ub_snap: DataFrame, tm_snap: DataFrame
+) -> DataFrame:
+    """Join the three mixture diagnostics into the decision table —
+    shared by :func:`mixture_plan` and the streaming face
+    (``streaming.embindex.stream_mixture_plan``) so column semantics
+    cannot diverge.  All three inputs are n_sources-row rollups."""
+    kl = kl_snap.select("source", "n_terms", "kl_nats")
+    ub = ub_snap.select(
         "source",
         "avail_tokens",
         F.col("capped").alias("unimax_capped"),
         F.col("alloc_tokens").alias("unimax_tokens"),
         F.col("epochs").alias("unimax_epochs"),
     )
-    tm = temperature_mixture(t).select(
+    tm = tm_snap.select(
         "source",
         F.col("weight").alias("temp_weight"),
         F.col("alloc_tokens").alias("temp_tokens"),
@@ -1937,6 +1955,34 @@ def filter_attribution(t: dict[str, DataFrame]) -> DataFrame:
     final rollup is one partial-combining groupBy(source) over boolean
     flags.  Document text never crosses an exchange.
     """
+    flags = _gate_flags(t)
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt("r_gopher").alias("n_gopher_rejected"),
+        cnt("r_quality").alias("n_quality_rejected"),
+        cnt("r_exact").alias("n_exact_dup"),
+        cnt("r_near").alias("n_near_dup"),
+        F.sum(F.when(F.col("n_rej") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rejected_any"),
+        F.sum(F.when(F.col("n_rej") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_rejected"),
+        F.round(
+            F.sum(F.when(F.col("n_rej") == 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("survival_frac"),
+    )
+
+
+def _gate_flags(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document verdicts of the four standing gates —
+    (doc_id, source, r_gopher, r_quality, r_exact, r_near, n_rej);
+    the shared frame behind :func:`filter_attribution` and
+    :func:`token_yield` (and the per-batch scoring of
+    ``streaming.embindex.stream_filter_attribution``)."""
     from .dedup import dedup_minhash_lsh
     from .text_analysis import QUALITY_THRESHOLD, text_stats
 
@@ -1969,6 +2015,7 @@ def filter_attribution(t: dict[str, DataFrame]) -> DataFrame:
         .join(q, "doc_id")
         .join(F.broadcast(near), "doc_id", "left")
         .select(
+            "doc_id",
             "source",
             "r_gopher",
             "r_quality",
@@ -1977,25 +2024,7 @@ def filter_attribution(t: dict[str, DataFrame]) -> DataFrame:
         )
         .withColumn("n_rej", n_rej)
     )
-    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
-    return flags.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        cnt("r_gopher").alias("n_gopher_rejected"),
-        cnt("r_quality").alias("n_quality_rejected"),
-        cnt("r_exact").alias("n_exact_dup"),
-        cnt("r_near").alias("n_near_dup"),
-        F.sum(F.when(F.col("n_rej") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_rejected_any"),
-        F.sum(F.when(F.col("n_rej") >= 2, 1).otherwise(0))
-        .cast("long")
-        .alias("n_multi_rejected"),
-        F.round(
-            F.sum(F.when(F.col("n_rej") == 0, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("survival_frac"),
-    )
+    return flags
 
 
 def _filter_attribution_oracle() -> str:
@@ -2053,3 +2082,100 @@ GROUP BY 1
 FILTER_ATTRIBUTION_ORACLE = _filter_attribution_oracle()
 
 __all__.append("filter_attribution")
+
+
+def token_yield(t: dict[str, DataFrame]) -> DataFrame:
+    """The TOKEN funnel through the canonical gate cascade — what
+    :func:`filter_attribution` counts in documents, this weighs in
+    training tokens, because gates do not reject uniformly by length
+    (Gopher's word-count bounds by construction do not) and the number
+    a pretraining run actually budgets is surviving TOKENS per source:
+    cumulative token mass after each stage in the corpus_curation
+    order (Gopher rule battery → quality threshold → exact-dup keeper
+    → near-dup keeper), each stage applied to the previous stage's
+    survivors, with the final token survival fraction.  Verdicts are
+    the standing per-gate flags (one corpus pass, shared with
+    filter_attribution via ``_gate_flags``), so the funnel re-weighs
+    rather than re-runs the gates.
+
+    Scale shape: one extra keyed join of (doc_id, n_tokens) onto the
+    flag frame, then one partial-combining groupBy(source) over five
+    conditional token sums.
+    """
+    from .text_analysis import text_stats
+
+    flags = _gate_flags(t).join(
+        text_stats(t).select("doc_id", "n_tokens"), "doc_id"
+    )
+    s1 = ~F.col("r_gopher")
+    s2 = s1 & ~F.col("r_quality")
+    s3 = s2 & ~F.col("r_exact")
+    s4 = s3 & ~F.col("r_near")
+    tok = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("n_tokens")).otherwise(F.lit(0))
+    ).cast("long")
+    return flags.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        tok(s1).alias("tokens_after_gopher"),
+        tok(s2).alias("tokens_after_quality"),
+        tok(s3).alias("tokens_after_exact"),
+        tok(s4).alias("tokens_after_near"),
+        F.round(
+            tok(s4) / F.sum("n_tokens"),
+            4,
+        ).alias("token_survival_frac"),
+    )
+
+
+def _token_yield_oracle() -> str:
+    from .dedup import DEDUP_MINHASH_LSH_ORACLE
+    from .text_analysis import QUALITY_THRESHOLD, TEXT_STATS_ORACLE
+
+    return f"""
+WITH grj AS (SELECT doc_id, keep FROM ({GOPHER_RULES_ORACLE})),
+st AS ({TEXT_STATS_ORACLE}),
+pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+hsh AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+kp AS (SELECT digest, min(doc_id) AS keeper_id FROM hsh GROUP BY 1),
+flags AS (
+    SELECT hsh.doc_id, hsh.source, st.n_tokens,
+           NOT g.keep AS r_gopher,
+           st.quality_score < {QUALITY_THRESHOLD} AS r_quality,
+           hsh.doc_id != kp.keeper_id AS r_exact,
+           nd.doc_id IS NOT NULL AS r_near
+    FROM hsh
+    JOIN kp ON hsh.digest = kp.digest
+    JOIN grj g ON g.doc_id = hsh.doc_id
+    JOIN st ON st.doc_id = hsh.doc_id
+    LEFT JOIN nd ON nd.doc_id = hsh.doc_id
+),
+surv AS (
+    SELECT source, n_tokens,
+           NOT r_gopher AS s1,
+           NOT r_gopher AND NOT r_quality AS s2,
+           NOT r_gopher AND NOT r_quality AND NOT r_exact AS s3,
+           NOT r_gopher AND NOT r_quality AND NOT r_exact AND NOT r_near
+               AS s4
+    FROM flags
+)
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(sum(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_after_gopher,
+       CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_after_quality,
+       CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_after_exact,
+       CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_after_near,
+       round(CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / sum(n_tokens), 4) AS token_survival_frac
+FROM surv
+GROUP BY 1
+"""
+
+
+TOKEN_YIELD_ORACLE = _token_yield_oracle()
+
+__all__.append("token_yield")

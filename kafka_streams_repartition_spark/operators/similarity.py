@@ -842,6 +842,70 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _recall_one_row(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """(n_truth, n_approx, n_hits, recall) — the shared one-row recall
+    reduction behind every ANN acceptance gate in this module."""
+    hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_approx))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+def lsh_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the hyperplane-LSH index (:func:`ann_topk_lsh`)
+    against the brute-force truth — the banding family's forfeit is
+    what no random signature separates; with this gate every
+    approximate index in the module ships with its loss measured
+    (IVF: ``ann_recall_eval``; IVF-PQ: ``ivfpq_recall``; PQ:
+    ``pq_recall``; SQ: ``sq_recall``)."""
+    return _recall_one_row(
+        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        ann_topk_lsh(t).select("query_id", "cand_id"),
+    )
+
+
+def pq_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of full-scan PQ ADC ranking (:func:`ann_topk_pq`)
+    against the brute-force truth — unlike the blocked indexes this
+    gate isolates PURE quantization loss (every candidate is scored,
+    only the distance is compressed), so comparing it with
+    ``ivfpq_recall`` decomposes the composed index's forfeit into its
+    cell-blocking and code-quantization parts."""
+    return _recall_one_row(
+        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        ann_topk_pq(t).select("query_id", "cand_id"),
+    )
+
+
+def _recall_oracle(approx_oracle: str) -> str:
+    return f"""
+WITH bf AS ({ANN_TOPK_BRUTEFORCE_ORACLE}),
+ap AS ({approx_oracle}),
+hits AS (
+    SELECT bf.query_id, bf.cand_id
+    FROM bf WHERE EXISTS (
+        SELECT 1 FROM ap
+        WHERE ap.query_id = bf.query_id AND ap.cand_id = bf.cand_id
+    )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS recall
+"""
+
+
 def ivfpq_recall(t: dict[str, DataFrame]) -> DataFrame:
     """Recall@k of the composed IVF-PQ index against the brute-force
     ground truth — the acceptance gate for :func:`ann_topk_ivfpq`,
@@ -888,6 +952,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
        round((SELECT count(*) FROM hits) * 1.0
              / (SELECT count(*) FROM bf), 4) AS recall
 """
+
+# (LSH_RECALL_ORACLE / PQ_RECALL_ORACLE are assigned at module end:
+# their builders embed oracles defined further down.)
 
 
 # --- Johnson-Lindenstrauss random projection --------------------------------
@@ -2071,3 +2138,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
        round((SELECT count(*) FROM hits) * 1.0
              / (SELECT count(*) FROM tr), 4) AS recall
 """
+
+
+LSH_RECALL_ORACLE = _recall_oracle(ANN_TOPK_LSH_ORACLE)
+PQ_RECALL_ORACLE = _recall_oracle(ANN_TOPK_PQ_ORACLE)

@@ -1200,6 +1200,112 @@ def stream_domain_kl(
     return allr.filter(F.col("batch") == last).drop("batch")
 
 
+# --- streaming mixture-plan decision table -------------------------------------
+
+_MP_SCHEMA = (
+    "source string, avail_tokens long, n_terms long, kl_nats double, "
+    "unimax_capped boolean, unimax_tokens double, unimax_epochs double, "
+    "temp_weight double, temp_tokens double, temp_epochs double, "
+    "epoch_delta double, batch long"
+)
+
+
+def stream_mixture_plan(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.selection.mixture_plan`` — the
+    full mixture decision table maintained continuously: every
+    micro-batch folds its (source, term) token counts into ONE
+    persisted vocabulary-sized rollup (the same state as
+    ``stream_domain_kl`` — the per-source availability the allocation
+    policies need is just that table's per-source sum, because
+    ``token_budget`` and ``domain_kl`` tokenize identically) and emits
+    the joined KL / UniMax / temperature snapshot via the batch
+    operators' own kernels (``_kl_from_counts``, ``_unimax_fill``,
+    ``_temperature_fill``, ``_mixture_table``), so the two faces
+    cannot diverge.  All three diagnostics are global functionals —
+    snapshots recompute from the folded counts, never patch.
+
+    State: ``batch=<id>/counts`` (cumulative, superseded copies
+    pruned) + ``batch=<id>/plan`` (the decision-table snapshot, the
+    curve a mixture review tails).  Equivalence contract (tested):
+    every batch's snapshot equals one-shot ``mixture_plan`` over
+    exactly the documents ingested so far.  Returns the latest
+    committed snapshot.
+    """
+    from ..functions.text import words
+    from ..operators.selection import (
+        _kl_from_counts,
+        _mixture_table,
+        _temperature_fill,
+        _unimax_fill,
+    )
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "mixture-plan monitor"
+        ):
+            return
+        bc = (
+            batch_df.select(
+                "source",
+                F.explode_outer(words(F.col("text"))).alias("term"),
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+            .localCheckpoint(eager=False)
+        )
+        latest = _latest_committed_dir(root, "counts")
+        if latest is not None:
+            cum = (
+                spark.read.schema(_KL_CNT_SCHEMA)
+                .parquet(latest)
+                .unionByName(bc)
+                .groupBy("source", "term")
+                .agg(F.sum("c_st").alias("c_st"))
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+        avail = cum.groupBy("source").agg(F.sum("c_st").alias("avail"))
+        snap = _mixture_table(
+            _kl_from_counts(cum), _unimax_fill(avail), _temperature_fill(avail)
+        )
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "plan"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counts")  # cumulative: latest only
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    plan_dirs = _committed_dirs(root, "plan")
+    if not plan_dirs:
+        return spark.createDataFrame(
+            [], _MP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_MP_SCHEMA).parquet(*plan_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
 # --- streaming filter-attribution cascade monitor -----------------------------
 
 _FA_CNT_SCHEMA = (

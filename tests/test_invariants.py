@@ -609,6 +609,49 @@ def test_jl_project_distortion_sane(t):
     assert r["avg_rel_err"] < 0.5
 
 
+def test_token_yield_funnel_monotone(t):
+    """The token funnel can only shrink through the cascade, and its
+    endpoints are consistent: totals cover the corpus' tokens and the
+    survival fraction is the last stage over the first."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+
+    rows = sl.token_yield(t).collect()
+    assert rows
+    for r in rows:
+        chain = [
+            r["n_tokens_total"],
+            r["tokens_after_gopher"],
+            r["tokens_after_quality"],
+            r["tokens_after_exact"],
+            r["tokens_after_near"],
+        ]
+        assert all(a >= b >= 0 for a, b in zip(chain, chain[1:]))
+        want = r["tokens_after_near"] / r["n_tokens_total"]
+        assert abs(r["token_survival_frac"] - want) < 5.1e-5
+    total = sum(r["n_tokens_total"] for r in rows)
+    want_total = (
+        tx.text_stats(t).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert total == want_total
+
+
+def test_ann_recall_gates_bounds(t):
+    """Every ANN acceptance gate reports a probability, and the
+    full-scan PQ gate ranks exactly the truth's query set (only the
+    distance is compressed) while the blocked LSH gate may rank
+    fewer."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    [pq] = sim.pq_recall(t).collect()
+    [lsh] = sim.lsh_recall(t).collect()
+    for r in (pq, lsh):
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= min(r["n_truth"], r["n_approx"])
+    assert pq["n_approx"] == pq["n_truth"]  # full scan: same (q, k) grid
+    assert lsh["n_approx"] <= lsh["n_truth"]
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —

@@ -2105,6 +2105,50 @@ def test_stream_filter_attribution_twice_seen_digest(spark, tmp_path):
     assert {tuple(r) for r in folded.collect()} == want
 
 
+def test_stream_mixture_plan_every_snapshot_equals_batch(spark, tmp_path):
+    """The continuously-maintained mixture decision table equals
+    one-shot mixture_plan over exactly the documents ingested so far —
+    at EVERY cut (all three diagnostics are global functionals
+    recomputed from the one folded vocabulary rollup via the batch
+    kernels), and the rollup is pruned to its latest copy."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_mixture_plan
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text", "source")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first_half = docs.filter(F.col("doc_id") <= cut)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_mixture_plan(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in sel.mixture_plan(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "plan")).drop(
+        "batch"
+    )
+    want0 = {
+        tuple(r)
+        for r in sel.mixture_plan({"documents": first_half}).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
+
+
 def test_latest_committed_dir_numeric_order(tmp_path):
     """batch=10 must beat batch=2 (numeric, not lexicographic), and
     uncommitted dirs past the pointer are ignored."""

@@ -27,6 +27,9 @@ QUERIES = [
     "filter_attribution",
     "crossmodal_clusters",
     "jl_project",
+    "lsh_recall",
+    "pq_recall",
+    "token_yield",
     # r8-touched: capped sq_recall query set
     "sq_recall",
 ]

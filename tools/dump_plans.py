@@ -46,6 +46,12 @@ HEADLINERS = [
     ("pretrain_pipeline", "the whole pretraining path as ONE plan: gopher gate inlined into the digest scan, digest-keyed exact dedup, broadcast anti-join on the LSH loser set, one-shuffle shard packing"),
     ("audio_features", "media decode: fan-out then two chained Arrow stages over ONE documents scan - no keyed shuffle anywhere"),
     ("bpe_encode", "tokenizer apply: learned merges as map-side chained replaces; the only exchange is the per-source rollup"),
+    ("ann_topk_ivfpq", "composed IVF-PQ: probe list and ADC tables broadcast, candidates from an equi-join on cell id, DECIMAL-exact ADC sums, top-k rank prunable"),
+    ("filter_attribution", "gate cascade accounting: four flags from narrow maps + digest-keyed keeper + broadcast LSH loser set; text never crosses an exchange"),
+    ("token_yield", "token funnel: same one-pass flag frame re-weighed by n_tokens; one partial-combining groupBy(source)"),
+    ("minhash_band_tuning", "banding design curve: ONE pair-builder pass to a single aggregate row, layout fan-out AFTER the aggregate"),
+    ("jl_project", "JL projection: sign matrix broadcast, 16 rows per vector cross the exchange, bounded query broadcast for the distortion pairs"),
+    ("leakage_split", "split audit: bucket expression map-side, split tags joined onto the collision-bounded pair frame, one-row stitches"),
 ]
 
 
