@@ -652,6 +652,85 @@ def test_ann_recall_gates_bounds(t):
     assert lsh["n_approx"] <= lsh["n_truth"]
 
 
+def test_minhash_band_tuning_python_replica(t):
+    """The S-curve expectations equal an independent plain-python
+    replay over the same verified pairs: p = 1-(1-j^r)^b with integer
+    powers as left-assoc multiplication chains, per-pair rounding to
+    6, exact decimal summation — the operator's documented contract,
+    reproduced outside both engines."""
+    from decimal import Decimal
+
+    jacs = [r["jaccard"] for r in dd.dedup_minhash_lsh(t).collect()]
+    assert jacs
+
+    def ipow(x: float, n: int) -> float:
+        out = 1.0
+        for _ in range(n):
+            out = out * x
+        return out
+
+    rows = {r["bands"]: r for r in dd.minhash_band_tuning(t).collect()}
+    for b, r_ in dd.BAND_LAYOUTS:
+        want = sum(
+            Decimal(str(round(1.0 - ipow(1.0 - ipow(j, r_), b), 6)))
+            for j in jacs
+        )
+        got = rows[b]
+        assert got["n_pairs"] == len(jacs)
+        assert got["expected_caught"] == float(round(want, 4))
+        assert got["expected_recall"] == round(
+            float(want) / len(jacs), 4
+        )
+
+
+def test_jl_project_numpy_replica(spark):
+    """On a tiny constructed corpus the distortion gate equals an
+    independent numpy replay of the whole pipeline (signs from
+    hex_sign, 1/sqrt(k) scaling, per-value rounding at each stage the
+    operator rounds)."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.functions.hashing import hex_sign
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n = 25
+    vecs = [(i * sim.QUERY_MOD if i < 3 else i, rng.normal(size=64).tolist(), 0) for i in range(n)]
+    # ids 0, 100, 200 are queries; the rest are corpus-only
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    [got] = sim.jl_project({"embeddings": emb}).collect()
+
+    S = np.array(
+        [[hex_sign(f"jl{k}:{j}") for j in range(64)] for k in range(sim.JL_K)],
+        dtype=np.float64,
+    )
+    ids = np.array([v[0] for v in vecs])
+    X = np.array([v[1] for v in vecs])
+    Y = np.round(X @ S.T / np.sqrt(sim.JL_K), 6)
+    q_idx = [i for i, v in enumerate(ids) if v % sim.QUERY_MOD == 0]
+    q_idx = sorted(q_idx, key=lambda i: ids[i])[: sim.ANN_QUERY_CAP]
+    rels = []
+    for qi in q_idx:
+        for ci in range(n):
+            if ids[ci] == ids[qi]:
+                continue
+            d0 = round(float(np.sqrt(((X[qi] - X[ci]) ** 2).sum())), 6)
+            dp = round(float(np.sqrt(((Y[qi] - Y[ci]) ** 2).sum())), 6)
+            if d0 > 0:
+                rels.append(round(abs(dp - d0) / d0, 6))
+    assert got["n_pairs"] == len(rels)
+    assert got["max_rel_err"] == round(max(rels), 6)
+    from decimal import Decimal
+
+    s = sum(Decimal(str(r)) for r in rels)
+    assert got["avg_rel_err"] == float(round(s / len(rels), 6))
+    assert got["frac_within_10pct"] == round(
+        sum(1 for r in rels if r <= 0.10) / len(rels), 4
+    )
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —
