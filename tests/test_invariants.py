@@ -658,7 +658,7 @@ def test_minhash_band_tuning_python_replica(t):
     powers as left-assoc multiplication chains, per-pair rounding to
     6, exact decimal summation — the operator's documented contract,
     reproduced outside both engines."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     jacs = [r["jaccard"] for r in dd.dedup_minhash_lsh(t).collect()]
     assert jacs
@@ -669,6 +669,9 @@ def test_minhash_band_tuning_python_replica(t):
             out = out * x
         return out
 
+    def r4(d: Decimal) -> float:  # Spark round() is HALF_UP
+        return float(d.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
     rows = {r["bands"]: r for r in dd.minhash_band_tuning(t).collect()}
     for b, r_ in dd.BAND_LAYOUTS:
         want = sum(
@@ -677,7 +680,7 @@ def test_minhash_band_tuning_python_replica(t):
         )
         got = rows[b]
         assert got["n_pairs"] == len(jacs)
-        assert got["expected_caught"] == float(round(want, 4))
+        assert got["expected_caught"] == r4(want)
         assert got["expected_recall"] == round(
             float(want) / len(jacs), 4
         )
