@@ -2179,3 +2179,97 @@ GROUP BY 1
 TOKEN_YIELD_ORACLE = _token_yield_oracle()
 
 __all__.append("token_yield")
+
+
+def quality_calibration(t: dict[str, DataFrame]) -> DataFrame:
+    """Reliability table + expected calibration error (ECE) for the
+    trained :func:`quality_logreg` filter — the second half of the
+    classifier acceptance pair (:func:`quality_auc` measures
+    discrimination; this measures whether the PROBABILITIES mean what
+    they say, Guo et al. 2017 "On Calibration of Modern Neural
+    Networks" §2): fitted probabilities binned into ten fixed-width
+    bins, per bin the mean confidence vs the empirical positive rate,
+    and the doc-weighted ECE repeated on every row.  A score used as a
+    sampling weight (DSIR-style) or a threshold knob needs calibration,
+    not just ranking.
+
+    Scale shape: one partial-combining groupBy over ≤10 bin keys (the
+    bin is a map-side expression over the already-rounded prob);
+    confidences and the ECE weighting sum as exact DECIMAL so the
+    one-row-per-bin table is order-independent across engines.  The
+    classifier retrain upstream is :func:`quality_logreg`'s documented
+    iteration contract.
+    """
+    from pyspark.sql import Window
+
+    full = Window.partitionBy()
+    scored = quality_logreg(t)
+    b = scored.select(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "prob",
+        (F.col("label") == 1).cast("int").alias("pos"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("prob").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_conf"),
+        F.round(F.sum("pos") / F.count(F.lit(1)), 6).alias("frac_pos"),
+    )
+    gap = F.round(F.abs(F.col("avg_conf") - F.col("frac_pos")), 6)
+    return g.select(
+        "bin",
+        "n_docs",
+        "avg_conf",
+        "frac_pos",
+        gap.alias("abs_gap"),
+    ).select(
+        "*",
+        F.round(
+            F.sum(
+                (F.col("n_docs") * F.col("abs_gap")).cast("decimal(28,10)")
+            )
+            .over(full)
+            .cast("double")
+            / F.sum("n_docs").over(full),
+            6,
+        ).alias("ece"),
+    )
+
+
+def _quality_calibration_oracle() -> str:
+    return f"""
+WITH s AS ({QUALITY_LOGREG_ORACLE}),
+b AS (
+    SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin, prob,
+           CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+    FROM s
+),
+g AS (
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(prob AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_conf,
+           round(sum(pos) * 1.0 / count(*), 6) AS frac_pos
+    FROM b GROUP BY 1
+),
+gg AS (
+    SELECT bin, n_docs, avg_conf, frac_pos,
+           round(abs(avg_conf - frac_pos), 6) AS abs_gap
+    FROM g
+)
+SELECT bin, n_docs, avg_conf, frac_pos, abs_gap,
+       round(CAST(sum(CAST(n_docs * abs_gap AS DECIMAL(28,10))) OVER ()
+                  AS DOUBLE)
+             / sum(n_docs) OVER (), 6) AS ece
+FROM gg
+"""
+
+
+QUALITY_CALIBRATION_ORACLE = _quality_calibration_oracle()
+
+__all__.append("quality_calibration")

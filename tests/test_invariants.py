@@ -734,6 +734,36 @@ def test_jl_project_numpy_replica(spark):
     )
 
 
+def test_quality_calibration_arithmetic(t):
+    """The reliability table is internally consistent: bins partition
+    the scored corpus, confidences live inside their bin's range,
+    every gap is |conf - acc|, and the shared ECE equals the
+    doc-weighted mean gap."""
+    from decimal import Decimal
+
+    from kafka_streams_repartition_spark.operators import selection as sl
+
+    rows = sl.quality_calibration(t).collect()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == sl.quality_logreg(t).count()
+    eces = {r["ece"] for r in rows}
+    assert len(eces) == 1  # one corpus-level number, repeated per bin
+    want = sum(
+        Decimal(r["n_docs"]) * Decimal(str(r["abs_gap"])) for r in rows
+    )
+    assert abs(next(iter(eces)) - float(want) / n_total) < 1.1e-6
+    for r in rows:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 + (
+            1e-9 if r["bin"] == 9 else 0.0
+        )
+        assert lo - 1e-6 <= r["avg_conf"] <= (1.0 if r["bin"] == 9 else hi) + 1e-6
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert abs(
+            r["abs_gap"] - round(abs(r["avg_conf"] - r["frac_pos"]), 6)
+        ) < 1e-9
+
+
 def test_semdedup_hot_cell_tiled_and_exact(spark):
     """Adversarial mega-cell: hundreds of near-identical vectors (one
     label, so one seed centroid) all collapse into ONE k-means cell —
