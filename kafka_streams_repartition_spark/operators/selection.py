@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import weakref
+
 from ..functions.text import word_ngrams, words
 from ..sources.tables import fan_out
 
@@ -392,6 +394,26 @@ LOGREG_BUCKETS = 64  # hashed unigram presence features
 LOGREG_ROUNDS = 6  # full-batch GD rounds
 LOGREG_LR = 6.0
 BIAS_BUCKET = -1
+
+
+# One cached scored frame per documents frame (the loader memoizes that
+# per (session, sf_dir)): quality_logreg, quality_auc and
+# quality_calibration all read the SAME trained classifier's output, and
+# retraining the 6-round GD once per gate tripled the family's bench
+# cost for identical rows — the _GRAMS_CACHE discipline applied to the
+# model artifact.  A per-call .cache() would leak a copy per invocation.
+_LOGREG_CACHE: weakref.WeakKeyDictionary[DataFrame, DataFrame] = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _quality_scored_cached(t: dict[str, DataFrame]) -> DataFrame:
+    docs = t["documents"]
+    got = _LOGREG_CACHE.get(docs)
+    if got is None:
+        got = quality_logreg(t).cache()
+        _LOGREG_CACHE[docs] = got
+    return got
 
 
 def quality_logreg(t: dict[str, DataFrame]) -> DataFrame:
@@ -1784,7 +1806,7 @@ def quality_auc(t: dict[str, DataFrame]) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    scored = quality_logreg(t).localCheckpoint(eager=False)
+    scored = _quality_scored_cached(t)
     g = scored.groupBy("prob").agg(
         F.sum((F.col("label") == 1).cast("long")).alias("np"),
         F.sum((F.col("label") != 1).cast("long")).alias("nn"),
@@ -2203,7 +2225,7 @@ def quality_calibration(t: dict[str, DataFrame]) -> DataFrame:
     from pyspark.sql import Window
 
     full = Window.partitionBy()
-    scored = quality_logreg(t)
+    scored = _quality_scored_cached(t)
     b = scored.select(
         F.least(F.floor(F.col("prob") * 10), F.lit(9))
         .cast("long")
