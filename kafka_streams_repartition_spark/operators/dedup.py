@@ -41,6 +41,7 @@ import weakref
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.caching import memo_cached
 from ..functions.text import word_ngrams, words
 from ..functions.vectors import dot_unrolled, norm_unrolled, to_double_array
 from ..sources.tables import fan_out
@@ -71,17 +72,16 @@ def _doc_gram_arrays(documents: DataFrame) -> DataFrame:
 # memoizes that per (session, sf_dir)) — a per-call .cache() would leak
 # a new copy into executor storage on every invocation (bench runs each
 # query twice; corpus_curation re-enters dedup_minhash_lsh).
+# memo_cached unpersists the blocks when the key frame is collected.
 _GRAMS_CACHE: weakref.WeakKeyDictionary[DataFrame, DataFrame] = (
     weakref.WeakKeyDictionary()
 )
 
 
 def _doc_gram_arrays_cached(documents: DataFrame) -> DataFrame:
-    got = _GRAMS_CACHE.get(documents)
-    if got is None:
-        got = _doc_gram_arrays(documents).cache()
-        _GRAMS_CACHE[documents] = got
-    return got
+    return memo_cached(
+        _GRAMS_CACHE, documents, lambda: _doc_gram_arrays(documents)
+    )
 
 
 def _doc_grams(documents: DataFrame) -> DataFrame:
@@ -256,16 +256,34 @@ LEFT JOIN dup_reps dr ON m.rep_id = dr.rep_id
 
 # --- exact n-gram Jaccard (query-vs-corpus) ------------------------------
 
+# Hard cap on dedup_ngram_jaccard's broadcast query-doc set — the ``%
+# QUERY_MOD`` filter alone is N/20 DOCS (each contributing ~hundreds of
+# gram rows) and grows linearly with the corpus, so the broadcast would
+# be the first OOM at 100×.  The cap bounds it to ≤ cap docs' grams
+# regardless of corpus size; the oracle applies the identical
+# lowest-doc_id LIMIT, and ``dedup_recall_eval`` inherits the capped
+# truth on both engines because it composes this operator and its
+# oracle verbatim.
+JACCARD_QUERY_CAP = int(os.environ.get("JACCARD_QUERY_CAP", "4096"))
+
 
 def dedup_ngram_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     """Near-dup candidates of a query subset against the full corpus:
-    exact word-trigram Jaccard ≥ threshold via shared-shingle join."""
+    exact word-trigram Jaccard ≥ threshold via shared-shingle join.
+    The query subset is HARD-capped at ``JACCARD_QUERY_CAP`` lowest
+    doc_ids (the bounded-query contract, mirrored in the oracle)."""
     arr = _doc_gram_arrays_cached(t["documents"])
     grams = arr.select("doc_id", F.explode("grams").alias("gram"))
     sizes = arr.select("doc_id", "n")
+    q_ids = (
+        arr.filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(JACCARD_QUERY_CAP)
+    )
     # the bounded query side broadcasts: the shared-shingle pairing
     # becomes a map-side join over the corpus scan, no gram shuffle
-    q_grams = F.broadcast(grams.filter(F.col("doc_id") % QUERY_MOD == 0))
+    q_grams = F.broadcast(grams.join(F.broadcast(q_ids), "doc_id"))
     inter = (
         q_grams.alias("a")
         .join(grams.alias("b"), ["gram"])
@@ -291,7 +309,9 @@ inter AS (
     SELECT a.doc_id AS query_id, b.doc_id AS cand_id, count(*) AS inter
     FROM grams a
     JOIN grams b ON a.gram = b.gram AND a.doc_id != b.doc_id
-    WHERE a.doc_id % {QUERY_MOD} = 0
+    WHERE a.doc_id IN (
+        SELECT doc_id FROM documents WHERE doc_id % {QUERY_MOD} = 0
+        ORDER BY doc_id LIMIT {JACCARD_QUERY_CAP})
     GROUP BY 1, 2
 )
 SELECT query_id, cand_id,
@@ -529,7 +549,11 @@ def crossmodal_clusters(t: dict[str, DataFrame]) -> DataFrame:
     Scale shape: both pair families are collision-bounded (never
     all-pairs); the union/distinct and the min-label-propagation
     rounds shuffle pair-sized id frames only; membership flags and
-    per-cluster rollups are cluster-sized, broadcast back.
+    per-cluster rollups re-join on the cluster key WITHOUT a forced
+    broadcast — cluster count grows with the corpus (a 100 TB crawl
+    holds ~10⁸–10⁹ near-dup clusters), so the join strategy is left to
+    AQE: broadcast while the rollup is small, sort-merge when it is
+    not.
     """
     tp = (
         dedup_minhash_lsh(t)
@@ -567,7 +591,7 @@ def crossmodal_clusters(t: dict[str, DataFrame]) -> DataFrame:
         F.max("text_dup").alias("has_text"),
         F.max("embed_dup").alias("has_embed"),
     )
-    return m.join(F.broadcast(cstats), "cluster_id").select(
+    return m.join(cstats, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "text_dup",
@@ -650,8 +674,11 @@ def dedup_quality_aware(t: dict[str, DataFrame]) -> DataFrame:
     (collision-bounded, never all-pairs); the quality join is one keyed
     exchange of (doc_id, score) pairs restricted to clustered docs; the
     keeper choice is a per-cluster ``max(struct(score, -id))`` — a
-    partial-combining aggregate over four narrow columns, broadcast
-    back.  Document text never shuffles.
+    partial-combining aggregate over four narrow columns, re-joined on
+    the cluster key with NO forced broadcast (cluster count grows with
+    the corpus; AQE broadcasts while the keeper table is small and
+    falls back to sort-merge when it is not).  Document text never
+    shuffles.
 
     One row per clustered document: its cluster, its score, the
     cluster's keeper and the keep verdict.
@@ -676,7 +703,7 @@ def dedup_quality_aware(t: dict[str, DataFrame]) -> DataFrame:
             "cluster_id", (-F.col("b.neg_id")).cast("long").alias("keeper_id")
         )
     )
-    return m.join(F.broadcast(best), "cluster_id").select(
+    return m.join(best, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "quality_score",

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 import weakref
 
+from ..functions.caching import memo_cached
 from ..functions.text import word_ngrams, words
 from ..sources.tables import fan_out
 
@@ -401,19 +402,15 @@ BIAS_BUCKET = -1
 # quality_calibration all read the SAME trained classifier's output, and
 # retraining the 6-round GD once per gate tripled the family's bench
 # cost for identical rows — the _GRAMS_CACHE discipline applied to the
-# model artifact.  A per-call .cache() would leak a copy per invocation.
+# model artifact.  A per-call .cache() would leak a copy per invocation;
+# memo_cached unpersists the blocks when the key frame is collected.
 _LOGREG_CACHE: weakref.WeakKeyDictionary[DataFrame, DataFrame] = (
     weakref.WeakKeyDictionary()
 )
 
 
 def _quality_scored_cached(t: dict[str, DataFrame]) -> DataFrame:
-    docs = t["documents"]
-    got = _LOGREG_CACHE.get(docs)
-    if got is None:
-        got = quality_logreg(t).cache()
-        _LOGREG_CACHE[docs] = got
-    return got
+    return memo_cached(_LOGREG_CACHE, t["documents"], lambda: quality_logreg(t))
 
 
 def quality_logreg(t: dict[str, DataFrame]) -> DataFrame:
@@ -1511,9 +1508,13 @@ def _unimax_fill(avail: DataFrame) -> DataFrame:
         F.col("avail").cast("long").alias("avail_tokens"),
         "capped",
         F.round(F.col("alloc"), 2).alias("alloc_tokens"),
-        F.round(F.col("alloc") / F.col("avail").cast("double"), 4).alias(
-            "epochs"
-        ),
+        # NULL epochs for a zero-token source (matches the oracle's
+        # x/0 → NULL; a bare division is an ANSI-mode crash in the
+        # driver's vanilla Spark-4 session)
+        F.when(
+            F.col("avail") > 0,
+            F.round(F.col("alloc") / F.col("avail").cast("double"), 4),
+        ).alias("epochs"),
     )
 
 
@@ -1615,7 +1616,13 @@ def _temperature_fill(avail: DataFrame) -> DataFrame:
             ).cast("long"),
         )
         .withColumn(
-            "p", F.col("avail").cast("double") / F.col("n_tot").cast("double")
+            # NULL-propagating division (oracle semantics): an all-empty
+            # corpus has n_tot = 0, and ANSI mode would crash on x/0
+            "p",
+            F.when(
+                F.col("n_tot") > 0,
+                F.col("avail").cast("double") / F.col("n_tot").cast("double"),
+            ),
         )
         .withColumn(
             "wq",
@@ -1636,8 +1643,11 @@ def _temperature_fill(avail: DataFrame) -> DataFrame:
         F.round(F.col("p"), 6).alias("p"),
         F.round(F.col("w"), 6).alias("weight"),
         F.round(F.col("alloc"), 2).alias("alloc_tokens"),
-        F.round(
-            F.col("alloc") / F.col("avail").cast("double"), 4
+        # NULL epochs for a zero-token source (oracle: x/0 → NULL;
+        # ANSI mode would otherwise crash)
+        F.when(
+            F.col("avail") > 0,
+            F.round(F.col("alloc") / F.col("avail").cast("double"), 4),
         ).alias("epochs"),
     )
 
@@ -1973,9 +1983,11 @@ def filter_attribution(t: dict[str, DataFrame]) -> DataFrame:
     Scale shape: the Gopher and quality flags are narrow map passes
     over one documents scan; exact-dup keeper is the md5-keyed
     aggregate (32-byte shuffle keys); the near-dup loser set is the
-    collision-bounded LSH output broadcast as a tiny id list; the
-    final rollup is one partial-combining groupBy(source) over boolean
-    flags.  Document text never crosses an exchange.
+    collision-bounded LSH output joined on doc_id with no forced
+    broadcast (losers are a large fraction of a dup-heavy corpus, so
+    AQE picks broadcast vs shuffle by measured size); the final rollup
+    is one partial-combining groupBy(source) over boolean flags.
+    Document text never crosses an exchange.
     """
     flags = _gate_flags(t)
     cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
@@ -2032,10 +2044,14 @@ def _gate_flags(t: dict[str, DataFrame]) -> DataFrame:
     n_rej = sum(
         F.col(c).cast("int") for c in ("r_gopher", "r_quality", "r_exact", "r_near")
     )
+    # no forced broadcast on the near-dup loser list: in dup-heavy web
+    # corpora near-dup losers are a large FRACTION of all documents, so
+    # the frame grows with the corpus — AQE broadcasts while it is
+    # small and falls back to a shuffled join when it is not
     flags = (
         e.join(g, "doc_id")
         .join(q, "doc_id")
-        .join(F.broadcast(near), "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
             "source",

@@ -50,11 +50,47 @@ def _corpus(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def _queries(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
+    """The bounded query set every query-vs-corpus op in this module
+    broadcasts: the ``ANN_QUERY_CAP`` lowest vec_ids of the
+    ``% QUERY_MOD`` subset.  The ``%``-filter alone grows as N/100 with
+    the corpus (the broadcast would stop being broadcastable at 100×);
+    the cap keeps the frame ≤ cap × DIM doubles at any corpus size.
+    Every oracle mirrors the identical lowest-vec_id LIMIT, so the
+    capped list is the operator family's contract, not an
+    approximation."""
+    return (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
     )
+
+
+def _qcap_ids(emb: DataFrame) -> DataFrame:
+    """The capped query-id frame (one ``vec_id`` column) for ops whose
+    query side is derived from an exploded/sub-vector frame rather than
+    the embedding rows themselves (PQ/IVF-PQ ADC tables): semi-joining
+    against this ≤ cap-row broadcast bounds the query side the same way
+    :func:`_queries` bounds the vector form."""
+    return (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+    )
+
+
+# the oracle-side mirror of the capped query list — every query CTE in
+# this module restricts with ``vec_id IN (_QCAP_SQL)`` so both engines
+# serve exactly the same bounded query set
+_QCAP_SQL = (
+    f"SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 "
+    f"ORDER BY vec_id LIMIT {ANN_QUERY_CAP}"
+)
 
 
 def ann_topk_bruteforce(t: dict[str, DataFrame]) -> DataFrame:
@@ -85,7 +121,7 @@ WITH e AS (
     FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT * FROM e WHERE vec_id IN ({_QCAP_SQL})),
 scored AS (
     SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
            round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine
@@ -127,11 +163,18 @@ def _signature(vec_col) -> F.Column:
 def ann_topk_lsh(t: dict[str, DataFrame]) -> DataFrame:
     """Top-k within the query's hyperplane-signature bucket."""
     emb = _corpus(t).withColumn("sig", _signature(F.col("v")))
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("sig").alias("qsig"),
+    # bounded-query contract (the _queries discipline): cap the
+    # broadcast side to the ANN_QUERY_CAP lowest-id queries
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("sig").alias("qsig"),
+        )
     )
     cos = F.round(
         dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
@@ -178,7 +221,8 @@ sigs AS (
     FROM projs
     GROUP BY 1
 ),
-q AS (SELECT vec_id AS query_id, sig FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT vec_id AS query_id, sig FROM sigs
+      WHERE vec_id IN ({_QCAP_SQL})),
 cand AS (
     SELECT q.query_id, s.vec_id AS cand_id
     FROM q JOIN sigs s ON q.sig = s.sig AND s.vec_id != q.query_id
@@ -415,15 +459,11 @@ def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-# the brute-force contract restricted to the capped query list — DuckDB
-# replays the same math with the same lowest-vec_id LIMIT
-ANN_TOPK_VECTORIZED_ORACLE = ANN_TOPK_BRUTEFORCE_ORACLE.replace(
-    f"q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),",
-    f"""q AS (SELECT * FROM e WHERE vec_id IN (
-    SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
-    ORDER BY vec_id LIMIT {ANN_QUERY_CAP})),""",
-)
-assert "LIMIT" in ANN_TOPK_VECTORIZED_ORACLE  # replace() actually matched
+# identical contract: the brute-force oracle itself now carries the
+# capped query list (the bounded-query contract is module-wide), so the
+# two physical strategies share one oracle verbatim
+ANN_TOPK_VECTORIZED_ORACLE = ANN_TOPK_BRUTEFORCE_ORACLE
+assert "LIMIT" in ANN_TOPK_VECTORIZED_ORACLE  # the cap is really in place
 
 
 # --- IVF (coarse-quantizer cells from the label column) -------------------
@@ -462,11 +502,18 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
     cells = _assign_cells(emb, cent).withColumn("nrm", norm(F.col("v")))
 
-    q = cells.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("cell").alias("qcell"),
+    # bounded-query contract: cap the broadcast side to the
+    # ANN_QUERY_CAP lowest-id queries (oracle mirrors the LIMIT)
+    q = (
+        cells.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cell").alias("qcell"),
+        )
     )
     cos = F.round(
         dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
@@ -615,7 +662,8 @@ cells AS (
     )
     WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT vec_id AS query_id, cell FROM cells
+      WHERE vec_id IN ({_QCAP_SQL})),
 cand AS (
     SELECT q.query_id, s.vec_id AS cand_id
     FROM q JOIN cells s ON q.cell = s.cell AND s.vec_id != q.query_id
@@ -685,8 +733,12 @@ def ann_topk_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
         ),
         6,
     )
+    # bounded-query contract: one capped id list bounds BOTH
+    # query-derived broadcasts below (the probe list and the ADC
+    # tables); oracle mirrors the LIMIT in its probe and qtab CTEs
+    qids = _qcap_ids(emb)
     qd = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        emb.join(F.broadcast(qids), "vec_id")
         .crossJoin(F.broadcast(cent.select(F.col("label").alias("cell"), "cv")))
         .select(
             F.col("vec_id").alias("query_id"), "cell", cdist.alias("cdist")
@@ -733,7 +785,7 @@ def ann_topk_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.min(F.struct("dist", "label")).alias("b"))
         .select("vec_id", "m", F.col("b.label").alias("code"))
     )
-    qtab = scored.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    qtab = scored.join(F.broadcast(qids), "vec_id").select(
         F.col("vec_id").alias("qq"),
         F.col("m").alias("qm"),
         F.col("label").alias("qlabel"),
@@ -794,7 +846,7 @@ probe AS (
         SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY dist, c_label
         ) AS rn
-        FROM coarse WHERE vec_id % {QUERY_MOD} = 0
+        FROM coarse WHERE vec_id IN ({_QCAP_SQL})
     )
     WHERE rn <= {N_PROBE}
 ),
@@ -821,7 +873,7 @@ codes AS (
 qtab AS (
     SELECT vec_id AS qq, m, c_label AS qlabel,
            CAST(dist AS DECIMAL(18,6)) AS qdist
-    FROM d WHERE vec_id % {QUERY_MOD} = 0
+    FROM d WHERE vec_id IN ({_QCAP_SQL})
 ),
 adc AS (
     SELECT c.query_id, c.vec_id,
@@ -1482,8 +1534,10 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.min(F.struct("dist", "label")).alias("b"))
         .select("vec_id", "m", F.col("b.label").alias("code"))
     )
+    # bounded-query contract: the ADC tables broadcast, so the query
+    # list is capped (oracle mirrors the LIMIT in its qtab CTE)
     qtab = (
-        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        scored.join(F.broadcast(_qcap_ids(emb)), "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("m").alias("qm"),
@@ -1542,7 +1596,7 @@ codes AS (
 qtab AS (
     SELECT vec_id AS query_id, m, c_label AS qlabel,
            CAST(dist AS DECIMAL(18,6)) AS qd
-    FROM d WHERE vec_id % {QUERY_MOD} = 0
+    FROM d WHERE vec_id IN ({_QCAP_SQL})
 ),
 adc AS (
     SELECT q.query_id, c.vec_id,
@@ -1705,7 +1759,7 @@ WITH e AS (
     FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT * FROM e WHERE vec_id IN ({_QCAP_SQL})),
 scored AS (
     SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
            round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine

@@ -194,8 +194,10 @@ def corpus_curation(t: dict[str, DataFrame]) -> DataFrame:
 
     Scale shape: stage 1 is a narrow map over the scan; stage 2 shuffles
     (hash, doc_id) pairs only; stage 3 reuses the LSH candidate
-    machinery (bounded by collision count) and lands as one broadcast
-    anti-join against the tiny dup-pair set.
+    machinery (bounded by collision count) and lands as an anti-join
+    against the loser id list with NO forced broadcast — near-dup
+    losers are a large fraction of a dup-heavy crawl, so AQE picks
+    broadcast vs shuffle by the frame's measured size.
     """
     from .dedup import dedup_minhash_lsh
 
@@ -214,7 +216,7 @@ def corpus_curation(t: dict[str, DataFrame]) -> DataFrame:
     near_dup_losers = dedup_minhash_lsh(t).select(F.col("doc_b").alias("doc_id"))
     return (
         hashed.join(keepers, ["h", "doc_id"])  # semi: keeper rows only
-        .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
+        .join(near_dup_losers, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality_score")
     )
 

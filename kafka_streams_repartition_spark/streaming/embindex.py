@@ -1468,10 +1468,13 @@ def stream_filter_attribution(
             .withColumn("r_near", F.lit(True))
         )
 
+        # no forced broadcast: the loser list is a large fraction of a
+        # dup-heavy corpus — AQE picks the join strategy (mirrors the
+        # batch _gate_flags)
         flags = (
             ex.join(g, "doc_id")
             .join(q, "doc_id")
-            .join(F.broadcast(near), "doc_id", "left")
+            .join(near, "doc_id", "left")
             .select(
                 "source",
                 "r_gopher",

@@ -91,11 +91,15 @@ def test_dedup_exact_shuffles_once_on_hash(t):
     assert count_key_exchanges(dd.dedup_exact(t)) == 1
 
 
-def test_curation_anti_join_broadcasts(t):
-    """The near-dup loser set is tiny: its removal must be a broadcast
-    anti-join, never a shuffled one."""
-    plan = explain_str(tx.corpus_curation(t))
-    assert "BroadcastHashJoin LeftAnti" in plan
+def test_curation_anti_join_either_strategy(t):
+    """Near-dup removal is an anti-join on doc_id with NO forced
+    broadcast (losers are a large fraction of a dup-heavy corpus, so
+    the strategy is AQE's call): the plan must contain the anti-join
+    under EITHER strategy and never degenerate to a cartesian."""
+    df = tx.corpus_curation(t)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_topk_plans_window_group_limit(t):
@@ -1331,13 +1335,14 @@ def test_source_overlap_digest_only_shuffles(t):
             assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
 
 
-def test_dedup_quality_aware_broadcasts_keeper(t):
-    """The per-cluster keeper table broadcasts back onto the member
-    frame (it is cluster-count-sized); no stage is a cartesian, and
-    document text never crosses an exchange (the quality join carries
-    (doc_id, score) pairs only)."""
+def test_dedup_quality_aware_keeper_join_either_strategy(t):
+    """The per-cluster keeper table re-joins on cluster_id with NO
+    forced broadcast (cluster count grows with the corpus, so the
+    strategy is AQE's call — either broadcast or sort-merge is
+    acceptable); no stage is a cartesian, and document text never
+    crosses an exchange (the quality join carries (doc_id, score)
+    pairs only)."""
     df = dd.dedup_quality_aware(t)
-    assert_broadcast_join(df, 1)
     assert_no_cartesian(df)
     plan = explain_str(df)
     for ln in plan.splitlines():

@@ -2105,6 +2105,103 @@ def test_stream_filter_attribution_twice_seen_digest(spark, tmp_path):
     assert {tuple(r) for r in folded.collect()} == want
 
 
+def test_stream_token_budget_zero_token_source(spark, tmp_path):
+    """A source whose documents ALL tokenize to zero words (empty /
+    whitespace-only text) must survive into the availability rollup and
+    the allocation snapshot exactly as the one-shot operator treats it
+    (an avail=0 row) — at every cut, including a cut where the
+    zero-token source is the ONLY source seen so far.  The round-9
+    advisor flagged this as a hole; the stream rollup is per-DOC rows
+    (size(words(text)) per document, not exploded term rows), so the
+    source persists — this test pins that contract against regression
+    to a term-row-derived rollup."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.streaming import stream_token_budget
+
+    rows = [
+        (1, "", "xx", "emptyA", 0),
+        (2, "   ", "xx", "emptyA", 3),
+        (3, "alpha beta gamma " * 10, "en", "webB", 170),
+        (4, "delta epsilon " * 8, "en", "webB", 112),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # batch 0 holds ONLY the zero-token source
+    docs.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_token_budget(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in sel.token_budget({"documents": docs}).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    assert any(r[0] == "emptyA" and r[1] == 0 for r in want)  # 0-row present
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "alloc")).drop(
+        "batch"
+    )
+    want0 = {
+        tuple(r)
+        for r in sel.token_budget(
+            {"documents": docs.filter("doc_id <= 2")}
+        ).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+
+
+def test_stream_mixture_plan_zero_token_source(spark, tmp_path):
+    """Mixture-plan face of the zero-token-source contract: the batch
+    operator DROPS a zero-token source (its kl diagnostic has no term
+    rows, and the decision table inner-joins the three diagnostics), so
+    the streaming snapshot must agree — present sources match exactly
+    and the zero-token source appears in neither face, at every cut."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.streaming import stream_mixture_plan
+
+    rows = [
+        (1, "", "xx", "emptyA", 0),
+        (2, "   ", "xx", "emptyA", 3),
+        (3, "alpha beta gamma " * 10, "en", "webB", 170),
+        (4, "delta epsilon beta " * 8, "en", "webB", 152),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    docs.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_mixture_plan(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in sel.mixture_plan({"documents": docs}).collect()}
+    got = {tuple(r) for r in folded.collect()}
+    assert got == want and want
+    assert not any(r[0] == "emptyA" for r in want)  # dropped on BOTH faces
+    # batch-0 cut: the only source so far is zero-token → empty table
+    # on both faces
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "plan")).drop(
+        "batch"
+    )
+    want0 = sel.mixture_plan(
+        {"documents": docs.filter("doc_id <= 2")}
+    ).collect()
+    assert snap0.count() == 0 and len(want0) == 0
+
+
 def test_stream_mixture_plan_every_snapshot_equals_batch(spark, tmp_path):
     """The continuously-maintained mixture decision table equals
     one-shot mixture_plan over exactly the documents ingested so far —
