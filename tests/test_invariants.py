@@ -383,6 +383,7 @@ def test_ann_family_query_set_capped(t, monkeypatch):
         sim.ann_topk_ivf,
         sim.ann_topk_pq,
         sim.ann_topk_ivfpq,
+        sim.ann_topk_ivfpq_residual,
     ]
     mod_ids = sorted(
         r["vec_id"]
@@ -403,6 +404,21 @@ def test_ann_family_query_set_capped(t, monkeypatch):
         key = lambda df: sorted(map(tuple, df[cols].values))  # noqa: E731
         want = full[full["query_id"].isin(capped_ids)]
         assert key(out) == key(want), op.__name__
+
+
+def test_ivfpq_residual_beats_raw_encoding(t):
+    """The point of by_residual=true: at the SAME cells, probe budget
+    and code budget, residual encoding must not lose to raw-vector
+    quantization on the fixture (Jégou §IV-A's empirical claim, here a
+    pinned acceptance) — and both gates measure against the same
+    brute-force truth so the comparison is apples-to-apples."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    raw = sim.ivfpq_recall(t).collect()[0]
+    res = sim.ivfpq_residual_recall(t).collect()[0]
+    assert res["n_truth"] == raw["n_truth"]  # same capped truth
+    assert res["recall"] >= raw["recall"]
+    assert 0.0 <= res["recall"] <= 1.0
 
 
 def test_ngram_jaccard_query_set_capped(t, monkeypatch):

@@ -1374,6 +1374,18 @@ def test_minhash_band_tuning_single_pair_pass(t):
     assert_no_cartesian(df)
 
 
+def test_ann_ivfpq_residual_plan(t):
+    """Residual IVFADC: the centroid table, the trained M x K residual
+    codebook and the per-(query, cell) ADC tables all broadcast into
+    keyed joins; the only nested-loop join is the bounded query x
+    centroid probe/residual build; candidate generation stays an
+    equi-join on cell id."""
+    df = sim.ann_topk_ivfpq_residual(t)
+    assert_broadcast_join(df, 3)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_ivfpq_broadcasts_probe_and_codebook(t):
     """The probe list and the ADC tables broadcast into keyed joins;
     the only nested-loop join is the bounded query x centroid probe
