@@ -202,6 +202,69 @@ def stream_embedding_index(
     )
 
 
+def _embedding_batch_pairs(
+    spark: SparkSession, new_vecs: DataFrame, root: str
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's verified embedding near-dup pairs against the
+    committed hyperplane index at ``root`` — candidates are
+    batch-vs-batch ∪ batch-vs-index bucket collisions (history never
+    re-pairs), verified at exact cosine.  Returns ``(pairs, new_sigs)``;
+    the caller persists both inside its commit.  Shared by
+    :func:`stream_embedding_index_frame` and
+    :func:`stream_crossmodal_clusters`."""
+    new_sigs = _sigs_for(new_vecs)
+    sig_dirs = _committed_dirs(root, "sigs")
+    vec_dirs = _committed_dirs(root, "vecs")
+    cand_self = (
+        new_sigs.alias("x")
+        .join(new_sigs.select("band", "sig", "vec_id").alias("y"),
+              ["band", "sig"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib")
+        )
+    )
+    if sig_dirs:
+        idx_sigs = spark.read.schema(_SIG_SCHEMA).parquet(*sig_dirs)
+        cand_cross = new_sigs.join(
+            idx_sigs.select(
+                "band", "sig", F.col("vec_id").alias("old_id")
+            ),
+            ["band", "sig"],
+        ).select(
+            F.col("vec_id").alias("ia"), F.col("old_id").alias("ib")
+        )
+        cand = cand_self.unionByName(cand_cross)
+        all_vecs = new_vecs.unionByName(
+            spark.read.schema(_VEC_SCHEMA).parquet(*vec_dirs)
+        )
+    else:
+        cand = cand_self
+        all_vecs = new_vecs
+    cand = cand.select(
+        F.least("ia", "ib").alias("doc_a"),
+        F.greatest("ia", "ib").alias("doc_b"),
+    ).distinct()
+
+    va = all_vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("xa"))
+    vb = all_vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("xb"))
+    cos = F.round(
+        dot_unrolled(F.col("xa"), F.col("xb"), EMBED_DIM)
+        / (
+            norm_unrolled(F.col("xa"), EMBED_DIM)
+            * norm_unrolled(F.col("xb"), EMBED_DIM)
+        ),
+        4,
+    )
+    pairs = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+    )
+    return pairs, new_sigs
+
+
 def stream_embedding_index_frame(
     spark: SparkSession,
     vec_stream: DataFrame,
@@ -220,57 +283,7 @@ def stream_embedding_index_frame(
         new_vecs = batch_df.select(
             "vec_id", to_double_array("embedding").alias("v")
         )
-        new_sigs = _sigs_for(new_vecs)
-
-        sig_dirs = _committed_dirs(root, "sigs")
-        vec_dirs = _committed_dirs(root, "vecs")
-        cand_self = (
-            new_sigs.alias("x")
-            .join(new_sigs.select("band", "sig", "vec_id").alias("y"),
-                  ["band", "sig"])
-            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-            .select(
-                F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib")
-            )
-        )
-        if sig_dirs:
-            idx_sigs = spark.read.schema(_SIG_SCHEMA).parquet(*sig_dirs)
-            cand_cross = new_sigs.join(
-                idx_sigs.select(
-                    "band", "sig", F.col("vec_id").alias("old_id")
-                ),
-                ["band", "sig"],
-            ).select(
-                F.col("vec_id").alias("ia"), F.col("old_id").alias("ib")
-            )
-            cand = cand_self.unionByName(cand_cross)
-            all_vecs = new_vecs.unionByName(
-                spark.read.schema(_VEC_SCHEMA).parquet(*vec_dirs)
-            )
-        else:
-            cand = cand_self
-            all_vecs = new_vecs
-        cand = cand.select(
-            F.least("ia", "ib").alias("doc_a"),
-            F.greatest("ia", "ib").alias("doc_b"),
-        ).distinct()
-
-        va = all_vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("xa"))
-        vb = all_vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("xb"))
-        cos = F.round(
-            dot_unrolled(F.col("xa"), F.col("xb"), EMBED_DIM)
-            / (
-                norm_unrolled(F.col("xa"), EMBED_DIM)
-                * norm_unrolled(F.col("xb"), EMBED_DIM)
-            ),
-            4,
-        )
-        pairs = (
-            cand.join(va, "doc_a")
-            .join(vb, "doc_b")
-            .select("doc_a", "doc_b", cos.alias("cosine"))
-            .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
-        )
+        pairs, new_sigs = _embedding_batch_pairs(spark, new_vecs, root)
 
         out = os.path.join(root, f"batch={batch_id}")
         pairs.write.mode("overwrite").parquet(os.path.join(out, "pairs"))
@@ -342,6 +355,74 @@ def stream_minhash_index(
     )
 
 
+def _minhash_batch_pairs(
+    spark: SparkSession, batch_df: DataFrame, root: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One micro-batch's Jaccard-verified near-dup pairs against the
+    committed MinHash index at ``root`` — candidates are batch-vs-batch
+    ∪ batch-vs-index band collisions (history never re-pairs), verified
+    at exact Jaccard.  Returns ``(pairs, bands, arr)``; the caller
+    persists all three inside its commit.  Shared by
+    :func:`stream_minhash_index_frame` and
+    :func:`stream_crossmodal_clusters`."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_gram_arrays,
+        _lsh_bands,
+    )
+
+    arr = _doc_gram_arrays(batch_df).localCheckpoint(eager=False)
+    bands = _lsh_bands(arr)
+    band_dirs = _committed_dirs(root, "bands")
+    gram_dirs = _committed_dirs(root, "grams")
+    cand_self = (
+        bands.alias("x")
+        .join(bands.select("band_id", "sig", "doc_id").alias("y"),
+              ["band_id", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("ia"), F.col("y.doc_id").alias("ib"))
+    )
+    if band_dirs:
+        idx_bands = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
+        cand_cross = bands.join(
+            idx_bands.select(
+                "band_id", "sig", F.col("doc_id").alias("old_id")
+            ),
+            ["band_id", "sig"],
+        ).select(F.col("doc_id").alias("ia"), F.col("old_id").alias("ib"))
+        cand = cand_self.unionByName(cand_cross)
+        all_grams = arr.unionByName(
+            spark.read.schema(_GRAM_SCHEMA).parquet(*gram_dirs)
+        )
+    else:
+        cand = cand_self
+        all_grams = arr
+    cand = cand.select(
+        F.least("ia", "ib").alias("doc_a"),
+        F.greatest("ia", "ib").alias("doc_b"),
+    ).distinct()
+
+    ga = all_grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("gra"),
+        F.col("n").alias("na"),
+    )
+    gb = all_grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("gra", "grb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    pairs = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(jac >= JACCARD_THRESHOLD)
+    )
+    return pairs, bands, arr
+
+
 def stream_minhash_index_frame(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -351,67 +432,13 @@ def stream_minhash_index_frame(
 ) -> DataFrame:
     """Sink-backed form of :func:`stream_minhash_index`: returns the
     committed (doc_a, doc_b, jaccard) pair TABLE."""
-    from ..operators.dedup import (
-        JACCARD_THRESHOLD,
-        _doc_gram_arrays,
-        _lsh_bands,
-    )
-
     os.makedirs(root, exist_ok=True)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not _begin_batch(root, checkpoint_dir, batch_id, "minhash index"):
             return  # replayed batch: bands/grams AND pairs already committed
 
-        arr = _doc_gram_arrays(batch_df).localCheckpoint(eager=False)
-        bands = _lsh_bands(arr)
-        band_dirs = _committed_dirs(root, "bands")
-        gram_dirs = _committed_dirs(root, "grams")
-        cand_self = (
-            bands.alias("x")
-            .join(bands.select("band_id", "sig", "doc_id").alias("y"),
-                  ["band_id", "sig"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("ia"), F.col("y.doc_id").alias("ib"))
-        )
-        if band_dirs:
-            idx_bands = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
-            cand_cross = bands.join(
-                idx_bands.select(
-                    "band_id", "sig", F.col("doc_id").alias("old_id")
-                ),
-                ["band_id", "sig"],
-            ).select(F.col("doc_id").alias("ia"), F.col("old_id").alias("ib"))
-            cand = cand_self.unionByName(cand_cross)
-            all_grams = arr.unionByName(
-                spark.read.schema(_GRAM_SCHEMA).parquet(*gram_dirs)
-            )
-        else:
-            cand = cand_self
-            all_grams = arr
-        cand = cand.select(
-            F.least("ia", "ib").alias("doc_a"),
-            F.greatest("ia", "ib").alias("doc_b"),
-        ).distinct()
-
-        ga = all_grams.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("grams").alias("gra"),
-            F.col("n").alias("na"),
-        )
-        gb = all_grams.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("grams").alias("grb"),
-            F.col("n").alias("nb"),
-        )
-        inter = F.size(F.array_intersect("gra", "grb"))
-        jac = inter / (F.col("na") + F.col("nb") - inter)
-        pairs = (
-            cand.join(ga, "doc_a")
-            .join(gb, "doc_b")
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-            .filter(jac >= JACCARD_THRESHOLD)
-        )
+        pairs, bands, arr = _minhash_batch_pairs(spark, batch_df, root)
 
         out = os.path.join(root, f"batch={batch_id}")
         pairs.write.mode("overwrite").parquet(os.path.join(out, "pairs"))
@@ -1658,5 +1685,221 @@ def stream_token_budget(
             [], _TB_ALLOC_SCHEMA.replace(", batch long", "")
         )
     allr = spark.read.schema(_TB_ALLOC_SCHEMA).parquet(*alloc_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
+# --- streaming cross-modal duplicate entity resolution -------------------------
+
+_CM_LABEL_SCHEMA = "doc_id long, cluster_id long"
+_CM_FLAG_SCHEMA = "doc_id long, text_dup boolean, embed_dup boolean"
+_CM_SNAP_SCHEMA = (
+    "doc_id long, cluster_id long, text_dup boolean, embed_dup boolean, "
+    "cluster_size long, cross_modal boolean, batch long"
+)
+
+
+def stream_crossmodal_clusters(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.crossmodal_clusters`` — the
+    cross-modal duplicate ENTITY resolution maintained continuously
+    over a multimodal ingest (columns: doc_id, text, embedding; text
+    and embedding rows share ids, the testdata convention).
+
+    Per micro-batch, three folds inside ONE atomic commit:
+
+    1. **both pair families** via the shared per-batch kernels
+       (:func:`_minhash_batch_pairs` / :func:`_embedding_batch_pairs`)
+       — batch-vs-batch ∪ batch-vs-index collisions, verified exactly;
+       history never re-pairs, so every union-graph edge arrives
+       exactly once, in the batch of its later side;
+    2. **incremental connected components** — the monotone union-find
+       changelog: each new pair becomes an edge BETWEEN CURRENT
+       CLUSTERS (endpoints map to their committed label, unseen ids to
+       themselves), the tiny cluster-graph runs the batch CC kernel
+       (``_connected_components``), and the resulting old→new label
+       mapping relabels only the affected rows of the persisted label
+       table.  Merges are monotone (labels only ever decrease toward
+       the component min-id), so the fold commutes with batch order and
+       every snapshot carries exactly the one-shot labeling;
+    3. **family-membership flags** folded per doc (max over arrivals),
+       then the full decision table (cluster size, cross_modal) is
+       recomputed from the folded state and persisted as the batch's
+       snapshot — the monitor curve IS the product.
+
+    State: ``batch=<id>/labels|flags`` are CUMULATIVE (superseded
+    copies pruned after commit — disk holds ONE dup-population-sized
+    table, not O(n_batches × dups)); ``bands|grams|sigs|vecs`` are the
+    two indexes' append-only batch contributions;
+    ``batch=<id>/clusters`` is the per-batch snapshot.  Per-batch cost:
+    the two index folds + CC over |new pairs| cluster-edges + one keyed
+    relabel join — never a re-cluster of history.
+
+    Equivalence contract (tested): every batch's snapshot equals
+    one-shot ``crossmodal_clusters`` over exactly the documents
+    ingested so far.  Returns the latest committed snapshot.
+
+    Reference shape note: kept-forever keyed state folded per arrival
+    is the Kafka Streams aggregation pattern
+    (``streams/.../Streams.java``'s KTable aggregations); here the
+    state is the union-find label table.
+    """
+    from ..operators.dedup import _connected_components
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "crossmodal cluster index"
+        ):
+            return
+
+        tp_raw, bands, arr = _minhash_batch_pairs(
+            spark, batch_df.select("doc_id", "text"), root
+        )
+        new_vecs = batch_df.select(
+            F.col("doc_id").alias("vec_id"),
+            to_double_array("embedding").alias("v"),
+        )
+        ep_raw, new_sigs = _embedding_batch_pairs(spark, new_vecs, root)
+        tp = tp_raw.select("doc_a", "doc_b").localCheckpoint(eager=False)
+        ep = ep_raw.select("doc_a", "doc_b").localCheckpoint(eager=False)
+        new_pairs = tp.unionByName(ep).distinct().localCheckpoint(eager=False)
+
+        # --- monotone union-find fold over the committed label table
+        lab_dir = _latest_committed_dir(root, "labels")
+        prev = (
+            spark.read.schema(_CM_LABEL_SCHEMA).parquet(lab_dir)
+            if lab_dir is not None
+            else spark.createDataFrame([], _CM_LABEL_SCHEMA)
+        )
+        ma = prev.select(
+            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca_old")
+        )
+        mb = prev.select(
+            F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb_old")
+        )
+        cluster_edges = (
+            new_pairs.join(ma, "doc_a", "left")
+            .join(mb, "doc_b", "left")
+            .select(
+                F.coalesce("ca_old", F.col("doc_a")).alias("doc_a"),
+                F.coalesce("cb_old", F.col("doc_b")).alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+        )
+        mapping = _connected_components(cluster_edges).select(
+            F.col("doc_id").alias("old_label"),
+            F.col("cluster_id").alias("new_label"),
+        )
+        ends = (
+            new_pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        new_nodes = ends.join(prev, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+        base = prev.unionByName(new_nodes)
+        labels = (
+            base.join(
+                mapping, base["cluster_id"] == mapping["old_label"], "left"
+            )
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        # --- family-membership flags, folded per doc
+        def members(pairs: DataFrame, flag: str) -> DataFrame:
+            return (
+                pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+                .withColumn(flag, F.lit(True))
+            )
+
+        batch_flags = (
+            members(tp, "text_dup")
+            .join(members(ep, "embed_dup"), "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                F.coalesce("text_dup", F.lit(False)).alias("text_dup"),
+                F.coalesce("embed_dup", F.lit(False)).alias("embed_dup"),
+            )
+        )
+        flag_dir = _latest_committed_dir(root, "flags")
+        if flag_dir is not None:
+            flags = (
+                spark.read.schema(_CM_FLAG_SCHEMA)
+                .parquet(flag_dir)
+                .unionByName(batch_flags)
+                .groupBy("doc_id")
+                .agg(
+                    F.max("text_dup").alias("text_dup"),
+                    F.max("embed_dup").alias("embed_dup"),
+                )
+            )
+        else:
+            flags = batch_flags
+        flags = flags.localCheckpoint(eager=False)
+
+        # --- snapshot: the full decision table from the folded state
+        m = labels.join(flags, "doc_id")
+        cstats = m.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.max("text_dup").alias("has_text"),
+            F.max("embed_dup").alias("has_embed"),
+        )
+        snap = m.join(cstats, "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            "text_dup",
+            "embed_dup",
+            "cluster_size",
+            (F.col("has_text") & F.col("has_embed")).alias("cross_modal"),
+        )
+
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "clusters"))
+        labels.write.mode("overwrite").parquet(os.path.join(out, "labels"))
+        flags.write.mode("overwrite").parquet(os.path.join(out, "flags"))
+        bands.select("doc_id", "band_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
+        new_sigs.select("vec_id", "band", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "sigs"))
+        new_vecs.write.mode("overwrite").parquet(os.path.join(out, "vecs"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "labels")  # cumulative: latest only
+        _prune_superseded(root, "flags")
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap_dirs = _committed_dirs(root, "clusters")
+    if not snap_dirs:
+        return spark.createDataFrame(
+            [], _CM_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_CM_SNAP_SCHEMA).parquet(*snap_dirs)
     last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
     return allr.filter(F.col("batch") == last).drop("batch")

@@ -2105,6 +2105,152 @@ def test_stream_filter_attribution_twice_seen_digest(spark, tmp_path):
     assert {tuple(r) for r in folded.collect()} == want
 
 
+def test_stream_crossmodal_clusters_every_snapshot_equals_batch(
+    spark, tmp_path
+):
+    """The streaming cross-modal entity resolver's snapshot equals
+    one-shot crossmodal_clusters over exactly the documents ingested so
+    far — at EVERY cut: the union-find fold is monotone (labels only
+    decrease toward the component min id), so cross-batch merges land
+    exactly where the batch CC would put them.  Also pins the pruning
+    discipline: labels/flags state keeps only the latest committed
+    copy, while every batch keeps its snapshot."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_crossmodal_clusters,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    both = (
+        t["documents"]
+        .select("doc_id", "text")
+        .join(
+            t["embeddings"].select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+    )
+    cut = both.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first = both.filter(F.col("doc_id") <= cut)
+    first.coalesce(1).write.mode("append").parquet(src)
+    both.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_crossmodal_clusters(
+        spark,
+        spark.readStream.schema(both.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+
+    def one_shot(docs_emb):
+        tt = {
+            "documents": docs_emb.select("doc_id", "text"),
+            "embeddings": docs_emb.select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+        }
+        return dd2.crossmodal_clusters(tt)
+
+    want = {tuple(r) for r in one_shot(both).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    # the corpus genuinely exercises a cross-batch merge: some cluster
+    # must span the cut (else this test proves nothing)
+    ids = sorted(r[0] for r in want)
+    by_cluster: dict[int, list[int]] = {}
+    for r in want:
+        by_cluster.setdefault(r[1], []).append(r[0])
+    assert any(
+        min(m) <= cut < max(m) for m in by_cluster.values()
+    ), "no cluster spans the cut"
+    # batch-0 snapshot == one-shot over the first half only
+    snap0 = spark.read.parquet(
+        os.path.join(root, "batch=0", "clusters")
+    ).drop("batch")
+    want0 = {tuple(r) for r in one_shot(first).collect()}
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    # cumulative label/flag state pruned to the latest committed copy;
+    # per-batch snapshots and index contributions retained
+    assert not os.path.isdir(os.path.join(root, "batch=0", "labels"))
+    assert not os.path.isdir(os.path.join(root, "batch=0", "flags"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "labels"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "bands"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "sigs"))
+
+
+def test_stream_crossmodal_clusters_cascading_merge(spark, tmp_path):
+    """The hardest union-find path: a batch-2 bridge document merges
+    TWO clusters that were each born in their own earlier batch — the
+    old→new mapping must relabel BOTH committed clusters in one fold
+    (cluster-graph CC, not single-edge patching).  Topology (embedding
+    family; texts all distinct so the text family is silent):
+    batch 0 = {1,2} (cluster 1), batch 1 = {11,12} (cluster 11),
+    batch 2 = {21} with cos ≥ threshold to both groups but the groups
+    orthogonal to each other → final single cluster labeled 1."""
+    import math
+
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.streaming import (
+        stream_crossmodal_clusters,
+    )
+
+    DIM = 64
+    s = 1 / math.sqrt(2)
+    a = [1.0] + [0.0] * (DIM - 1)
+    b = [0.0, 1.0] + [0.0] * (DIM - 2)
+    x = [s, s] + [0.0] * (DIM - 2)
+    texts = {
+        1: "quick brown fox jumps over lazy dog tonight",
+        2: "seven silent ships sailed south past storm clouds",
+        11: "green apples taste better after first autumn frost",
+        12: "mountain rivers carve deep canyons through red stone",
+        21: "old libraries keep forgotten maps of vanished roads",
+    }
+    rows = [
+        (1, texts[1], a),
+        (2, texts[2], a),
+        (11, texts[11], b),
+        (12, texts[12], b),
+        (21, texts[21], x),
+    ]
+    schema = "doc_id long, text string, embedding array<double>"
+    both = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    for cond in ("doc_id <= 2", "doc_id IN (11, 12)", "doc_id = 21"):
+        both.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_crossmodal_clusters(
+        spark,
+        spark.readStream.schema(both.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    got = {tuple(r) for r in folded.collect()}
+    tt = {
+        "documents": both.select("doc_id", "text"),
+        "embeddings": both.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).withColumn("label", F.lit(0)),
+    }
+    want = {tuple(r) for r in dd2.crossmodal_clusters(tt).collect()}
+    assert got == want
+    # the merge really happened: one cluster labeled by the global min,
+    # embedding-only evidence, never cross-modal
+    assert {r[1] for r in got} == {1}
+    assert all(r[2] is False and r[3] is True and not r[5] for r in got)
+    assert {r[0] for r in got} == {1, 2, 11, 12, 21}
+
+
 def test_stream_token_budget_zero_token_source(spark, tmp_path):
     """A source whose documents ALL tokenize to zero words (empty /
     whitespace-only text) must survive into the availability rollup and
