@@ -1310,7 +1310,14 @@ WHERE round(dp / (nq.nrm * nc.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
 # --- corpus×corpus embedding near-dup (banded hyperplane blocking) ---------
 
 EMBDUP_BANDS = 12
-EMBDUP_BAND_PLANES = 4
+# Planes per band is a DEPLOY-TIME knob (env-overridable like the query
+# caps): collision probability per band is (1 − θ/π)^planes, so the
+# plane count must grow ~log(corpus) to hold bucket collision rates as
+# the corpus scales — at 100× the default 4 planes admit a quadratic
+# tail of cross-item noise pairs (measured in BENCH_sf10_r9.json; 8
+# planes is the measured mitigation there).  The oracle embeds the same
+# value at import, so both engines always band identically.
+EMBDUP_BAND_PLANES = int(os.environ.get("EMBDUP_BAND_PLANES", "4"))
 # Band sizing is MEASURED, not assumed (sf0.01/sf0.1 testdata, threshold
 # 0.3): 12 bands × 4 planes surfaces 83% of true ≥0.3 pairs while
 # verifying ~54% of all pairs; 8×4 gives 71% / 41%; IVF cell blocking
@@ -1572,6 +1579,125 @@ WHERE round(dp / (na.nrm * nb.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
 
 
 DEDUP_EMBEDDING_LSH_ORACLE = _embdup_oracle()
+
+
+# (bands, planes-per-band) alternatives for the hyperplane design table;
+# spans the 4-plane default and the 8-plane 100x mitigation measured in
+# BENCH_sf10_r9.json, at two band budgets.
+PLANE_LAYOUTS = [(12, 2), (12, 4), (12, 6), (12, 8), (24, 4), (24, 8)]
+
+_PI_LIT = "3.141592653589793"  # repr(math.pi): both engines' closest double
+
+
+def embdup_plane_tuning(t: dict[str, DataFrame]) -> DataFrame:
+    """The hyperplane-banding design table — the embedding-side twin of
+    :func:`minhash_band_tuning`, and the gate that sizes the
+    ``EMBDUP_BAND_PLANES`` deploy knob before a 100 TB re-index: for
+    every (bands b × planes r) layout, the expected catch probability
+    ``1 − (1 − p^r)^b`` with per-plane agreement ``p = 1 − θ/π``
+    (Goemans-Williamson / Charikar 2002 SimHash collision law),
+    evaluated over the VERIFIED near-dup pairs' exact cosines — how
+    each alternative banding would have performed on the pair
+    population this corpus actually contains.  Plane count must grow
+    ~log(corpus) to hold bucket-collision noise flat (the quadratic
+    cross-item tail measured at 100× in ``BENCH_sf10_r9.json``); this
+    table is the measured basis for that choice, alongside each
+    layout's S-curve agreement threshold re-expressed as a COSINE.
+
+    Scale shape: ONE pass of the production pair builder, then
+    per-pair closed-form expressions; ``p`` is rounded at 6 decimals
+    before the integer-power chains (libm ``acos`` need not agree at
+    the last ulp across engines) and expectations sum as exact DECIMAL
+    — order-independent and engine-portable.  Output is |layouts| rows
+    from one aggregate row, constant at any corpus size.
+    """
+    import math
+
+    p6 = F.round(
+        F.lit(1.0) - F.acos(F.col("cosine")) / F.lit(math.pi), 6
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for b, r in PLANE_LAYOUTS:
+        catch = F.lit(1.0) - _ipow(F.lit(1.0) - _ipow(p6, r), b)
+        aggs.append(
+            F.sum(F.round(catch, 6).cast("decimal(18,6)")).alias(f"s_{b}_{r}")
+        )
+    one = dedup_embedding_lsh(t).agg(*aggs)
+    layout_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.lit(r).cast("long").alias("planes"),
+                    F.round(
+                        F.cos(
+                            F.lit(math.pi)
+                            * (
+                                F.lit(1.0)
+                                - F.pow(F.lit(1.0 / b), F.lit(1.0 / r))
+                            )
+                        ),
+                        4,
+                    ).alias("s_curve_cosine"),
+                    F.coalesce(
+                        F.round(F.col(f"s_{b}_{r}").cast("double"), 4),
+                        F.lit(0.0),
+                    ).alias("expected_caught"),
+                )
+                for b, r in PLANE_LAYOUTS
+            ]
+        )
+    ).alias("L")
+    return one.select("n_pairs", layout_rows).select(
+        "L.bands",
+        "L.planes",
+        "L.s_curve_cosine",
+        "n_pairs",
+        "L.expected_caught",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(F.col("L.expected_caught") / F.col("n_pairs"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("expected_recall"),
+    )
+
+
+def _plane_tuning_oracle() -> str:
+    p_expr = f"round(1.0 - acos(cosine) / {_PI_LIT}, 6)"
+    sums_parts = []
+    for b, r in PLANE_LAYOUTS:
+        outer = _ipow_sql(f"(1.0 - {_ipow_sql('p', r)})", b)
+        sums_parts.append(
+            f"sum(CAST(round(1.0 - {outer}, 6)"
+            f" AS DECIMAL(18,6))) AS s_{b}_{r}"
+        )
+    sums = ",\n       ".join(sums_parts)
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({r} AS BIGINT) AS planes,
+       round(cos({_PI_LIT} * (1.0 - pow(1.0 / {b}, 1.0 / {r}))), 4)
+           AS s_curve_cosine,
+       n_pairs,
+       COALESCE(round(CAST(s_{b}_{r} AS DOUBLE), 4), 0.0) AS expected_caught,
+       CASE WHEN n_pairs > 0
+            THEN round(COALESCE(CAST(s_{b}_{r} AS DOUBLE), 0.0) / n_pairs, 4)
+            ELSE 0.0 END AS expected_recall
+FROM agg"""
+        for b, r in PLANE_LAYOUTS
+    )
+    return f"""
+WITH pairs AS ({DEDUP_EMBEDDING_LSH_ORACLE}),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {sums}
+    FROM (SELECT {p_expr} AS p FROM pairs)
+)
+{rows}
+"""
+
+
+EMBDUP_PLANE_TUNING_ORACLE = _plane_tuning_oracle()
 
 
 def dedup_embedding_recall(t: dict[str, DataFrame]) -> DataFrame:

@@ -750,6 +750,39 @@ def test_ann_recall_gates_bounds(t):
     assert lsh["n_approx"] <= lsh["n_truth"]
 
 
+def test_embdup_plane_tuning_s_curve(t):
+    """The hyperplane design table obeys the banding laws: at fixed
+    bands, MORE planes per band can only lower any pair's catch
+    probability (p^r is nonincreasing in r for p in [0,1]); at fixed
+    planes, more bands can only raise it; every expectation is a
+    probability over one shared pair population; the production layout
+    (EMBDUP_BANDS x EMBDUP_BAND_PLANES) appears."""
+    rows = {
+        (r["bands"], r["planes"]): r
+        for r in dd.embdup_plane_tuning(t).collect()
+    }
+    assert set(rows) == set(dd.PLANE_LAYOUTS)
+    assert len({r["n_pairs"] for r in rows.values()}) == 1
+    for r in rows.values():
+        assert 0.0 <= r["expected_recall"] <= 1.0
+        assert -1.0 <= r["s_curve_cosine"] <= 1.0
+    for b in {b for b, _ in dd.PLANE_LAYOUTS}:
+        planes = sorted(p for bb, p in dd.PLANE_LAYOUTS if bb == b)
+        for lo, hi in zip(planes, planes[1:]):
+            assert (
+                rows[(b, hi)]["expected_recall"]
+                <= rows[(b, lo)]["expected_recall"]
+            )
+    for p in {p for _, p in dd.PLANE_LAYOUTS}:
+        bands = sorted(bb for bb, pp in dd.PLANE_LAYOUTS if pp == p)
+        for lo, hi in zip(bands, bands[1:]):
+            assert (
+                rows[(hi, p)]["expected_recall"]
+                >= rows[(lo, p)]["expected_recall"]
+            )
+    assert (dd.EMBDUP_BANDS, dd.EMBDUP_BAND_PLANES) in rows
+
+
 def test_minhash_band_tuning_python_replica(t):
     """The S-curve expectations equal an independent plain-python
     replay over the same verified pairs: p = 1-(1-j^r)^b with integer
