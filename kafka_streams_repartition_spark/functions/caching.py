@@ -1,30 +1,40 @@
 """Session-lifetime memoization of persisted DataFrames.
 
 Several operators memoize one ``.cache()``d derived frame per input
-frame in a ``weakref.WeakKeyDictionary`` (one grams frame per documents
-frame, one trained-classifier scored frame per documents frame) so
-re-entrant queries never recompute or leak a copy per invocation.
+frame (one grams frame per documents frame, one trained-classifier
+scored frame per documents frame) so re-entrant queries never recompute
+or leak a copy per invocation.
 
-The eviction discipline: a WeakKeyDictionary drops its ENTRY when the
-key frame is garbage-collected, but the persisted blocks would stay
-pinned in executor storage for the rest of the session — many distinct
-input frames (test suites, multi-sf sessions) would accumulate storage
-pressure on a default-heap driver.  :func:`memo_cached` therefore
-attaches a ``weakref.finalize`` callback to the key that unpersists the
-cached frame the moment the key is collected, so executor storage
-follows the cache entry's lifetime exactly.
+Eviction discipline (round-9 advisor finding): the earlier
+``WeakKeyDictionary`` dropped its ENTRY when the key frame was
+garbage-collected but left the persisted blocks pinned for the rest of
+the session — many distinct input frames (test suites, multi-sf
+sessions) accumulated storage pressure on a default-heap driver.  A
+finalizer that unpersists on key COLLECTION is not the fix either: a
+consumer's derived plan can outlive the key object (``pretrain_pipeline``
+builds its grams over a transient gated frame and returns a plan that
+still references the cached relation — unpersisting at key GC forced
+the downstream plan to re-derive, doubling its scans).
+
+:class:`MemoSlots` therefore bounds storage the other way round: a
+small fixed-capacity LRU whose RESIDENT keys are strongly referenced
+(an entry can never vanish while it is current, so downstream plans
+keep their ``InMemoryRelation``), and whose EVICTED frames are
+unpersisted at replacement time — total persisted storage per cache is
+≤ capacity copies, regardless of how many distinct input frames a
+session touches.
 """
 
 from __future__ import annotations
 
-import weakref
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
 
 def _unpersist_quietly(df: DataFrame) -> None:
-    # blocking=False: eviction must never stall a GC pause; a stopped
+    # blocking=False: eviction must never stall the caller; a stopped
     # session raises here, and its blocks are already gone with the JVM
     try:
         df.unpersist(blocking=False)
@@ -32,17 +42,37 @@ def _unpersist_quietly(df: DataFrame) -> None:
         pass
 
 
-def memo_cached(
-    cache: weakref.WeakKeyDictionary[DataFrame, DataFrame],
-    key: DataFrame,
-    build: Callable[[], DataFrame],
-) -> DataFrame:
-    """Return ``cache[key]``, building + ``.cache()``-ing it on first
-    use and registering an unpersist finalizer on the key so the
-    persisted blocks are released when the key frame is collected."""
-    got = cache.get(key)
-    if got is None:
-        got = build().cache()
-        cache[key] = got
-        weakref.finalize(key, _unpersist_quietly, got)
-    return got
+class MemoSlots:
+    """Capacity-bounded identity-keyed memo of persisted frames.
+
+    ``get_or_build(key, build)`` returns the cached frame for ``key``
+    (identity semantics — DataFrames hash by id), building and
+    ``.cache()``-ing it on first use; the least-recently-used entry is
+    unpersisted and dropped when capacity is exceeded.
+    """
+
+    def __init__(self, capacity: int = 2) -> None:
+        self._capacity = capacity
+        self._slots: OrderedDict[int, tuple[DataFrame, DataFrame]] = (
+            OrderedDict()
+        )
+
+    def get_or_build(
+        self, key: DataFrame, build: Callable[[], DataFrame]
+    ) -> DataFrame:
+        k = id(key)
+        hit = self._slots.get(k)
+        if hit is not None:
+            self._slots.move_to_end(k)
+            return hit[1]
+        val = build().cache()
+        # the stored key reference keeps `key` alive while resident, so
+        # its id cannot be reused by a different frame
+        self._slots[k] = (key, val)
+        while len(self._slots) > self._capacity:
+            _, (_, old) = self._slots.popitem(last=False)
+            _unpersist_quietly(old)
+        return val
+
+    def __len__(self) -> int:
+        return len(self._slots)

@@ -36,12 +36,11 @@ from __future__ import annotations
 
 import os
 import re
-import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.caching import memo_cached
+from ..functions.caching import MemoSlots
 from ..functions.text import word_ngrams, words
 from ..functions.vectors import dot_unrolled, norm_unrolled, to_double_array
 from ..sources.tables import fan_out
@@ -71,16 +70,15 @@ def _doc_gram_arrays(documents: DataFrame) -> DataFrame:
 # One cached grams frame per input documents frame (the table loader
 # memoizes that per (session, sf_dir)) — a per-call .cache() would leak
 # a new copy into executor storage on every invocation (bench runs each
-# query twice; corpus_curation re-enters dedup_minhash_lsh).
-# memo_cached unpersists the blocks when the key frame is collected.
-_GRAMS_CACHE: weakref.WeakKeyDictionary[DataFrame, DataFrame] = (
-    weakref.WeakKeyDictionary()
-)
+# query twice; corpus_curation re-enters dedup_minhash_lsh).  The slots
+# are capacity-bounded: evicted frames unpersist at replacement, so a
+# session touching many distinct docs frames holds ≤2 cached copies.
+_GRAMS_CACHE = MemoSlots(capacity=2)
 
 
 def _doc_gram_arrays_cached(documents: DataFrame) -> DataFrame:
-    return memo_cached(
-        _GRAMS_CACHE, documents, lambda: _doc_gram_arrays(documents)
+    return _GRAMS_CACHE.get_or_build(
+        documents, lambda: _doc_gram_arrays(documents)
     )
 
 

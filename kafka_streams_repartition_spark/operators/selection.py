@@ -36,9 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-import weakref
-
-from ..functions.caching import memo_cached
+from ..functions.caching import MemoSlots
 from ..functions.text import word_ngrams, words
 from ..sources.tables import fan_out
 
@@ -402,15 +400,15 @@ BIAS_BUCKET = -1
 # quality_calibration all read the SAME trained classifier's output, and
 # retraining the 6-round GD once per gate tripled the family's bench
 # cost for identical rows — the _GRAMS_CACHE discipline applied to the
-# model artifact.  A per-call .cache() would leak a copy per invocation;
-# memo_cached unpersists the blocks when the key frame is collected.
-_LOGREG_CACHE: weakref.WeakKeyDictionary[DataFrame, DataFrame] = (
-    weakref.WeakKeyDictionary()
-)
+# model artifact.  Capacity-bounded slots: evicted frames unpersist at
+# replacement, so many distinct docs frames hold ≤2 cached copies.
+_LOGREG_CACHE = MemoSlots(capacity=2)
 
 
 def _quality_scored_cached(t: dict[str, DataFrame]) -> DataFrame:
-    return memo_cached(_LOGREG_CACHE, t["documents"], lambda: quality_logreg(t))
+    return _LOGREG_CACHE.get_or_build(
+        t["documents"], lambda: quality_logreg(t)
+    )
 
 
 def quality_logreg(t: dict[str, DataFrame]) -> DataFrame:

@@ -445,25 +445,28 @@ def test_ngram_jaccard_query_set_capped(t, monkeypatch):
     assert key(out) == key(full[full["query_id"].isin(capped_ids)])
 
 
-def test_memo_cache_unpersists_on_key_collection(spark):
-    """The memoization helper releases executor storage when its key
-    frame is collected: a WeakKeyDictionary alone drops the ENTRY but
-    leaves the persisted blocks pinned for the session (the round-9
-    advisor finding) — the finalizer must unpersist them."""
-    import gc
-    import weakref
+def test_memo_slots_bounded_and_unpersist_on_eviction(spark):
+    """The memoization helper bounds executor storage to its capacity:
+    resident entries stay cached (and their keys strongly referenced —
+    a downstream plan built over a transient key must keep its
+    InMemoryRelation, the pretrain_pipeline regression), and the
+    least-recently-used frame is UNPERSISTED when capacity is exceeded
+    (the round-9 advisor's storage-leak finding — the old
+    WeakKeyDictionary left evicted entries' blocks pinned for the
+    session)."""
+    from kafka_streams_repartition_spark.functions.caching import MemoSlots
 
-    from kafka_streams_repartition_spark.functions.caching import memo_cached
-
-    cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
-    key = spark.range(5)
-    built = memo_cached(cache, key, lambda: key.selectExpr("id * 2 AS x"))
-    assert built.is_cached
-    assert memo_cached(cache, key, lambda: 1 / 0) is built  # memo hit
-    ref = built
-    del key, built
-    gc.collect()
-    assert not ref.is_cached
+    slots = MemoSlots(capacity=2)
+    k1, k2, k3 = (spark.range(n + 3) for n in range(3))
+    b1 = slots.get_or_build(k1, lambda: k1.selectExpr("id * 2 AS x"))
+    assert b1.is_cached
+    assert slots.get_or_build(k1, lambda: 1 / 0) is b1  # memo hit
+    b2 = slots.get_or_build(k2, lambda: k2.selectExpr("id * 3 AS x"))
+    assert b1.is_cached and b2.is_cached  # both resident at capacity 2
+    b3 = slots.get_or_build(k3, lambda: k3.selectExpr("id * 4 AS x"))
+    assert not b1.is_cached  # LRU evicted AND unpersisted
+    assert b2.is_cached and b3.is_cached
+    assert len(slots) == 2
 
 
 def test_dedup_embedding_query_set_capped(t, monkeypatch):
