@@ -1699,6 +1699,65 @@ _CM_SNAP_SCHEMA = (
 )
 
 
+def _fold_labels(
+    spark: SparkSession, root: str, new_pairs: DataFrame
+) -> DataFrame:
+    """The monotone union-find fold shared by every streaming
+    clusterer: map each new pair's endpoints to their COMMITTED cluster
+    label (unseen ids to themselves), run the batch CC kernel over the
+    tiny cluster-graph, and relabel only the affected rows of the
+    persisted label table at ``root``'s latest ``labels`` state.
+    Merges only ever move labels toward the component min id, so the
+    fold commutes with batch order and every snapshot carries the
+    one-shot labeling.  Returns the updated (doc_id, cluster_id) table
+    (lazily checkpointed); the CALLER persists it inside its commit and
+    prunes superseded copies."""
+    from ..operators.dedup import _connected_components
+
+    lab_dir = _latest_committed_dir(root, "labels")
+    prev = (
+        spark.read.schema(_CM_LABEL_SCHEMA).parquet(lab_dir)
+        if lab_dir is not None
+        else spark.createDataFrame([], _CM_LABEL_SCHEMA)
+    )
+    ma = prev.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca_old")
+    )
+    mb = prev.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb_old")
+    )
+    cluster_edges = (
+        new_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.coalesce("ca_old", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("cb_old", F.col("doc_b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    mapping = _connected_components(cluster_edges).select(
+        F.col("doc_id").alias("old_label"),
+        F.col("cluster_id").alias("new_label"),
+    )
+    ends = (
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    new_nodes = ends.join(prev, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    base = prev.unionByName(new_nodes)
+    return (
+        base.join(mapping, base["cluster_id"] == mapping["old_label"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def stream_crossmodal_clusters(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -1749,8 +1808,6 @@ def stream_crossmodal_clusters(
     (``streams/.../Streams.java``'s KTable aggregations); here the
     state is the union-find label table.
     """
-    from ..operators.dedup import _connected_components
-
     os.makedirs(root, exist_ok=True)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -1772,50 +1829,7 @@ def stream_crossmodal_clusters(
         new_pairs = tp.unionByName(ep).distinct().localCheckpoint(eager=False)
 
         # --- monotone union-find fold over the committed label table
-        lab_dir = _latest_committed_dir(root, "labels")
-        prev = (
-            spark.read.schema(_CM_LABEL_SCHEMA).parquet(lab_dir)
-            if lab_dir is not None
-            else spark.createDataFrame([], _CM_LABEL_SCHEMA)
-        )
-        ma = prev.select(
-            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca_old")
-        )
-        mb = prev.select(
-            F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb_old")
-        )
-        cluster_edges = (
-            new_pairs.join(ma, "doc_a", "left")
-            .join(mb, "doc_b", "left")
-            .select(
-                F.coalesce("ca_old", F.col("doc_a")).alias("doc_a"),
-                F.coalesce("cb_old", F.col("doc_b")).alias("doc_b"),
-            )
-            .filter(F.col("doc_a") != F.col("doc_b"))
-        )
-        mapping = _connected_components(cluster_edges).select(
-            F.col("doc_id").alias("old_label"),
-            F.col("cluster_id").alias("new_label"),
-        )
-        ends = (
-            new_pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        new_nodes = ends.join(prev, "doc_id", "left_anti").select(
-            "doc_id", F.col("doc_id").alias("cluster_id")
-        )
-        base = prev.unionByName(new_nodes)
-        labels = (
-            base.join(
-                mapping, base["cluster_id"] == mapping["old_label"], "left"
-            )
-            .select(
-                "doc_id",
-                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        labels = _fold_labels(spark, root, new_pairs)
 
         # --- family-membership flags, folded per doc
         def members(pairs: DataFrame, flag: str) -> DataFrame:
@@ -1901,5 +1915,135 @@ def stream_crossmodal_clusters(
             [], _CM_SNAP_SCHEMA.replace(", batch long", "")
         )
     allr = spark.read.schema(_CM_SNAP_SCHEMA).parquet(*snap_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
+# --- streaming quality-aware dedup (keep the BEST copy, continuously) ----------
+
+_QA_SCORE_SCHEMA = "doc_id long, quality_score double"
+_QA_SNAP_SCHEMA = (
+    "doc_id long, cluster_id long, quality_score double, keeper_id long, "
+    "kept boolean, batch long"
+)
+
+
+def stream_quality_aware(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.dedup_quality_aware`` — the
+    keep-the-cleanest keeper rule maintained continuously over a
+    document ingest (columns: doc_id, text): every near-dup cluster's
+    keeper is its HIGHEST-quality member (ties to the lowest doc_id),
+    re-decided per micro-batch as clusters grow and merge — a keeper
+    is only ever DEMOTED by a strictly better later arrival, exactly
+    like the batch rule replayed on the corpus so far.
+
+    Per micro-batch, three folds inside ONE atomic commit:
+
+    1. the MinHash pair kernel (:func:`_minhash_batch_pairs`) —
+       batch-vs-batch ∪ batch-vs-index collisions, exact-Jaccard
+       verified; history never re-pairs;
+    2. the shared monotone union-find fold (:func:`_fold_labels`) —
+       the same incremental CC state as
+       :func:`stream_crossmodal_clusters`;
+    3. per-doc quality scores (``text_analysis.text_stats`` is a
+       narrow per-row map, so scores are FINAL at arrival) appended to
+       a per-batch score table; the snapshot joins the clustered label
+       table against the committed scores and re-derives each
+       cluster's ``max(struct(score, −id))`` keeper.
+
+    State: ``batch=<id>/labels`` cumulative (pruned to latest);
+    ``bands|grams|scores`` append-only per batch; ``batch=<id>/clusters``
+    the per-batch decision snapshot.  Equivalence contract (tested):
+    every batch's snapshot equals one-shot ``dedup_quality_aware``
+    over exactly the documents ingested so far.  Returns the latest
+    committed snapshot.
+    """
+    from ..operators.text_analysis import text_stats
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "quality-aware dedup index"
+        ):
+            return
+
+        pairs, bands, arr = _minhash_batch_pairs(spark, batch_df, root)
+        new_pairs = (
+            pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=False)
+        )
+        labels = _fold_labels(spark, root, new_pairs)
+
+        batch_scores = text_stats({"documents": batch_df}).select(
+            "doc_id", "quality_score"
+        )
+        score_dirs = _committed_dirs(root, "scores")
+        all_scores = (
+            batch_scores.unionByName(
+                spark.read.schema(_QA_SCORE_SCHEMA).parquet(*score_dirs)
+            )
+            if score_dirs
+            else batch_scores
+        )
+
+        m = labels.join(all_scores, "doc_id").localCheckpoint(eager=False)
+        best = (
+            m.groupBy("cluster_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("quality_score"), (-F.col("doc_id")).alias("neg_id")
+                    )
+                ).alias("b")
+            )
+            .select(
+                "cluster_id", (-F.col("b.neg_id")).cast("long").alias("keeper_id")
+            )
+        )
+        snap = m.join(best, "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+        )
+
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "clusters"))
+        labels.write.mode("overwrite").parquet(os.path.join(out, "labels"))
+        batch_scores.write.mode("overwrite").parquet(
+            os.path.join(out, "scores")
+        )
+        bands.select("doc_id", "band_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "labels")  # cumulative: latest only
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap_dirs = _committed_dirs(root, "clusters")
+    if not snap_dirs:
+        return spark.createDataFrame(
+            [], _QA_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_QA_SNAP_SCHEMA).parquet(*snap_dirs)
     last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
     return allr.filter(F.col("batch") == last).drop("batch")

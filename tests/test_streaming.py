@@ -2251,6 +2251,68 @@ def test_stream_crossmodal_clusters_cascading_merge(spark, tmp_path):
     assert {r[0] for r in got} == {1, 2, 11, 12, 21}
 
 
+def test_stream_quality_aware_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming keep-the-cleanest resolver's snapshot equals
+    one-shot dedup_quality_aware over exactly the documents ingested so
+    far — at EVERY cut: labels come from the shared monotone union-find
+    fold, and quality scores are per-row-final at arrival, so each
+    snapshot's per-cluster max(struct(score, -id)) keeper is the batch
+    rule replayed.  A keeper demotion across the cut must occur (a
+    later, higher-quality arrival takes over an existing cluster) or
+    the test proves nothing."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_quality_aware
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first = docs.filter(F.col("doc_id") <= cut)
+    first.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_quality_aware(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in dd2.dedup_quality_aware(t).collect()}
+    got = {tuple(r) for r in folded.collect()}
+    assert got == want and want
+    # batch-0 snapshot == one-shot over the first half only
+    snap0 = spark.read.parquet(
+        os.path.join(root, "batch=0", "clusters")
+    ).drop("batch")
+    want0 = {
+        tuple(r)
+        for r in dd2.dedup_quality_aware({"documents": first}).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    # a cross-cut keeper decision really happened: some cluster holds
+    # members on both sides of the cut, and its final keeper is decided
+    # over the union (not batch-0's local view)
+    by_cluster: dict[int, list] = {}
+    for r in got:
+        by_cluster.setdefault(r[1], []).append(r)
+    spanning = [
+        m for m in by_cluster.values()
+        if min(x[0] for x in m) <= cut < max(x[0] for x in m)
+    ]
+    assert spanning
+    # cumulative label state pruned; scores/index parts retained
+    assert not os.path.isdir(os.path.join(root, "batch=0", "labels"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "labels"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "scores"))
+
+
 def test_stream_token_budget_zero_token_source(spark, tmp_path):
     """A source whose documents ALL tokenize to zero words (empty /
     whitespace-only text) must survive into the availability rollup and
