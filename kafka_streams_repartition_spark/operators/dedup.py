@@ -468,41 +468,115 @@ def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     return _connected_components(dedup_minhash_lsh(t).select("doc_a", "doc_b"))
 
 
-def _connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected (doc_a, doc_b) pair
-    frame → (doc_id, cluster_id); the shared CC kernel behind
-    :func:`dedup_clusters` and :func:`crossmodal_clusters` (see the
-    former's docstring for the convergence argument and GraphFrames
-    equivalence)."""
-    # Lazy checkpoints: each round's convergence-check action is the
-    # one job that also materializes that round's labels (an eager
-    # checkpoint would run a second job per round just to cache).
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=False)
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    while True:
-        msgs = edges.join(
-            labels, edges["src"] == labels["doc_id"]
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=False)
+# round count of the most recent _connected_components call — a test
+# hook pinning the O(log² n) bound (an adversarial long chain must not
+# regress to the old min-label-propagation's O(diameter) rounds).
+_CC_LAST_ROUNDS = 0
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star operation (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", §3) over a
+    canonical (u < v, distinct) undirected edge frame.
+
+    Per node ``x`` with neighborhood Γ(x) and ``m = min(Γ(x) ∪ {x})``:
+    large-star re-points every STRICTLY LARGER neighbor at ``m``;
+    small-star re-points every smaller-or-equal neighbor AND ``x``
+    itself at ``m``.  Both preserve connectivity; alternating them
+    strictly shrinks a potential until the graph is a forest of stars
+    centered at each component's min id."""
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    mins = adj.groupBy("node").agg(F.min("nbr").alias("mn"))
+    m = F.least("mn", "node")
+    joined = adj.join(mins, "node")
+    if large:
+        out = joined.filter(F.col("nbr") > F.col("node")).select(
+            F.col("nbr").alias("a"), m.alias("b")
         )
-        s = labels.agg(F.sum("cluster_id")).first()[0]
-        if s == prev_sum:
-            return labels
-        prev_sum = s
+    else:
+        out = joined.filter(F.col("nbr") <= F.col("node")).select(
+            F.col("nbr").alias("a"), m.alias("b")
+        ).unionByName(mins.select(F.col("node").alias("a"), m.alias("b")))
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+
+
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) pair
+    frame → (doc_id, cluster_id = min id reachable); the shared CC
+    kernel behind :func:`dedup_clusters`, :func:`crossmodal_clusters`,
+    and the streaming union-find folds.
+
+    Alternating large-star/small-star contraction (Kiveris et al.
+    2014) instead of min-label propagation: label propagation needs
+    O(component diameter) rounds — one Spark job per hop of the
+    longest chain — while the star operations re-point whole
+    neighborhoods at their local min, converging in O(log² n) rounds
+    on ANY topology (each round is two grouped-min passes over the
+    pair-sized edge frame).  Duplicate clusters are usually shallow,
+    but adversarial chains (serial near-dup edits: v1≈v2≈…≈vk) are
+    exactly the inputs a 100 TB crawl contains; the kernel's round
+    count must not depend on them.
+
+    Convergence is checked EXACTLY — stop when a full large+small
+    cycle leaves the canonical edge set unchanged (two set-difference
+    probes per round), at which point the graph is a forest of stars
+    centered at each component's min id and the edge list IS the label
+    table.  Exact set equality (never a checksum) keeps the stopping
+    rule engine-independent, same as the old label-sum rule.  The
+    recursive-CTE oracle reproduces the min-reachable semantics, which
+    the fixpoint provably equals.  GraphFrames note: this IS the
+    ``connectedComponents()`` alternating algorithm without the
+    dependency — ``component`` == ``cluster_id``."""
+    global _CC_LAST_ROUNDS
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        nxt = _star_round(_star_round(edges, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=False)
+        # exact fixpoint: the cycle changed nothing (both frames are
+        # canonical distinct sets, so two EXCEPT DISTINCT probes decide)
+        if (
+            nxt.subtract(edges).unionByName(edges.subtract(nxt)).isEmpty()
+        ):
+            edges = nxt
+            break
+        edges = nxt
+    _CC_LAST_ROUNDS = rounds
+    # star forest: every non-center appears exactly once as v, pointing
+    # at its component min u; centers (and isolated nodes) label
+    # themselves
+    parents = edges.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("cluster_id")
+    )
+    return (
+        nodes.join(parents, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
@@ -1587,6 +1661,19 @@ PLANE_LAYOUTS = [(12, 2), (12, 4), (12, 6), (12, 8), (24, 4), (24, 8)]
 _PI_LIT = "3.141592653589793"  # repr(math.pi): both engines' closest double
 
 
+def _s_curve_cosine(b: int, r: int) -> float:
+    """The (b, r) layout's S-curve agreement threshold re-expressed as
+    a cosine — PRECOMPUTED in Python and embedded as the same literal
+    in both engines: the chain is two libm calls (fractional ``pow``
+    then ``cos``) whose last-ulp behavior the JVM and DuckDB need not
+    share, so a boundary-adjacent layout constant could round to
+    different 4th decimals across engines (the very risk ``_ipow``
+    exists to avoid)."""
+    import math
+
+    return round(math.cos(math.pi * (1.0 - (1.0 / b) ** (1.0 / r))), 4)
+
+
 def embdup_plane_tuning(t: dict[str, DataFrame]) -> DataFrame:
     """The hyperplane-banding design table — the embedding-side twin of
     :func:`minhash_band_tuning`, and the gate that sizes the
@@ -1627,16 +1714,7 @@ def embdup_plane_tuning(t: dict[str, DataFrame]) -> DataFrame:
                 F.struct(
                     F.lit(b).cast("long").alias("bands"),
                     F.lit(r).cast("long").alias("planes"),
-                    F.round(
-                        F.cos(
-                            F.lit(math.pi)
-                            * (
-                                F.lit(1.0)
-                                - F.pow(F.lit(1.0 / b), F.lit(1.0 / r))
-                            )
-                        ),
-                        4,
-                    ).alias("s_curve_cosine"),
+                    F.lit(_s_curve_cosine(b, r)).alias("s_curve_cosine"),
                     F.coalesce(
                         F.round(F.col(f"s_{b}_{r}").cast("double"), 4),
                         F.lit(0.0),
@@ -1674,8 +1752,7 @@ def _plane_tuning_oracle() -> str:
     rows = "\nUNION ALL\n".join(
         f"""SELECT CAST({b} AS BIGINT) AS bands,
        CAST({r} AS BIGINT) AS planes,
-       round(cos({_PI_LIT} * (1.0 - pow(1.0 / {b}, 1.0 / {r}))), 4)
-           AS s_curve_cosine,
+       {_s_curve_cosine(b, r)!r} AS s_curve_cosine,
        n_pairs,
        COALESCE(round(CAST(s_{b}_{r} AS DOUBLE), 4), 0.0) AS expected_caught,
        CASE WHEN n_pairs > 0

@@ -226,13 +226,18 @@ def _embedding_batch_pairs(
     )
     if sig_dirs:
         idx_sigs = spark.read.schema(_SIG_SCHEMA).parquet(*sig_dirs)
-        cand_cross = new_sigs.join(
-            idx_sigs.select(
-                "band", "sig", F.col("vec_id").alias("old_id")
-            ),
-            ["band", "sig"],
-        ).select(
-            F.col("vec_id").alias("ia"), F.col("old_id").alias("ib")
+        cand_cross = (
+            new_sigs.join(
+                idx_sigs.select(
+                    "band", "sig", F.col("vec_id").alias("old_id")
+                ),
+                ["band", "sig"],
+            )
+            # a re-ingested vec_id collides with its own committed copy
+            # (cosine 1.0); the self-edge must not reach the pair table
+            # — the batch operator only ever pairs a != b
+            .filter(F.col("vec_id") != F.col("old_id"))
+            .select(F.col("vec_id").alias("ia"), F.col("old_id").alias("ib"))
         )
         cand = cand_self.unionByName(cand_cross)
         all_vecs = new_vecs.unionByName(
@@ -384,12 +389,18 @@ def _minhash_batch_pairs(
     )
     if band_dirs:
         idx_bands = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
-        cand_cross = bands.join(
-            idx_bands.select(
-                "band_id", "sig", F.col("doc_id").alias("old_id")
-            ),
-            ["band_id", "sig"],
-        ).select(F.col("doc_id").alias("ia"), F.col("old_id").alias("ib"))
+        cand_cross = (
+            bands.join(
+                idx_bands.select(
+                    "band_id", "sig", F.col("doc_id").alias("old_id")
+                ),
+                ["band_id", "sig"],
+            )
+            # self-edge guard: a re-ingested doc_id lands in its own
+            # committed bucket (Jaccard 1.0) — batch pairs are a != b
+            .filter(F.col("doc_id") != F.col("old_id"))
+            .select(F.col("doc_id").alias("ia"), F.col("old_id").alias("ib"))
+        )
         cand = cand_self.unionByName(cand_cross)
         all_grams = arr.unionByName(
             spark.read.schema(_GRAM_SCHEMA).parquet(*gram_dirs)
@@ -1457,12 +1468,20 @@ def stream_filter_attribution(
         band_dirs = _committed_dirs(root, "bands")
         if band_dirs:
             idx_b = spark.read.schema(_BAND_SCHEMA).parquet(*band_dirs)
-            cand_cross = bands.join(
-                idx_b.select("band_id", "sig", F.col("doc_id").alias("old_id")),
-                ["band_id", "sig"],
-            ).select(
-                F.col("doc_id").alias("later"),
-                F.col("old_id").alias("earlier"),
+            cand_cross = (
+                bands.join(
+                    idx_b.select(
+                        "band_id", "sig", F.col("doc_id").alias("old_id")
+                    ),
+                    ["band_id", "sig"],
+                )
+                # self-edge guard: a re-ingested doc_id must not
+                # near-dup-flag itself against its own committed copy
+                .filter(F.col("doc_id") != F.col("old_id"))
+                .select(
+                    F.col("doc_id").alias("later"),
+                    F.col("old_id").alias("earlier"),
+                )
             )
             cand = cand_self.unionByName(cand_cross)
             all_grams = arr.unionByName(
@@ -1990,6 +2009,13 @@ def stream_quality_aware(
             )
             if score_dirs
             else batch_scores
+        )
+        # one score row per doc even if an id is re-ingested in a later
+        # micro-batch (its committed copy already holds the row): max is
+        # deterministic, order-independent, and a no-op for the
+        # in-contract case (same text ⇒ identical score)
+        all_scores = all_scores.groupBy("doc_id").agg(
+            F.max("quality_score").alias("quality_score")
         )
 
         m = labels.join(all_scores, "doc_id").localCheckpoint(eager=False)

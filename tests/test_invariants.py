@@ -1091,3 +1091,37 @@ def test_dedup_threshold_curve_monotone_and_consistent(t):
     assert (got["n_docs_removed"].diff().dropna() <= 0).all()
     assert got.iloc[0]["threshold"] == dd.JACCARD_THRESHOLD
     assert got.iloc[0]["n_pairs"] == len(pairs)
+
+
+def test_connected_components_adversarial_chain_sublinear_rounds(spark):
+    """The CC kernel is the large-star/small-star alternating
+    contraction (Kiveris et al. 2014): an adversarial 64-node chain —
+    the serial near-dup-edit topology min-label propagation needed
+    O(diameter) = 63 rounds (63 Spark jobs) to label — must converge
+    in O(log² n) rounds with every node labeled by the chain head.
+    Also pins correctness on the merge-heavy topology (two cliques
+    plus a bridge) and on reversed/duplicate pair rows."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd._connected_components(chain).collect()
+    }
+    assert got == {i: 1 for i in range(1, 65)}
+    assert dd._CC_LAST_ROUNDS <= 12, dd._CC_LAST_ROUNDS
+
+    cliques = (
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(100, 5), (9, 3), (3, 9), (201, 202)]  # bridge, reversed+dup, pair
+    )
+    pdf = spark.createDataFrame(cliques, "doc_a long, doc_b long")
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd._connected_components(pdf).collect()
+    }
+    # 9 hangs off clique node 3; the bridge joins both cliques → one
+    # component labeled 1; (201, 202) is its own two-node component
+    comp = set(range(1, 6)) | set(range(100, 105)) | {9}
+    assert got2 == ({n: 1 for n in comp} | {201: 201, 202: 201})

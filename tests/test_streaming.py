@@ -2513,3 +2513,106 @@ def test_prune_superseded_keeps_pointer_batch(tmp_path):
     assert _latest_committed_dir(root, "counts") == os.path.join(
         root, "batch=2", "counts"
     )
+
+
+def test_stream_crossmodal_reingested_id_snapshot_equals_batch(
+    spark, tmp_path
+):
+    """A doc_id re-sent in a later micro-batch collides with its OWN
+    committed copy in both pair kernels (Jaccard/cosine = 1.0).  The
+    round-9 advisor flagged that the self-edge survived into the
+    flag/label folds, silently breaking snapshot-equals-batch for that
+    input class; both kernels now drop ia == ib on the batch-vs-index
+    join.  Topology: batch 0 = {1, 2} (same embedding, an embed pair),
+    batch 1 re-sends doc 1 verbatim plus new doc 21 (bridges nothing
+    new).  The final snapshot must equal one-shot crossmodal_clusters
+    over the DISTINCT corpus {1, 2, 21}."""
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.streaming import (
+        stream_crossmodal_clusters,
+    )
+
+    DIM = 64
+    a = [1.0] + [0.0] * (DIM - 1)
+    texts = {
+        1: "quick brown fox jumps over lazy dog tonight",
+        2: "seven silent ships sailed south past storm clouds",
+        21: "old libraries keep forgotten maps of vanished roads",
+    }
+    rows = [(1, texts[1], a), (2, texts[2], a), (21, texts[21], a)]
+    schema = "doc_id long, text string, embedding array<double>"
+    both = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    both.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    # batch 1: doc 1 RE-INGESTED verbatim + a genuinely new doc
+    both.filter("doc_id IN (1, 21)").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_crossmodal_clusters(
+        spark,
+        spark.readStream.schema(both.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(tuple(r) for r in folded.collect())
+    tt = {
+        "documents": both.select("doc_id", "text"),
+        "embeddings": both.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+    }
+    want = sorted(tuple(r) for r in dd2.crossmodal_clusters(tt).collect())
+    # exact multiset equality: a surviving self-edge would duplicate
+    # rows or flip doc 1's flags, and set-compare would hide the dup
+    assert got == want and want
+    assert {r[0] for r in want} == {1, 2, 21}
+
+
+def test_stream_quality_aware_reingested_id_snapshot_equals_batch(
+    spark, tmp_path
+):
+    """Re-ingested doc_id through the quality-aware resolver: the
+    committed score table already holds the doc's (per-row-final)
+    score, so the second arrival must not append a second score row —
+    the snapshot re-derives keepers from ONE row per doc (the advisor's
+    round-9 item).  Multiset equality against the one-shot operator
+    over the distinct corpus catches both the duplicate score row and
+    any self-pair leak through the MinHash kernel."""
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_quality_aware
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 1: the second half PLUS a re-ingested slice of batch 0
+    docs.filter(
+        (F.col("doc_id") > cut) | (F.col("doc_id") % 3 == 0)
+    ).coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_quality_aware(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(tuple(r) for r in folded.collect())
+    want = sorted(
+        tuple(r)
+        for r in dd2.dedup_quality_aware({"documents": docs}).collect()
+    )
+    assert got == want and want
+    # exactly one snapshot row per distinct doc in a cluster
+    assert len(got) == len({r[0] for r in got})
+    # the re-ingested slice really intersects the clustered population
+    # (else the duplicate-score path was never exercised)
+    assert any(r[0] <= cut and r[0] % 3 == 0 for r in got)
