@@ -1382,14 +1382,61 @@ WHERE round(dp / (nq.nrm * nc.nrm), 4) >= {EMBED_COSINE_THRESHOLD}
 # --- corpus×corpus embedding near-dup (banded hyperplane blocking) ---------
 
 EMBDUP_BANDS = 12
-# Planes per band is a DEPLOY-TIME knob (env-overridable like the query
-# caps): collision probability per band is (1 − θ/π)^planes, so the
-# plane count must grow ~log(corpus) to hold bucket collision rates as
-# the corpus scales — at 100× the default 4 planes admit a quadratic
-# tail of cross-item noise pairs (measured in BENCH_sf10_r9.json; 8
-# planes is the measured mitigation there).  The oracle embeds the same
-# value at import, so both engines always band identically.
-EMBDUP_BAND_PLANES = int(os.environ.get("EMBDUP_BAND_PLANES", "4"))
+# Planes per band DERIVES FROM CORPUS SIZE by default (the ~log(corpus)
+# law the design table measures): collision probability per band is
+# (1 − θ/π)^planes, so each extra plane halves random cross-item
+# bucket noise while the noise population grows ~n² — at 100× the
+# fixture-scale 4 planes admit a quadratic tail that OOMed the default
+# config (measured in BENCH_sf10_r9.json; 8 planes is the measured
+# mitigation there).  ``derived_band_planes`` walks one plane per
+# corpus doubling past ``EMBDUP_PLANE_SCALE``·2^p, clamped to the
+# [MIN, MAX] range ``embdup_plane_tuning`` has actually measured, so
+# the default config survives the 100× decade probe with no manual
+# override: 500–12.8k vecs → 4 planes, 200k (the sf10 probe corpus)
+# → 8.  ``EMBDUP_BAND_PLANES`` stays honored as a manual deploy
+# override; beyond MAX=8, re-measure (extend PLANE_LAYOUTS / raise
+# bands) rather than defaulting blind — the knob stays measured.
+# Both engines derive from the SAME integer thresholds (never a
+# float log2, whose last-ulp behavior could disagree at an exact
+# power-of-two boundary), so Spark and the oracle always band
+# identically at every corpus size.
+EMBDUP_PLANE_MIN = 4
+EMBDUP_PLANE_MAX = 8
+EMBDUP_PLANE_SCALE = 800
+_EMBDUP_PLANES_ENV = os.environ.get("EMBDUP_BAND_PLANES")
+
+
+def derived_band_planes(n_vecs: int) -> int:
+    """Planes per band for an ``n_vecs``-vector corpus: the smallest
+    p ∈ [EMBDUP_PLANE_MIN, EMBDUP_PLANE_MAX] with
+    ``n_vecs ≤ EMBDUP_PLANE_SCALE · 2^p`` (one plane per corpus
+    doubling — expected random collisions per band stay
+    ~n·(n/SCALE·2^p) ≲ n, i.e. the verify join stays linear in the
+    corpus).  Manual ``EMBDUP_BAND_PLANES`` env override wins when
+    set; see the sizing comment above."""
+    if _EMBDUP_PLANES_ENV:
+        return int(_EMBDUP_PLANES_ENV)
+    p = EMBDUP_PLANE_MIN
+    while p < EMBDUP_PLANE_MAX and n_vecs > EMBDUP_PLANE_SCALE * (1 << p):
+        p += 1
+    return p
+
+
+def _derived_planes_sql() -> str:
+    """DuckDB scalar mirroring :func:`derived_band_planes` over the
+    ``embeddings`` view — integer-threshold CASE, bit-exact against
+    the Python rule at every corpus size."""
+    if _EMBDUP_PLANES_ENV:
+        return str(int(_EMBDUP_PLANES_ENV))
+    whens = " ".join(
+        f"WHEN count(*) <= {EMBDUP_PLANE_SCALE * (1 << p)} THEN {p}"
+        for p in range(EMBDUP_PLANE_MIN, EMBDUP_PLANE_MAX)
+    )
+    return (
+        f"(SELECT CASE {whens} ELSE {EMBDUP_PLANE_MAX} END FROM embeddings)"
+    )
+
+
 # Band sizing is MEASURED, not assumed (sf0.01/sf0.1 testdata, threshold
 # 0.3): 12 bands × 4 planes surfaces 83% of true ≥0.3 pairs while
 # verifying ~54% of all pairs; 8×4 gives 71% / 41%; IVF cell blocking
@@ -1401,7 +1448,7 @@ EMBDUP_BAND_PLANES = int(os.environ.get("EMBDUP_BAND_PLANES", "4"))
 # keeps this trade-off visible instead of silently assumed.
 
 
-def _embdup_band_structs() -> list[F.Column]:
+def _embdup_band_structs(planes: int) -> list[F.Column]:
     """(band, sig) structs for one vector column ``v`` — the banded
     OR-construction of random-hyperplane LSH (Indyk-Motwani; same
     ±1-via-md5 plane family as ``similarity.ann_topk_lsh``, distinct
@@ -1422,7 +1469,7 @@ def _embdup_band_structs() -> list[F.Column]:
     out = []
     for b in range(EMBDUP_BANDS):
         bits = []
-        for p in range(EMBDUP_BAND_PLANES):
+        for p in range(planes):
             row = F.array(
                 *[
                     F.lit(float(hex_sign(f"embdup:b{b}p{p}:{i}")))
@@ -1500,7 +1547,9 @@ def _embdup_tiled_sigs(sigs: DataFrame, cap: int) -> DataFrame:
 
 
 def dedup_embedding_lsh(
-    t: dict[str, DataFrame], bucket_cap: int | None = None
+    t: dict[str, DataFrame],
+    bucket_cap: int | None = None,
+    band_planes: int | None = None,
 ) -> DataFrame:
     """FULL-corpus embedding near-dup: every pair whose exact cosine is
     ≥ ``EMBED_COSINE_THRESHOLD``, candidate-blocked by banded
@@ -1535,13 +1584,17 @@ def dedup_embedding_lsh(
     import pandas as pd
 
     cap = bucket_cap or EMBDUP_BUCKET_CAP
+    # the plane count SHAPES THE PLAN (a Python loop builds the band
+    # structs), so the corpus size is read up front — one parquet
+    # metadata-count job, O(footers) at any scale
+    planes = band_planes or derived_band_planes(t["embeddings"].count())
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     sigs = emb.select(
         "vec_id",
         "v",
-        F.explode(F.array(*_embdup_band_structs())).alias("bs"),
+        F.explode(F.array(*_embdup_band_structs(planes))).alias("bs"),
     ).select(
         "vec_id",
         "v",
@@ -1602,9 +1655,16 @@ def dedup_embedding_lsh(
 def _embdup_oracle() -> str:
     from ..functions.hashing import hex_sign
 
+    # plane literals for every plane the derived rule could select
+    # (manual override: exactly the overridden count); the sigs CTE
+    # filters to the corpus-derived count at QUERY time, so one static
+    # string is correct at every corpus size
+    n_gen = (
+        int(_EMBDUP_PLANES_ENV) if _EMBDUP_PLANES_ENV else EMBDUP_PLANE_MAX
+    )
     rows = []
     for b in range(EMBDUP_BANDS):
-        for p in range(EMBDUP_BAND_PLANES):
+        for p in range(n_gen):
             for i in range(EMBED_DIM):
                 s = hex_sign(f"embdup:b{b}p{p}:{i}")
                 rows.append(f"({b}, {p}, {i + 1}, {s})")
@@ -1620,6 +1680,7 @@ norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
 projs AS (
     SELECT e.vec_id, pl.band, pl.plane, sum(e.x * pl.s) AS proj
     FROM e JOIN planes pl ON e.pos = pl.pos
+    WHERE pl.plane < {_derived_planes_sql()}
     GROUP BY 1, 2, 3
 ),
 sigs AS (
@@ -1677,7 +1738,7 @@ def _s_curve_cosine(b: int, r: int) -> float:
 def embdup_plane_tuning(t: dict[str, DataFrame]) -> DataFrame:
     """The hyperplane-banding design table — the embedding-side twin of
     :func:`minhash_band_tuning`, and the gate that sizes the
-    ``EMBDUP_BAND_PLANES`` deploy knob before a 100 TB re-index: for
+    ``derived_band_planes`` rule before a 100 TB re-index: for
     every (bands b × planes r) layout, the expected catch probability
     ``1 − (1 − p^r)^b`` with per-plane agreement ``p = 1 − θ/π``
     (Goemans-Williamson / Charikar 2002 SimHash collision law),

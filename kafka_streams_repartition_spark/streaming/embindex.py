@@ -159,12 +159,57 @@ def _commit_batch(root: str, batch_id: int) -> None:
     os.rename(tmp, os.path.join(root, _POINTER))  # atomic commit
 
 
-def _sigs_for(vecs: DataFrame) -> DataFrame:
+_PLANES_FILE = "_PLANES"
+
+
+def _index_planes(root: str, requested: int | None = None) -> int:
+    """Planes per band for the streaming index at ``root`` — an
+    INDEX-CREATION-TIME property: signatures must be the same length
+    across micro-batches and process restarts or buckets never
+    collide, so the first batch persists the count beside the commit
+    pointer and every later batch (or restart) reads it back.  The
+    batch operator derives its count from the FINAL corpus size
+    (``derived_band_planes``); a streaming index sizes for the
+    EXPECTED corpus at creation — pass ``planes`` (or set the
+    ``EMBDUP_BAND_PLANES`` override) when standing up an index for a
+    corpus past ``EMBDUP_PLANE_SCALE``·2^MIN vectors, exactly as a
+    production LSH service fixes its hash family at deploy time.
+    Snapshot-equals-batch holds when the pinned count equals the batch
+    rule's answer for the drained corpus (test corpora: both MIN)."""
+    from ..operators.dedup import EMBDUP_PLANE_MIN, _EMBDUP_PLANES_ENV
+
+    path = os.path.join(root, _PLANES_FILE)
+    try:
+        with open(path) as fh:
+            stored = int(fh.read().strip())
+        if requested is not None and requested != stored:
+            raise RuntimeError(
+                f"embedding index at {root} was built with {stored} planes "
+                f"per band but this run requests {requested}: signature "
+                "lengths would differ and buckets would never collide. "
+                "Re-index to change the plane count."
+            )
+        return stored
+    except FileNotFoundError:
+        pass
+    p = (
+        requested
+        if requested is not None
+        else (int(_EMBDUP_PLANES_ENV) if _EMBDUP_PLANES_ENV else EMBDUP_PLANE_MIN)
+    )
+    tmp = os.path.join(root, f".{_PLANES_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(p))
+    os.rename(tmp, path)
+    return p
+
+
+def _sigs_for(vecs: DataFrame, planes: int) -> DataFrame:
     """(vec_id, v, band, sig) — one row per band per vector."""
     return vecs.select(
         "vec_id",
         "v",
-        F.explode(F.array(*_embdup_band_structs())).alias("bs"),
+        F.explode(F.array(*_embdup_band_structs(planes))).alias("bs"),
     ).select(
         "vec_id",
         "v",
@@ -179,6 +224,7 @@ def stream_embedding_index(
     root: str,
     checkpoint_dir: str,
     on_batch=None,
+    planes: int | None = None,
 ) -> list:
     """Drain ``vec_stream`` (columns: vec_id, embedding) with
     availableNow, maintaining the persisted band-bucket index at
@@ -197,13 +243,13 @@ def stream_embedding_index(
     collecting."""
     return (
         stream_embedding_index_frame(
-            spark, vec_stream, root, checkpoint_dir, on_batch
+            spark, vec_stream, root, checkpoint_dir, on_batch, planes
         ).collect()
     )
 
 
 def _embedding_batch_pairs(
-    spark: SparkSession, new_vecs: DataFrame, root: str
+    spark: SparkSession, new_vecs: DataFrame, root: str, planes: int
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch's verified embedding near-dup pairs against the
     committed hyperplane index at ``root`` — candidates are
@@ -212,7 +258,7 @@ def _embedding_batch_pairs(
     the caller persists both inside its commit.  Shared by
     :func:`stream_embedding_index_frame` and
     :func:`stream_crossmodal_clusters`."""
-    new_sigs = _sigs_for(new_vecs)
+    new_sigs = _sigs_for(new_vecs, planes)
     sig_dirs = _committed_dirs(root, "sigs")
     vec_dirs = _committed_dirs(root, "vecs")
     cand_self = (
@@ -276,10 +322,13 @@ def stream_embedding_index_frame(
     root: str,
     checkpoint_dir: str,
     on_batch=None,
+    planes: int | None = None,
 ) -> DataFrame:
     """Sink-backed form of :func:`stream_embedding_index`: returns the
-    committed (doc_a, doc_b, cosine) pair TABLE."""
+    committed (doc_a, doc_b, cosine) pair TABLE.  ``planes`` pins the
+    banding width at index creation (see :func:`_index_planes`)."""
     os.makedirs(root, exist_ok=True)
+    n_planes = _index_planes(root, planes)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not _begin_batch(root, checkpoint_dir, batch_id, "embedding index"):
@@ -288,7 +337,9 @@ def stream_embedding_index_frame(
         new_vecs = batch_df.select(
             "vec_id", to_double_array("embedding").alias("v")
         )
-        pairs, new_sigs = _embedding_batch_pairs(spark, new_vecs, root)
+        pairs, new_sigs = _embedding_batch_pairs(
+            spark, new_vecs, root, n_planes
+        )
 
         out = os.path.join(root, f"batch={batch_id}")
         pairs.write.mode("overwrite").parquet(os.path.join(out, "pairs"))
@@ -1783,6 +1834,7 @@ def stream_crossmodal_clusters(
     root: str,
     checkpoint_dir: str,
     on_batch=None,
+    planes: int | None = None,
 ) -> DataFrame:
     """Streaming face of ``operators.dedup.crossmodal_clusters`` — the
     cross-modal duplicate ENTITY resolution maintained continuously
@@ -1828,6 +1880,7 @@ def stream_crossmodal_clusters(
     state is the union-find label table.
     """
     os.makedirs(root, exist_ok=True)
+    n_planes = _index_planes(root, planes)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not _begin_batch(
@@ -1842,7 +1895,9 @@ def stream_crossmodal_clusters(
             F.col("doc_id").alias("vec_id"),
             to_double_array("embedding").alias("v"),
         )
-        ep_raw, new_sigs = _embedding_batch_pairs(spark, new_vecs, root)
+        ep_raw, new_sigs = _embedding_batch_pairs(
+            spark, new_vecs, root, n_planes
+        )
         tp = tp_raw.select("doc_a", "doc_b").localCheckpoint(eager=False)
         ep = ep_raw.select("doc_a", "doc_b").localCheckpoint(eager=False)
         new_pairs = tp.unionByName(ep).distinct().localCheckpoint(eager=False)

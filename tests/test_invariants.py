@@ -326,7 +326,13 @@ def test_embdup_hot_bucket_tiled_and_exact(spark):
         .select(
             "vec_id",
             "v",
-            F.explode(F.array(*dd._embdup_band_structs())).alias("bs"),
+            F.explode(
+                F.array(
+                    *dd._embdup_band_structs(
+                        dd.derived_band_planes(emb.count())
+                    )
+                )
+            ).alias("bs"),
         )
         .select("vec_id", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
@@ -759,7 +765,7 @@ def test_embdup_plane_tuning_s_curve(t):
     probability (p^r is nonincreasing in r for p in [0,1]); at fixed
     planes, more bands can only raise it; every expectation is a
     probability over one shared pair population; the production layout
-    (EMBDUP_BANDS x EMBDUP_BAND_PLANES) appears."""
+    (EMBDUP_BANDS x derived planes) appears."""
     rows = {
         (r["bands"], r["planes"]): r
         for r in dd.embdup_plane_tuning(t).collect()
@@ -783,7 +789,8 @@ def test_embdup_plane_tuning_s_curve(t):
                 rows[(hi, p)]["expected_recall"]
                 >= rows[(lo, p)]["expected_recall"]
             )
-    assert (dd.EMBDUP_BANDS, dd.EMBDUP_BAND_PLANES) in rows
+    n_vecs = t["embeddings"].count()
+    assert (dd.EMBDUP_BANDS, dd.derived_band_planes(n_vecs)) in rows
 
 
 def test_minhash_band_tuning_python_replica(t):
@@ -1125,3 +1132,31 @@ def test_connected_components_adversarial_chain_sublinear_rounds(spark):
     # component labeled 1; (201, 202) is its own two-node component
     comp = set(range(1, 6)) | set(range(100, 105)) | {9}
     assert got2 == ({n: 1 for n in comp} | {201: 201, 202: 201})
+
+
+def test_derived_band_planes_rule_and_sql_mirror():
+    """The corpus-size → planes-per-band rule (one plane per corpus
+    doubling past EMBDUP_PLANE_SCALE·2^MIN, clamped to the measured
+    [MIN, MAX] range): pins the fixture scales at 4 planes, the 100×
+    decade-probe corpus (200k vecs) at the measured 8-plane
+    mitigation, monotonicity, the cap, and that the DuckDB scalar
+    mirror agrees with the Python rule at every threshold boundary."""
+    import duckdb
+
+    assert dd.derived_band_planes(1) == 4
+    assert dd.derived_band_planes(500) == 4      # sf0.001 / sf0.01
+    assert dd.derived_band_planes(2000) == 4     # sf0.1
+    assert dd.derived_band_planes(12800) == 4    # boundary: SCALE * 2^4
+    assert dd.derived_band_planes(12801) == 5
+    assert dd.derived_band_planes(20000) == 5    # sf1 probe corpus
+    assert dd.derived_band_planes(200000) == 8   # sf10 probe corpus
+    assert dd.derived_band_planes(10**9) == 8    # clamped: re-measure
+    vals = [dd.derived_band_planes(n) for n in range(1, 10**6, 9973)]
+    assert vals == sorted(vals)
+    expr = dd._derived_planes_sql()
+    for n in (1, 500, 2000, 12800, 12801, 25600, 25601, 51200, 51201,
+              102400, 102401, 10**7):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got == dd.derived_band_planes(n), n
