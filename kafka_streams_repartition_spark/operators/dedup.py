@@ -524,14 +524,17 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     count must not depend on them.
 
     Convergence is checked EXACTLY — stop when a full large+small
-    cycle leaves the canonical edge set unchanged (two set-difference
-    probes per round), at which point the graph is a forest of stars
-    centered at each component's min id and the edge list IS the label
-    table.  Exact set equality (never a checksum) keeps the stopping
-    rule engine-independent, same as the old label-sum rule.  The
-    recursive-CTE oracle reproduces the min-reachable semantics, which
-    the fixpoint provably equals.  GraphFrames note: this IS the
-    ``connectedComponents()`` alternating algorithm without the
+    cycle leaves the canonical edge set unchanged, at which point the
+    graph is a forest of stars centered at each component's min id and
+    the edge list IS the label table.  The check is staged for cost:
+    per round ONE count action; only when counts match (usually just
+    the final round) does a one-direction set-difference confirm
+    |A|=|B| ∧ A∖B=∅ ⇒ A=B — exact set equality (never a checksum)
+    keeps the stopping rule engine-independent, same as the old
+    label-sum rule, without two extra pair-sized shuffles per round.
+    The recursive-CTE oracle reproduces the min-reachable semantics,
+    which the fixpoint provably equals.  GraphFrames note: this IS
+    the ``connectedComponents()`` alternating algorithm without the
     dependency — ``component`` == ``cluster_id``."""
     global _CC_LAST_ROUNDS
     nodes = (
@@ -550,18 +553,19 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     rounds = 0
+    cur = edges.count()
     while True:
         rounds += 1
         nxt = _star_round(_star_round(edges, large=True), large=False)
         nxt = nxt.localCheckpoint(eager=False)
-        # exact fixpoint: the cycle changed nothing (both frames are
-        # canonical distinct sets, so two EXCEPT DISTINCT probes decide)
-        if (
-            nxt.subtract(edges).unionByName(edges.subtract(nxt)).isEmpty()
-        ):
+        n = nxt.count()
+        # exact fixpoint: equal counts gate the (rarer) set-difference
+        # probe; both frames are canonical distinct sets, so
+        # |A| = |B| and A∖B = ∅ decide equality
+        if n == cur and nxt.subtract(edges).isEmpty():
             edges = nxt
             break
-        edges = nxt
+        edges, cur = nxt, n
     _CC_LAST_ROUNDS = rounds
     # star forest: every non-center appears exactly once as v, pointing
     # at its component min u; centers (and isolated nodes) label

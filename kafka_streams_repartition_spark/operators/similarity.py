@@ -905,40 +905,28 @@ WHERE rank <= {TOP_K}
 RPQ_K = 32
 
 
-def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
-    """IVFADC with ``by_residual=true`` — the exact composition of
-    Jégou et al. 2011 §IV-A (and the FAISS "IVF,PQ" default): instead
-    of quantizing raw vectors, each vector's RESIDUAL against its
-    coarse centroid (``r = v − μ_cell(v)``) is product-quantized, and a
-    query's ADC table is rebuilt PER PROBED CELL from the query's
-    residual against that cell's centroid.  Residuals concentrate the
-    energy the coarse quantizer already explained, so the same code
-    budget spends its precision on what the cell does not know — the
-    reason production IVF indexes default to residual encoding.
+def _rpq_sdist() -> "F.Column":
+    """Rounded residual-subvector squared distance — the shared
+    argmin/ADC metric of the residual pipeline."""
+    return F.round(
+        F.aggregate(
+            F.zip_with("rsub", "csub", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("dist")
 
-    The residual sub-codebooks are TRAINED here (they cannot be label
-    centroids — residuals of a cell against its own centroid average
-    to ~0): seeds are per-(subspace, ``vec_id % RPQ_K``) residual
-    means (a deterministic sampled partition), refined by one Lloyd
-    update — the ``kmeans_cells`` discipline, replayed bit-exactly by
-    the oracle (distances rounded at 6 decimals before every argmin,
-    ties to the lowest code id).
 
-    Scale shape: identical skeleton to :func:`ann_topk_ivfpq` — the
-    centroid table and the M×K codebook broadcast; residual slicing is
-    map-side ``zip_with``/``slice``; codebook training is two keyed
-    aggregations over (vec, subspace) rows; the per-(query, cell) ADC
-    tables are (cap × N_PROBE × M × K) rows and broadcast; ADC sums
-    are exact DECIMAL.  The extra cost over by_residual=false is one
-    broadcast join per scored candidate — the accuracy/cost trade the
-    ``ivfpq_residual_recall`` gate measures.
-    """
+def _rpq_shared(t: dict[str, DataFrame]):
+    """The (n_probe, rpq_k)-INDEPENDENT half of the residual pipeline:
+    (emb, cent, cells, rsub) — coarse assignment and residual slicing.
+    :func:`ivfpq_design_table` computes this once and shares it across
+    every grid leg."""
     emb_raw = fan_out(t["embeddings"])
     cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
     cells = _assign_cells(emb, cent)  # (vec_id, v, cell)
-
-    # residual r = v − μ_cell(v), sliced into PQ_M subspaces
     rsub = (
         cells.join(F.broadcast(cent), "cell")
         .select(
@@ -954,6 +942,12 @@ def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("m", "rsub"),
         )
     )
+    return emb, cent, cells, rsub
+
+
+def _rpq_codebook(rsub: DataFrame, rpq_k: int) -> tuple[DataFrame, DataFrame]:
+    """Train the size-``rpq_k`` residual sub-codebooks (sampled-partition
+    seeds + one Lloyd update) and assign final codes → (cb1, codes)."""
 
     def _cb_avg(frame: DataFrame, keys: list[str]) -> DataFrame:
         return frame.groupBy(*keys).agg(
@@ -962,14 +956,7 @@ def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("csub")
         )
 
-    sdist = F.round(
-        F.aggregate(
-            F.zip_with("rsub", "csub", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    ).alias("dist")
+    sdist = _rpq_sdist()
 
     def _assign_codes(frame: DataFrame, cb: DataFrame) -> DataFrame:
         scored = frame.join(F.broadcast(cb), "m").select(
@@ -984,17 +971,28 @@ def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
             .select("vec_id", "m", F.col("b.k").alias("k"), "rsub")
         )
 
-    # codebook: sampled-partition seeds, one Lloyd update, final codes
     cb0 = _cb_avg(
-        rsub.withColumn("k", (F.col("vec_id") % RPQ_K).cast("int")), ["m", "k"]
+        rsub.withColumn("k", (F.col("vec_id") % rpq_k).cast("int")), ["m", "k"]
     ).localCheckpoint(eager=False)
     a0 = _assign_codes(rsub, cb0)
     cb1 = _cb_avg(a0, ["m", "k"]).localCheckpoint(eager=False)
     codes = _assign_codes(rsub, cb1).select(
         "vec_id", "m", F.col("k").alias("code")
     )
+    return cb1, codes
 
-    # capped query set: probed cells + per-(query, cell) residual tables
+
+def _rpq_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    cells: DataFrame,
+    cb1: DataFrame,
+    codes: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """Query side of the residual pipeline: probe ``n_probe`` coarse
+    cells, rebuild the per-(query, cell) residual ADC table against
+    ``cb1``, score the probed cells' codes, rank top-k."""
     qids = _qcap_ids(emb)
     cdist = F.round(
         F.aggregate(
@@ -1017,7 +1015,7 @@ def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
     wp = Window.partitionBy("query_id").orderBy(F.col("cdist"), F.col("cell"))
     probed = (
         qd.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "cell", "qr")
     )
     qrsub = probed.select(
@@ -1032,7 +1030,7 @@ def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
         F.col("cell").alias("qcell"),
         F.col("m").alias("qm"),
         F.col("k").alias("qk"),
-        sdist.cast("decimal(18,6)").alias("qdist"),
+        _rpq_sdist().cast("decimal(18,6)").alias("qdist"),
     )
 
     cand = (
@@ -1066,7 +1064,57 @@ def ann_topk_ivfpq_residual(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-ANN_TOPK_IVFPQ_RESIDUAL_ORACLE = f"""
+def ann_topk_ivfpq_residual(
+    t: dict[str, DataFrame],
+    n_probe: int | None = None,
+    rpq_k: int | None = None,
+) -> DataFrame:
+    """IVFADC with ``by_residual=true`` — the exact composition of
+    Jégou et al. 2011 §IV-A (and the FAISS "IVF,PQ" default): instead
+    of quantizing raw vectors, each vector's RESIDUAL against its
+    coarse centroid (``r = v − μ_cell(v)``) is product-quantized, and a
+    query's ADC table is rebuilt PER PROBED CELL from the query's
+    residual against that cell's centroid.  Residuals concentrate the
+    energy the coarse quantizer already explained, so the same code
+    budget spends its precision on what the cell does not know — the
+    reason production IVF indexes default to residual encoding.
+
+    The residual sub-codebooks are TRAINED here (they cannot be label
+    centroids — residuals of a cell against its own centroid average
+    to ~0): seeds are per-(subspace, ``vec_id % rpq_k``) residual
+    means (a deterministic sampled partition), refined by one Lloyd
+    update — the ``kmeans_cells`` discipline, replayed bit-exactly by
+    the oracle (distances rounded at 6 decimals before every argmin,
+    ties to the lowest code id).
+
+    Scale shape: identical skeleton to :func:`ann_topk_ivfpq` — the
+    centroid table and the M×K codebook broadcast; residual slicing is
+    map-side ``zip_with``/``slice``; codebook training is two keyed
+    aggregations over (vec, subspace) rows; the per-(query, cell) ADC
+    tables are (cap × n_probe × M × K) rows and broadcast; ADC sums
+    are exact DECIMAL.  The extra cost over by_residual=false is one
+    broadcast join per scored candidate — the accuracy/cost trade the
+    ``ivfpq_residual_recall`` gate measures.
+
+    ``n_probe`` / ``rpq_k`` parameterize the probe budget and residual
+    codebook size (defaults: module constants); the body is three
+    composable stages (:func:`_rpq_shared` → :func:`_rpq_codebook` →
+    :func:`_rpq_topk`) so :func:`ivfpq_design_table` can measure the
+    deploy grid sharing the grid-independent stages, with the
+    production pipeline itself — never a reimplementation.
+    """
+    n_probe = n_probe or N_PROBE
+    rpq_k = rpq_k or RPQ_K
+    emb, cent, cells, rsub = _rpq_shared(t)
+    cb1, codes = _rpq_codebook(rsub, rpq_k)
+    return _rpq_topk(emb, cent, cells, cb1, codes, n_probe)
+
+
+def _ivfpq_residual_oracle(n_probe: int, rpq_k: int) -> str:
+    """Oracle for :func:`ann_topk_ivfpq_residual` at an arbitrary
+    (n_probe, rpq_k) grid point — the module constant below is the
+    production point; :func:`ivfpq_design_table` unions the grid."""
+    return f"""
 WITH e AS (
     SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
            generate_subscripts(embedding, 1) AS pos
@@ -1101,7 +1149,7 @@ r AS (
     JOIN cent c ON c.c_label = s.cell AND c.pos = e.pos
 ),
 cb0 AS (
-    SELECT m, vec_id % {RPQ_K} AS k, spos, avg(rx) AS c
+    SELECT m, vec_id % {rpq_k} AS k, spos, avg(rx) AS c
     FROM r GROUP BY 1, 2, 3
 ),
 a0 AS (
@@ -1144,7 +1192,7 @@ probe AS (
         ) AS rn
         FROM coarse WHERE vec_id IN ({_QCAP_SQL})
     )
-    WHERE rn <= {N_PROBE}
+    WHERE rn <= {n_probe}
 ),
 qr AS (
     SELECT p.query_id, p.cell, e.pos,
@@ -1185,6 +1233,9 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, adc FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+ANN_TOPK_IVFPQ_RESIDUAL_ORACLE = _ivfpq_residual_oracle(N_PROBE, RPQ_K)
 
 
 def _recall_one_row(truth: DataFrame, approx: DataFrame) -> DataFrame:
@@ -1244,6 +1295,99 @@ def ivfpq_residual_recall(t: dict[str, DataFrame]) -> DataFrame:
         ann_topk_bruteforce(t).select("query_id", "cand_id"),
         ann_topk_ivfpq_residual(t).select("query_id", "cand_id"),
     )
+
+
+# (n_probe, rpq_k) deploy grid for the residual-IVFADC design table:
+# spans the production point (N_PROBE=2, RPQ_K=32), the cheap end, and
+# the probe budget a low absolute recall (0.095 at sf0.1) forces a
+# production tuner to consider.
+IVFPQ_GRID = [(np_, k) for np_ in (1, 2, 4) for k in (8, 32)]
+
+
+def ivfpq_design_table(t: dict[str, DataFrame]) -> DataFrame:
+    """The residual-IVFADC deploy-knob design table — the index twin of
+    ``dedup.embdup_plane_tuning`` and the measurement that sizes
+    (N_PROBE × RPQ_K) before a 100 TB re-index: recall@k of
+    :func:`ann_topk_ivfpq_residual` against the capped brute-force
+    truth at every grid point, so the production configuration is
+    CHOSEN off a measured recall/cost curve rather than defaulted
+    (the ``ivfpq_residual_recall`` gate showed the default point's
+    absolute recall is honest but LOW — 0.095 at sf0.1 — which is
+    exactly when a probe-budget grid is how production IVFADC tunes,
+    FAISS's nprobe sweep).
+
+    Scale shape: the truth ranking and the grid-INDEPENDENT pipeline
+    stages (coarse assignment + residual slicing, :func:`_rpq_shared`)
+    compute ONCE (localCheckpoint) and every leg reuses them; each
+    codebook size trains once (:func:`_rpq_codebook`) and its probe
+    legs share the codes; every leg is the PRODUCTION pipeline's own
+    query stage (:func:`_rpq_topk`) — never a reimplementation — and
+    reduces to one recall row, so the output is |grid| rows regardless
+    of corpus size.  Recall is monotone nondecreasing in n_probe at
+    fixed codebook size (more probed cells only ADD candidates), an
+    invariant the test suite pins.
+    """
+    truth = (
+        ann_topk_bruteforce(t)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    emb, cent, cells, rsub = _rpq_shared(t)
+    cells = cells.localCheckpoint(eager=False)
+    rsub = rsub.localCheckpoint(eager=False)
+    legs = []
+    for k in sorted({kk for _, kk in IVFPQ_GRID}):
+        cb1, codes = _rpq_codebook(rsub, k)
+        codes = codes.localCheckpoint(eager=False)
+        for np_, kk in IVFPQ_GRID:
+            if kk != k:
+                continue
+            approx = _rpq_topk(emb, cent, cells, cb1, codes, np_).select(
+                "query_id", "cand_id"
+            )
+            legs.append(
+                _recall_one_row(truth, approx).select(
+                    F.lit(np_).cast("long").alias("n_probe"),
+                    F.lit(k).cast("long").alias("rpq_k"),
+                    "n_truth",
+                    "n_approx",
+                    "n_hits",
+                    "recall",
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _ivfpq_design_oracle() -> str:
+    ctes = [f"bf AS ({ANN_TOPK_BRUTEFORCE_ORACLE})"]
+    sel = []
+    for i, (np_, k) in enumerate(IVFPQ_GRID):
+        ctes.append(f"ap_{i} AS ({_ivfpq_residual_oracle(np_, k)})")
+        ctes.append(
+            f"""hits_{i} AS (
+    SELECT bf.query_id, bf.cand_id
+    FROM bf WHERE EXISTS (
+        SELECT 1 FROM ap_{i}
+        WHERE ap_{i}.query_id = bf.query_id AND ap_{i}.cand_id = bf.cand_id
+    )
+)"""
+        )
+        sel.append(
+            f"""SELECT CAST({np_} AS BIGINT) AS n_probe,
+       CAST({k} AS BIGINT) AS rpq_k,
+       (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM ap_{i}) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits_{i}) AS n_hits,
+       round((SELECT count(*) FROM hits_{i}) * 1.0
+             / (SELECT count(*) FROM bf), 4) AS recall"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+IVFPQ_DESIGN_TABLE_ORACLE = _ivfpq_design_oracle()
 
 
 def _recall_oracle(approx_oracle: str) -> str:
@@ -1806,11 +1950,20 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
     codes, not float32 vectors.
 
     Scale shape: one shared subvector-distance frame feeds both the
-    code assignment (struct-min per (vec, subspace)) and the query
-    tables (the same frame filtered to query ids — nothing computed
-    twice); the query tables broadcast; ADC contributions sum as exact
-    DECIMAL(18,6) so the 4-term addition is order-independent across
-    engines; per-query top-k is a WindowGroupLimit-prunable rank.
+    code assignment and the query tables (the same frame filtered to
+    query ids — nothing computed twice).  Code assignment is ONE
+    partial-aggregated groupBy(vec_id) (M conditional struct-mins —
+    map-side combine shrinks the exchange to one row per vector, not
+    one per (vec, subspace)).  Each query's ADC table pivots into a
+    broadcast MAP column keyed by (subspace, codeword), so scoring is
+    a whole-stage-codegen map lookup per (vector, query) — the old
+    per-(query, cand, subspace) join shuffled N·Q·M rows into a
+    re-aggregation, a constant that dominated the decade probe;
+    nothing pair-grained ever exchanges now.  ADC contributions sum as
+    exact DECIMAL(18,6) in fixed subspace order (order-independent
+    across engines); per-query top-k is a WindowGroupLimit-prunable
+    rank, so each scan task emits ≤ TOP_K rows per query into the
+    final exchange.
     """
     emb_raw = fan_out(t["embeddings"])
     cent = _centroids(emb_raw)
@@ -1836,30 +1989,61 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
         6,
     ).alias("dist")
     scored = sub_v.join(F.broadcast(sub_c), "m").select("vec_id", "m", "label", dist)
-    codes = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist", "label")).alias("b"))
-        .select("vec_id", "m", F.col("b.label").alias("code"))
+    # one shuffle, one row per vector: per-subspace argmin as M
+    # conditional struct-mins (min ignores the nulls of other
+    # subspaces; tie-break (dist, label) identical to the oracle's
+    # row_number ORDER BY dist, c_label)
+    codes_arr = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.when(F.col("m") == m, F.struct("dist", "label"))
+            ).alias(f"b{m}")
+            for m in range(PQ_M)
+        ]
+    ).select(
+        "vec_id",
+        F.array(*[F.col(f"b{m}.label") for m in range(PQ_M)]).alias("codes"),
     )
     # bounded-query contract: the ADC tables broadcast, so the query
-    # list is capped (oracle mirrors the LIMIT in its qtab CTE)
-    qtab = (
+    # list is capped (oracle mirrors the LIMIT in its qtab CTE); each
+    # query's (subspace, codeword) → distance table pivots into ONE
+    # map column, M·K entries
+    qmaps = (
         scored.join(F.broadcast(_qcap_ids(emb)), "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("m").alias("qm"),
-            F.col("label").alias("qlabel"),
-            F.col("dist").cast("decimal(18,6)").alias("qd"),
+        .groupBy(F.col("vec_id").alias("query_id"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(
+                            ":", F.col("m"), F.col("label")
+                        ).alias("k"),
+                        F.col("dist").cast("decimal(18,6)").alias("v"),
+                    )
+                )
+            ).alias("qmap")
         )
     )
-    adc = (
-        codes.join(
-            F.broadcast(qtab),
-            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qlabel")),
+    terms = [
+        F.element_at(
+            "qmap",
+            F.concat_ws(
+                ":", F.lit(str(m)), F.element_at("codes", m + 1)
+            ),
         )
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sqrt(F.sum("qd").cast("double")), 6).alias("adc"))
+        for m in range(PQ_M)
+    ]
+    total = terms[0]
+    for x in terms[1:]:
+        total = total + x  # exact decimal addition, fixed subspace order
+    adc = (
+        codes_arr.crossJoin(F.broadcast(qmaps))
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.sqrt(total.cast("double")), 6).alias("adc"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     return (

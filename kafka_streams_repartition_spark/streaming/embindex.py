@@ -2128,3 +2128,338 @@ def stream_quality_aware(
     allr = spark.read.schema(_QA_SNAP_SCHEMA).parquet(*snap_dirs)
     last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
     return allr.filter(F.col("batch") == last).drop("batch")
+
+
+# --- streaming train/val leakage audit ----------------------------------------
+
+_LK_CNT_SCHEMA = "n_train long, n_val long"
+_LK_SNAP_SCHEMA = (
+    "n_train long, n_val long, n_pairs long, n_straddle long, "
+    "n_train_evicted long, n_val_contaminated long, straddle_frac double, "
+    "batch long"
+)
+
+
+def stream_leakage_split(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.leakage_split`` — the
+    train/val near-dup leakage audit maintained continuously over a
+    document ingest: every micro-batch extends the MinHash pair index
+    (the shared :func:`_minhash_batch_pairs` kernel — each verified
+    pair emitted exactly once, in the batch of its later side) and the
+    snapshot re-derives the one-row audit over the committed pair
+    population, so an arriving doc that near-dups ACROSS the split cut
+    retro-appears in the straddle/evict counts the moment its pair is
+    verified.
+
+    The split itself is a PURE FUNCTION of doc_id (the deterministic
+    md5 bucket the batch operator uses), so no membership state is
+    kept: pair endpoints re-derive their side map-side at snapshot
+    time, and only (n_train, n_val) fold as a cumulative one-row
+    counter.  Distinct-eviction counts are NOT additive across batches
+    (one train doc can straddle many pairs in many batches), so the
+    snapshot computes them over the full committed pair table — a
+    pair-sized (collision-bounded) aggregate, never a corpus rescan.
+
+    State: ``bands|grams|pairs`` append-only per batch;
+    ``batch=<id>/counts`` cumulative one-row (pruned to latest);
+    ``batch=<id>/audit`` the per-batch snapshot row.  Equivalence
+    contract (tested): every batch's audit row equals one-shot
+    ``leakage_split`` over exactly the documents ingested so far.
+    Returns the latest committed audit row.
+    """
+    from ..operators.dedup import VAL_PCT, _hash_bucket
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "leakage-split audit"
+        ):
+            return
+
+        pairs, bands, arr = _minhash_batch_pairs(spark, batch_df, root)
+        bc = batch_df.select(
+            (_hash_bucket(F.col("doc_id")) < VAL_PCT).alias("is_val")
+        ).agg(
+            F.sum(F.when(~F.col("is_val"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("is_val"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_val"),
+        )
+        cnt_dir = _latest_committed_dir(root, "counts")
+        if cnt_dir is not None:
+            prev = spark.read.schema(_LK_CNT_SCHEMA).parquet(cnt_dir)
+            cum = prev.unionByName(bc).agg(
+                F.sum("n_train").cast("long").alias("n_train"),
+                F.sum("n_val").cast("long").alias("n_val"),
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+
+        out = os.path.join(root, f"batch={batch_id}")
+        pairs.select("doc_a", "doc_b").write.mode("overwrite").parquet(
+            os.path.join(out, "pairs")
+        )
+
+        # audit over ALL committed pairs (this batch's included): the
+        # split side re-derives from the id, map-side
+        pair_dirs = _committed_dirs(root, "pairs") + [
+            os.path.join(out, "pairs")
+        ]
+        allp = spark.read.schema("doc_a long, doc_b long").parquet(
+            *pair_dirs
+        )
+        tagged = allp.select(
+            "doc_a",
+            "doc_b",
+            (_hash_bucket(F.col("doc_a")) < VAL_PCT).alias("va"),
+            (_hash_bucket(F.col("doc_b")) < VAL_PCT).alias("vb"),
+        ).localCheckpoint(eager=False)
+        pair_counts = tagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("va") != F.col("vb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddle"),
+        )
+        evict = tagged.filter(F.col("va") != F.col("vb")).select(
+            F.when(F.col("va"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            F.when(F.col("va"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("val_doc"),
+        ).agg(
+            F.count_distinct("train_doc").cast("long").alias("n_train_evicted"),
+            F.count_distinct("val_doc").cast("long").alias("n_val_contaminated"),
+        )
+        snap = (
+            cum.crossJoin(F.broadcast(pair_counts))
+            .crossJoin(F.broadcast(evict))
+            .select(
+                "n_train",
+                "n_val",
+                "n_pairs",
+                "n_straddle",
+                "n_train_evicted",
+                "n_val_contaminated",
+                F.when(
+                    F.col("n_pairs") > 0,
+                    F.round(F.col("n_straddle") / F.col("n_pairs"), 4),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("straddle_frac"),
+            )
+        )
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "audit"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        bands.select("doc_id", "band_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(out, "grams"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counts")  # cumulative: latest only
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap_dirs = _committed_dirs(root, "audit")
+    if not snap_dirs:
+        return spark.createDataFrame(
+            [], _LK_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_LK_SNAP_SCHEMA).parquet(*snap_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
+# --- streaming benchmark decontamination ---------------------------------------
+
+_DC_EGRAM_SCHEMA = "gram string"
+_DC_TGRAM_SCHEMA = "doc_id long, grams array<string>, n int"
+_DC_CNT_SCHEMA = "doc_id long, n_grams long, n_shared long"
+_DC_SNAP_SCHEMA = (
+    "doc_id long, n_grams long, n_shared_grams long, "
+    "contaminated_frac double, batch long"
+)
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.decontaminate`` — the
+    train/test n-gram overlap scrub maintained continuously: an
+    arriving EVAL doc (the deterministic md5-bucket benchmark side)
+    must RETRO-FLAG every historical train doc that shares a word
+    4-gram with it, and an arriving train doc is flagged against the
+    full eval gram set seen so far.
+
+    Per micro-batch, inside one atomic commit:
+
+    1. the batch's docs split map-side by the id bucket (a pure
+       function — no membership state);
+    2. NEW eval grams = the batch's eval-doc grams anti-joined against
+       the committed eval gram set (set semantics: a gram enters the
+       eval set exactly once, so per-(doc, gram) hits are additive);
+    3. forward hits: batch TRAIN docs' grams against the FULL eval set
+       (committed ∪ new — the broadcast side is benchmark-sized, the
+       same asymmetry the batch operator exploits);
+    4. retro hits: committed train-doc gram arrays against the NEW
+       eval grams only (broadcast, batch-bounded) — skipped entirely
+       when the batch adds no eval grams, so steady-state train-only
+       ingest never rescans history;
+    5. per-doc (n_grams, n_shared) deltas fold into the cumulative
+       count table; the snapshot is docs with n_shared > 0 plus the
+       contaminated fraction — exactly the batch operator's output.
+
+    State: ``batch=<id>/egrams|tgrams`` append-only (the train gram
+    arrays are the linear-state price of retro-flagging without a
+    corpus rescan — the same store a production scrubber keeps);
+    ``batch=<id>/counts`` cumulative (pruned); ``batch=<id>/scrub``
+    the per-batch snapshot.  Equivalence contract (tested): every
+    batch's snapshot equals one-shot ``decontaminate`` over exactly
+    the documents ingested so far — at every cut, including cuts where
+    eval docs arrive AFTER the train docs they contaminate.  Returns
+    the latest committed snapshot.
+    """
+    from ..functions.text import word_ngrams, words
+    from ..operators.dedup import DECON_EVAL_PCT, DECON_NGRAM, _hash_bucket
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "decontamination scrub"
+        ):
+            return
+
+        ga = batch_df.select(
+            "doc_id",
+            F.array_distinct(
+                word_ngrams(words(F.col("text")), DECON_NGRAM)
+            ).alias("grams"),
+            _hash_bucket(F.col("doc_id")).alias("bucket"),
+        ).localCheckpoint(eager=False)
+
+        ev_batch = (
+            ga.filter(F.col("bucket") < DECON_EVAL_PCT)
+            .select(F.explode_outer("grams").alias("gram"))
+            .filter(F.col("gram").isNotNull())
+            .distinct()
+        )
+        eg_dirs = _committed_dirs(root, "egrams")
+        if eg_dirs:
+            prev_eg = spark.read.schema(_DC_EGRAM_SCHEMA).parquet(*eg_dirs)
+            new_eg = ev_batch.join(prev_eg, "gram", "left_anti")
+        else:
+            prev_eg = None
+            new_eg = ev_batch
+        new_eg = new_eg.localCheckpoint(eager=False)
+        full_eg = (
+            prev_eg.unionByName(new_eg) if prev_eg is not None else new_eg
+        )
+
+        tr = ga.filter(F.col("bucket") >= DECON_EVAL_PCT).select(
+            "doc_id", "grams", F.size("grams").cast("int").alias("n")
+        )
+        fwd = (
+            tr.select(
+                "doc_id",
+                F.col("n").cast("long").alias("n_grams"),
+                F.explode_outer("grams").alias("gram"),
+            )
+            .filter(F.col("gram").isNotNull())
+            .join(F.broadcast(full_eg), "gram")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
+        deltas = fwd
+        tg_dirs = _committed_dirs(root, "tgrams")
+        if tg_dirs and not new_eg.isEmpty():
+            idx = spark.read.schema(_DC_TGRAM_SCHEMA).parquet(*tg_dirs)
+            retro = (
+                idx.select(
+                    "doc_id",
+                    F.col("n").cast("long").alias("n_grams"),
+                    F.explode_outer("grams").alias("gram"),
+                )
+                .filter(F.col("gram").isNotNull())
+                .join(F.broadcast(new_eg), "gram")
+                .groupBy("doc_id", "n_grams")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            )
+            deltas = deltas.unionByName(retro)
+
+        cnt_dir = _latest_committed_dir(root, "counts")
+        if cnt_dir is not None:
+            cum = (
+                spark.read.schema(_DC_CNT_SCHEMA)
+                .parquet(cnt_dir)
+                .unionByName(deltas)
+                .groupBy("doc_id")
+                .agg(
+                    F.max("n_grams").alias("n_grams"),
+                    F.sum("n_shared").cast("long").alias("n_shared"),
+                )
+            )
+        else:
+            cum = deltas
+        cum = cum.localCheckpoint(eager=False)
+
+        snap = cum.filter(F.col("n_shared") > 0).select(
+            "doc_id",
+            "n_grams",
+            F.col("n_shared").alias("n_shared_grams"),
+            F.round(F.col("n_shared") / F.col("n_grams"), 4).alias(
+                "contaminated_frac"
+            ),
+        )
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "scrub"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        new_eg.write.mode("overwrite").parquet(os.path.join(out, "egrams"))
+        tr.write.mode("overwrite").parquet(os.path.join(out, "tgrams"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counts")  # cumulative: latest only
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap_dirs = _committed_dirs(root, "scrub")
+    if not snap_dirs:
+        return spark.createDataFrame(
+            [], _DC_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_DC_SNAP_SCHEMA).parquet(*snap_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")

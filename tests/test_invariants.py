@@ -1160,3 +1160,34 @@ def test_derived_band_planes_rule_and_sql_mirror():
         con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
         got = con.execute(f"SELECT {expr}").fetchone()[0]
         assert got == dd.derived_band_planes(n), n
+
+
+def test_ivfpq_design_table_monotone_in_probe_budget(t):
+    """The residual-IVFADC deploy grid obeys its laws: every leg shares
+    the same capped truth, every recall is a well-formed probability,
+    the production point appears, and recall is NONDECREASING in
+    n_probe at fixed codebook size — more probed cells only widen the
+    candidate pool.  (Strictly, fixed-k ADC reranking over a wider
+    pool could in principle displace a truth hit; this pin is the
+    MEASURED invariant on the fixture corpus, which is exactly what
+    the design table exists to record — a violation means the grid
+    stopped being a usable tuning curve.)"""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    rows = {
+        (r["n_probe"], r["rpq_k"]): r
+        for r in sim.ivfpq_design_table(t).collect()
+    }
+    assert set(rows) == set(sim.IVFPQ_GRID)
+    assert len({r["n_truth"] for r in rows.values()}) == 1
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= min(r["n_truth"], r["n_approx"])
+    assert (sim.N_PROBE, sim.RPQ_K) in rows
+    # monotone in the probe budget at fixed codebook size
+    for k in sorted({kk for _, kk in sim.IVFPQ_GRID}):
+        probes = sorted(np_ for np_, kk in sim.IVFPQ_GRID if kk == k)
+        for lo, hi in zip(probes, probes[1:]):
+            assert rows[(hi, k)]["recall"] >= rows[(lo, k)]["recall"], (
+                k, lo, hi,
+            )

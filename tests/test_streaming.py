@@ -2616,3 +2616,113 @@ def test_stream_quality_aware_reingested_id_snapshot_equals_batch(
     # the re-ingested slice really intersects the clustered population
     # (else the duplicate-score path was never exercised)
     assert any(r[0] <= cut and r[0] % 3 == 0 for r in got)
+
+
+def test_stream_leakage_split_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming train/val leakage audit's snapshot equals one-shot
+    leakage_split over exactly the documents ingested so far — at EVERY
+    cut: the split side is a pure function of doc_id, each verified
+    pair is emitted exactly once (in the batch of its later side), and
+    the audit re-derives from the committed pair population, so a
+    cross-batch pair that straddles the split retro-appears in the
+    eviction counts the moment it verifies."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_leakage_split
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first = docs.filter(F.col("doc_id") <= cut)
+    first.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_leakage_split(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    [got] = [tuple(r) for r in folded.collect()]
+    [want] = [tuple(r) for r in dd2.leakage_split(t).collect()]
+    assert got == want
+    # the corpus genuinely exercises the audit (pairs exist and some
+    # straddle the split, else the test proves nothing)
+    assert want[2] > 0 and want[3] > 0  # n_pairs, n_straddle
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "audit")).drop(
+        "batch"
+    )
+    [got0] = [tuple(r) for r in snap0.collect()]
+    [want0] = [
+        tuple(r)
+        for r in dd2.leakage_split({"documents": first}).collect()
+    ]
+    assert got0 == want0
+    # cumulative counter state pruned; pairs/audits retained per batch
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "pairs"))
+
+
+def test_stream_decontaminate_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming decontamination scrub's snapshot equals one-shot
+    decontaminate over exactly the documents ingested so far — at EVERY
+    cut — and the RETRO path is genuinely exercised: an eval doc
+    arriving in batch 1 must flag (or raise the count of) a train doc
+    committed in batch 0 without rescanning the corpus."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_decontaminate
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first = docs.filter(F.col("doc_id") <= cut)
+    first.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_decontaminate(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(tuple(r) for r in folded.collect())
+    want = sorted(tuple(r) for r in dd2.decontaminate(t).collect())
+    assert got == want and want
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "scrub")).drop(
+        "batch"
+    )
+    got0 = sorted(tuple(r) for r in snap0.collect())
+    want0 = sorted(
+        tuple(r)
+        for r in dd2.decontaminate({"documents": first}).collect()
+    )
+    assert got0 == want0 and want0
+    # retro-flagging really happened: some batch-0 train doc's shared
+    # count grew (or appeared) after batch 1's eval arrivals
+    final_by_id = {r[0]: r[2] for r in got}
+    snap0_by_id = {r[0]: r[2] for r in got0}
+    assert any(
+        doc_id <= cut and final_by_id[doc_id] > snap0_by_id.get(doc_id, 0)
+        for doc_id in final_by_id
+    ), "no retroactive contamination across the cut"
+    # cumulative count state pruned; gram/egram contributions retained
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "tgrams"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "egrams"))
