@@ -537,6 +537,10 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
 
 PQ_M = 4  # subspaces
 PQ_SUB = DIM // PQ_M  # dims per subspace
+# integer ADC map keys: m * STRIDE + label — collision-free while the
+# coarse label space stays below the stride (labels are small ints in
+# every corpus here; a 100 TB deploy with >1e6 coarse cells raises it)
+_PQ_KEY_STRIDE = 1_000_000
 
 
 def pq_codes(t: dict[str, DataFrame]) -> DataFrame:
@@ -1993,6 +1997,12 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
     # conditional struct-mins (min ignores the nulls of other
     # subspaces; tie-break (dist, label) identical to the oracle's
     # row_number ORDER BY dist, c_label)
+    # (subspace, codeword) flattens to ONE integer map key, built once
+    # per VECTOR here (never per scored pair-row): integer probes skip
+    # the per-probe string build a concat key would pay N·Q·M times
+    key = lambda m_col, label_col: (  # noqa: E731 — two-site key law
+        m_col * F.lit(_PQ_KEY_STRIDE) + label_col
+    ).cast("long")
     codes_arr = scored.groupBy("vec_id").agg(
         *[
             F.min(
@@ -2002,7 +2012,9 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
         ]
     ).select(
         "vec_id",
-        F.array(*[F.col(f"b{m}.label") for m in range(PQ_M)]).alias("codes"),
+        F.array(
+            *[key(F.lit(m), F.col(f"b{m}.label")) for m in range(PQ_M)]
+        ).alias("codekeys"),
     )
     # bounded-query contract: the ADC tables broadcast, so the query
     # list is capped (oracle mirrors the LIMIT in its qtab CTE); each
@@ -2015,9 +2027,7 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
             F.map_from_entries(
                 F.collect_list(
                     F.struct(
-                        F.concat_ws(
-                            ":", F.col("m"), F.col("label")
-                        ).alias("k"),
+                        key(F.col("m"), F.col("label")).alias("k"),
                         F.col("dist").cast("decimal(18,6)").alias("v"),
                     )
                 )
@@ -2025,12 +2035,7 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     terms = [
-        F.element_at(
-            "qmap",
-            F.concat_ws(
-                ":", F.lit(str(m)), F.element_at("codes", m + 1)
-            ),
-        )
+        F.element_at("qmap", F.element_at("codekeys", m + 1))
         for m in range(PQ_M)
     ]
     total = terms[0]
