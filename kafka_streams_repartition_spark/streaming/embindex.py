@@ -2463,3 +2463,183 @@ def stream_decontaminate(
     allr = spark.read.schema(_DC_SNAP_SCHEMA).parquet(*snap_dirs)
     last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
     return allr.filter(F.col("batch") == last).drop("batch")
+
+
+# --- streaming exact-span dedup (first-occurrence ownership) -------------------
+
+_SP_INST_SCHEMA = "doc_id long, h string, c long"
+_SP_MIN_SCHEMA = "h string, first_doc long"
+_SP_DOC_SCHEMA = (
+    "doc_id long, n_spans long, n_stale long, stale_frac double, batch long"
+)
+
+
+def stream_span_dedup(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.span_dedup`` — exact
+    span-level dedup accounting maintained continuously under
+    ARBITRARY arrival order: a word 8-gram instance is stale iff its
+    hash's global first-occurrence owner (min doc_id over the corpus
+    so far) is a smaller id, and ownership is a monotone MIN-fold, so
+    a span's owner only ever decreases and a doc's verdicts only ever
+    move keep→stale (the ``stream_line_dedup`` changelog discipline).
+
+    The flip set is provably TINY: for any span hash, the only
+    history doc whose staleness can change when a smaller id arrives
+    is the span's PREVIOUS OWNER (every other holder already trails
+    some smaller holder).  So each batch: scores its own docs against
+    the folded owner table (keyed semi-join — never a vocab rollup),
+    detects owner changes (previous owner exists AND the batch min
+    undercuts it), and re-scores exactly the dethroned docs from the
+    committed per-doc span table; a batch that dethrones nothing
+    never touches history.
+
+    State (all inside the atomic commit): ``batch=<id>/spans`` — the
+    batch's (doc_id, h, c) instance counts (text never persists);
+    ``batch=<id>/owners`` — the batch's per-hash min contributions
+    (min-foldable across batches exactly as ``stream_line_dedup``'s
+    df counts are sum-foldable); ``batch=<id>/docs`` — changelog rows
+    (batch docs + re-scored dethroned docs), materialized latest-wins.
+
+    Equivalence contract (tested): the folded changelog over ANY
+    batch cut — including id-DESCENDING arrival, the all-flips case —
+    equals one-shot ``span_dedup`` on the corpus so far.  Returns the
+    folded current state.
+    """
+    from ..functions.text import word_ngrams, words
+    from ..operators.dedup import SPAN_N
+
+    os.makedirs(root, exist_ok=True)
+
+    def doc_rows(inst: DataFrame, owner: DataFrame) -> DataFrame:
+        stale_c = F.when(
+            F.col("first_doc") < F.col("doc_id"), F.col("c")
+        ).otherwise(F.lit(0))
+        return (
+            inst.join(owner, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").cast("long").alias("n_spans"),
+                F.sum(stale_c).cast("long").alias("n_stale"),
+            )
+            .select(
+                "doc_id",
+                "n_spans",
+                "n_stale",
+                F.round(F.col("n_stale") / F.col("n_spans"), 4).alias(
+                    "stale_frac"
+                ),
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "span-dedup index"):
+            return
+        sp = batch_df.select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(word_ngrams(words(F.col("text")), SPAN_N), F.md5)
+            ).alias("h"),
+        ).filter(F.col("h").isNotNull())
+        inst = (
+            sp.groupBy("doc_id", "h")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        bmin = (
+            inst.groupBy("h")
+            .agg(F.min("doc_id").alias("first_doc"))
+            .localCheckpoint(eager=False)
+        )
+        own_dirs = _committed_dirs(root, "owners")
+        inst_dirs = _committed_dirs(root, "spans")
+        if own_dirs:
+            hist_min = (
+                spark.read.schema(_SP_MIN_SCHEMA)
+                .parquet(*own_dirs)
+                .join(bmin.select("h"), "h", "left_semi")
+                .groupBy("h")
+                .agg(F.min("first_doc").alias("prev_doc"))
+            )
+            own = (
+                bmin.join(hist_min, "h", "left")
+                .select(
+                    "h",
+                    F.col("first_doc").alias("bdoc"),
+                    "prev_doc",
+                    F.least(
+                        "first_doc", F.coalesce("prev_doc", "first_doc")
+                    ).alias("first_doc"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            own = bmin.select(
+                "h",
+                F.col("first_doc").alias("bdoc"),
+                F.lit(None).cast("long").alias("prev_doc"),
+                "first_doc",
+            ).localCheckpoint(eager=False)
+        rows = doc_rows(inst, own.select("h", "first_doc"))
+
+        # dethroned owners: smaller batch id undercut a committed owner
+        dethroned = (
+            own.filter(
+                F.col("prev_doc").isNotNull()
+                & (F.col("bdoc") < F.col("prev_doc"))
+            )
+            .select(F.col("prev_doc").alias("doc_id"))
+            .distinct()
+        )
+        if inst_dirs and not dethroned.isEmpty():
+            hist_inst = (
+                spark.read.schema(_SP_INST_SCHEMA)
+                .parquet(*inst_dirs)
+                .join(dethroned, "doc_id", "left_semi")
+            )
+            need_h = hist_inst.select("h").distinct()
+            need_min = (
+                spark.read.schema(_SP_MIN_SCHEMA)
+                .parquet(*own_dirs)
+                .join(need_h, "h", "left_semi")
+                .unionByName(bmin.join(need_h, "h", "left_semi"))
+                .groupBy("h")
+                .agg(F.min("first_doc").alias("first_doc"))
+            )
+            rows = rows.unionByName(doc_rows(hist_inst, need_min))
+
+        out = os.path.join(root, f"batch={batch_id}")
+        rows.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "docs"))
+        inst.write.mode("overwrite").parquet(os.path.join(out, "spans"))
+        bmin.write.mode("overwrite").parquet(os.path.join(out, "owners"))
+        _commit_batch(root, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    doc_dirs = _committed_dirs(root, "docs")
+    if not doc_dirs:
+        return spark.createDataFrame(
+            [], _SP_DOC_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_SP_DOC_SCHEMA).parquet(*doc_dirs)
+    w = Window.partitionBy("doc_id").orderBy(F.col("batch").desc())
+    return (
+        allr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch")
+    )

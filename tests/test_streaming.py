@@ -2726,3 +2726,87 @@ def test_stream_decontaminate_every_snapshot_equals_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
     assert os.path.isdir(os.path.join(root, "batch=0", "tgrams"))
     assert os.path.isdir(os.path.join(root, "batch=0", "egrams"))
+
+
+def test_index_planes_pinned_at_creation(tmp_path):
+    """The streaming banding width is an index-creation-time property:
+    first resolution persists it beside the commit pointer, later
+    resolutions read it back, and a conflicting explicit request fails
+    LOUDLY (silently rebanding would make every signature length differ
+    and no bucket ever collide)."""
+    import pytest as _pytest
+
+    from kafka_streams_repartition_spark.operators.dedup import (
+        EMBDUP_PLANE_MIN,
+    )
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        _index_planes,
+    )
+
+    root = str(tmp_path / "idx")
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    assert _index_planes(root) == EMBDUP_PLANE_MIN  # default, persisted
+    assert _index_planes(root) == EMBDUP_PLANE_MIN  # read back
+    assert _index_planes(root, EMBDUP_PLANE_MIN) == EMBDUP_PLANE_MIN
+    with _pytest.raises(RuntimeError, match="planes"):
+        _index_planes(root, EMBDUP_PLANE_MIN + 2)
+    root2 = str(tmp_path / "idx2")
+    os.makedirs(root2, exist_ok=True)
+    assert _index_planes(root2, 8) == 8  # explicit pin at creation
+    assert _index_planes(root2) == 8  # later batches inherit it
+
+
+def test_stream_span_dedup_every_snapshot_equals_batch_any_order(
+    spark, tmp_path
+):
+    """The streaming span-ownership fold under the WORST arrival
+    order — id-DESCENDING halves, so batch 1's smaller ids dethrone
+    batch 0's owners and every shared span flips: the folded changelog
+    must equal one-shot span_dedup on the corpus so far at every cut,
+    and the batch-0 snapshot must equal the one-shot over the late
+    half alone (where the late docs were momentarily the owners)."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd2
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import stream_span_dedup
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"]
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    late = docs.filter(F.col("doc_id") > cut)   # batch 0: LARGE ids first
+    late.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_span_dedup(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(tuple(r) for r in folded.collect())
+    want = sorted(tuple(r) for r in dd2.span_dedup(t).collect())
+    assert got == want and want
+    # batch-0 snapshot equals the one-shot over the late half alone
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "docs")).drop(
+        "batch"
+    )
+    got0 = sorted(tuple(r) for r in snap0.collect())
+    want0 = sorted(
+        tuple(r) for r in dd2.span_dedup({"documents": late}).collect()
+    )
+    assert got0 == want0 and want0
+    # the dethroning path genuinely ran: some late doc's final stale
+    # count EXCEEDS its batch-0 (owner-era) count
+    final_by_id = {r[0]: r[2] for r in got}
+    snap0_by_id = {r[0]: r[2] for r in got0}
+    assert any(
+        final_by_id.get(d, 0) > c0 for d, c0 in snap0_by_id.items()
+    ), "no cross-batch dethroning happened — weak fixture"
