@@ -37,10 +37,11 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.caching import MemoSlots
+from ..functions.caching import MemoSlots, release_local_checkpoint
 from ..functions.text import word_ngrams, words
 from ..functions.vectors import dot_unrolled, norm_unrolled, to_double_array
 from ..sources.tables import fan_out
@@ -535,7 +536,17 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     The recursive-CTE oracle reproduces the min-reachable semantics,
     which the fixpoint provably equals.  GraphFrames note: this IS
     the ``connectedComponents()`` alternating algorithm without the
-    dependency — ``component`` == ``cluster_id``."""
+    dependency — ``component`` == ``cluster_id``.
+
+    Storage ladder: round frames checkpoint DISK_ONLY (contracted
+    pair lists — two longs a row — whose read-back is trivia next to
+    the star shuffles) and every SUPERSEDED round releases its blocks
+    as soon as the next round has materialized, so the loop retains
+    at most two round frames at any moment instead of one per round —
+    the retention that cost one r10 decade-probe execution its 8 GiB
+    heap.  The final edge frame and ``nodes`` stay resident: the
+    returned label frame is a lazy checkpoint that still reads them.
+    """
     global _CC_LAST_ROUNDS
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -550,21 +561,23 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     rounds = 0
     cur = edges.count()
     while True:
         rounds += 1
         nxt = _star_round(_star_round(edges, large=True), large=False)
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         n = nxt.count()
         # exact fixpoint: equal counts gate the (rarer) set-difference
         # probe; both frames are canonical distinct sets, so
         # |A| = |B| and A∖B = ∅ decide equality
         if n == cur and nxt.subtract(edges).isEmpty():
+            release_local_checkpoint(edges)
             edges = nxt
             break
+        release_local_checkpoint(edges)
         edges, cur = nxt, n
     _CC_LAST_ROUNDS = rounds
     # star forest: every non-center appears exactly once as v, pointing
@@ -1295,6 +1308,185 @@ SELECT doc_id,
             AS BIGINT) AS simhash
 FROM votes
 GROUP BY 1
+"""
+
+
+# --- multi-index Hamming search over 64-bit SimHash codes -------------------
+
+# 64-bit SimHash split into HAMMING_CHUNKS substrings of HAMMING_CHUNK_BITS
+# bits each; radius-HAMMING_RADIUS search is EXACT by pigeonhole —
+# a pair within Hamming distance r < chunks must agree on at least one
+# whole chunk (Norouzi, Punjani & Fleet 2012, "Fast Search in Hamming
+# Space with Multi-Index Hashing", §III).
+HAMMING_BITS = 64
+HAMMING_CHUNKS = 4
+HAMMING_CHUNK_BITS = HAMMING_BITS // HAMMING_CHUNKS
+HAMMING_RADIUS = 3  # < HAMMING_CHUNKS, the pigeonhole-exactness bound
+HAMMING_QUERY_CAP = int(os.environ.get("HAMMING_QUERY_CAP", "4096"))
+
+# vote source for 64 bits: 64 hex digits = md5(tok) ‖ md5(tok ‖ '|s2'),
+# one vote per digit via the high-bit test the 16-bit fingerprint uses
+_H64_DIGITS = "md5(tok) || md5(tok || '|s2')"
+
+
+def _simhash64_codes(docs: DataFrame) -> DataFrame:
+    """Per-doc 64-bit SimHash as FOUR 16-bit chunk columns c0..c3 —
+    never one combined int64 (bit 63 would need the sign bit), and the
+    chunk layout IS the multi-index: each chunk is directly a bucket
+    key.  One expression pass: per token, 64 ±1 votes from the hex
+    digits of two chained md5s; per doc, one ``aggregate`` folds the
+    token array into a 64-int vote-sum array (zero shuffles — the
+    whole code table is a narrow map over the corpus scan)."""
+    hs = F.transform(
+        F.array_distinct(words(F.col("text"))),
+        lambda tk: F.concat(F.md5(tk), F.md5(F.concat(tk, F.lit("|s2")))),
+    )
+    votes = lambda h: F.transform(  # noqa: E731 — local vote law
+        F.sequence(F.lit(1), F.lit(HAMMING_BITS)),
+        lambda i: F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1),
+    )
+    sums = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0), HAMMING_BITS),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    base = (
+        docs.select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", sums.alias("sums"))
+    )
+    chunk_cols = []
+    for c in range(HAMMING_CHUNKS):
+        expr = None
+        for b in range(HAMMING_CHUNK_BITS):
+            bit = F.when(
+                F.element_at("sums", c * HAMMING_CHUNK_BITS + b + 1) > 0,
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            expr = bit if expr is None else expr + bit
+        chunk_cols.append(expr.cast("long").alias(f"c{c}"))
+    return base.select("doc_id", *chunk_cols)
+
+
+def hamming_neighbors(t: dict[str, DataFrame]) -> DataFrame:
+    """EXACT radius search in Hamming space via multi-index hashing
+    (Norouzi, Punjani & Fleet 2012): every corpus doc within Hamming
+    distance ≤ {radius} of a query doc's 64-bit SimHash — the binary-
+    code index family next to the float-ANN ladder (``ann_topk_*``)
+    and the shingle blockers, and the cheapest near-dup probe a 100 TB
+    corpus can store (8 bytes a doc).
+
+    Exactness is structural, not statistical: a pair within radius
+    r={radius} differs in ≤ r of {chunks} disjoint 16-bit chunks, so
+    it AGREES on ≥ one whole chunk (pigeonhole) and the (chunk_index,
+    chunk_value) equi-join cannot miss it — the oracle is the
+    quadratic brute-force truth and the driver gate proves recall 1.0
+    every round, which is why (unlike LSH/IVF/PQ) this index ships
+    with no recall knob at all.
+
+    Scale shape: the code table is a zero-shuffle map over the corpus
+    scan (:func:`_simhash64_codes`); the corpus explodes to {chunks}
+    (chunk, value) rows each CARRYING the doc's full 4-chunk code, so
+    one broadcast equi-join against the capped query side both finds
+    candidates and scores them in place (`bit_count(xor)` per chunk —
+    whole-stage codegen, no join-back for verification); multi-chunk
+    collisions dedupe on the pair key alone because the score is a
+    function of the pair.  Bucket occupancy is data-dependent (16-bit
+    buckets ⇒ ~N/65536 uniform); the bounded-query contract
+    (``HAMMING_QUERY_CAP`` lowest ``% QUERY_MOD`` ids, oracle-mirrored)
+    bounds the probe side exactly as the ANN family does.
+    """
+    codes = _simhash64_codes(fan_out(t["documents"]))
+    qids = (
+        codes.filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(HAMMING_QUERY_CAP)
+    )
+    qcodes = codes.join(F.broadcast(qids), "doc_id").select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(f"c{c}").alias(f"q{c}") for c in range(HAMMING_CHUNKS)],
+    )
+    chunk = F.posexplode(
+        F.array(*[F.col(f"c{c}") for c in range(HAMMING_CHUNKS)])
+    ).alias("chunk", "cval")
+    corpus_long = codes.select("doc_id", "c0", "c1", "c2", "c3", chunk)
+    qlong = qcodes.select(
+        "query_id",
+        *[f"q{c}" for c in range(HAMMING_CHUNKS)],
+        F.posexplode(
+            F.array(*[F.col(f"q{c}") for c in range(HAMMING_CHUNKS)])
+        ).alias("chunk", "cval"),
+    )
+    ham = None
+    for c in range(HAMMING_CHUNKS):
+        term = F.bit_count(F.col(f"c{c}").bitwiseXOR(F.col(f"q{c}")))
+        ham = term if ham is None else ham + term
+    return (
+        corpus_long.join(F.broadcast(qlong), ["chunk", "cval"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_RADIUS)
+        .distinct()
+    )
+
+
+hamming_neighbors.__doc__ = hamming_neighbors.__doc__.format(
+    radius=HAMMING_RADIUS, chunks=HAMMING_CHUNKS
+)
+
+
+_H64_CODES_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        )
+        WHERE tok != ''
+    ),
+    votes AS (
+        SELECT doc_id, d,
+               sum(CASE WHEN substring({_H64_DIGITS}, d, 1) >= '8'
+                   THEN 1 ELSE -1 END) AS v
+        FROM toks, range(1, {HAMMING_BITS + 1}) t(d)
+        GROUP BY 1, 2
+    ),
+    chunked AS (
+        SELECT doc_id, CAST((d - 1) // {HAMMING_CHUNK_BITS} AS INT) AS c,
+               CAST(sum(CASE WHEN v > 0
+                    THEN CAST(power(2, (d - 1) % {HAMMING_CHUNK_BITS}) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cv
+        FROM votes
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           max(CASE WHEN c = 0 THEN cv END) AS c0,
+           max(CASE WHEN c = 1 THEN cv END) AS c1,
+           max(CASE WHEN c = 2 THEN cv END) AS c2,
+           max(CASE WHEN c = 3 THEN cv END) AS c3
+    FROM chunked
+    GROUP BY 1
+"""
+
+HAMMING_NEIGHBORS_ORACLE = f"""
+WITH codes AS ({_H64_CODES_SQL})
+SELECT q.doc_id AS query_id, b.doc_id AS cand_id,
+       CAST(bit_count(xor(q.c0, b.c0)) + bit_count(xor(q.c1, b.c1))
+          + bit_count(xor(q.c2, b.c2)) + bit_count(xor(q.c3, b.c3))
+            AS BIGINT) AS hamming
+FROM codes q
+JOIN codes b ON q.doc_id != b.doc_id
+WHERE q.doc_id IN (
+    SELECT doc_id FROM codes WHERE doc_id % {QUERY_MOD} = 0
+    ORDER BY doc_id LIMIT {HAMMING_QUERY_CAP})
+  AND bit_count(xor(q.c0, b.c0)) + bit_count(xor(q.c1, b.c1))
+    + bit_count(xor(q.c2, b.c2)) + bit_count(xor(q.c3, b.c3))
+    <= {HAMMING_RADIUS}
 """
 
 

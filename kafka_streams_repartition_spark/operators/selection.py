@@ -1962,6 +1962,101 @@ JOIN kl ON ub.source = kl.source
 
 
 # ---------------------------------------------------------------------------
+# DoReMi: excess-loss domain reweighting (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# multiplicative-weights step size and uniform-smoothing mass (the
+# paper's η and c; arXiv:2305.10429 §3 uses η=1, c=1e-3 for the
+# 280M-proxy runs).  Exposed as module constants — the deploy knobs a
+# 100 TB mixture re-derivation tunes.
+DOREMI_ETA = 1.0
+DOREMI_SMOOTH = 0.001
+
+
+def doremi_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    per-source mixture weights exponentially tilted by EXCESS LOSS —
+    how much worse the pooled reference model fits a domain than the
+    domain's own model.  With unigram LMs the excess loss has a closed
+    identity: CE(P_s, P_corpus) − H(P_s) = KL(P_s ‖ P_corpus), i.e.
+    exactly :func:`domain_kl`'s statistic, so the reweighting CONSUMES
+    the oracle-gated diagnostic instead of re-deriving losses.
+
+    The paper's Group-DRO loop (α ← α·exp(η·excess), normalize, smooth
+    with uniform) collapses to ONE closed-form tilt here because
+    unigram excess losses are static across rounds (no proxy model
+    retrains between updates): α ∝ p₀·exp(η·KL), then
+    w = (1−c)·α/Σα + c/k — the fixpoint the iterated update reaches in
+    a single step.  p₀ is the token-share prior (the paper's
+    initialization).
+
+    Scale shape: everything beyond :func:`domain_kl`'s one corpus scan
+    operates on the ≤ n_sources-row rollup (two broadcast cross joins
+    of 1-row aggregates).  Tilts round to 6 decimals and sum as
+    DECIMAL(18,6) so normalization is order-independent across
+    engines; the single `exp` runs on an already-rounded input and its
+    output re-rounds, the same single-libm-call discipline
+    ``domain_kl``'s `ln` established.
+    """
+    kl = domain_kl(t)
+    tot = kl.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    base_share = F.round(
+        F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"),
+        6,
+    )
+    b = kl.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "kl_nats",
+        "k",
+        base_share.alias("base_share"),
+    )
+    tilt = F.round(
+        F.col("base_share") * F.exp(F.lit(DOREMI_ETA) * F.col("kl_nats")), 6
+    ).cast("decimal(18,6)")
+    b2 = b.select("source", "n_tokens", "kl_nats", "k", "base_share", tilt.alias("tilt"))
+    z = b2.agg(F.sum("tilt").alias("z"))
+    weight = F.round(
+        F.lit(1.0 - DOREMI_SMOOTH)
+        * (F.col("tilt").cast("double") / F.col("z").cast("double"))
+        + F.lit(DOREMI_SMOOTH) / F.col("k").cast("double"),
+        6,
+    )
+    return b2.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.col("kl_nats").alias("excess_loss"),
+        "base_share",
+        weight.alias("weight"),
+    )
+
+
+DOREMI_WEIGHTS_ORACLE = f"""
+WITH kl AS MATERIALIZED ({DOMAIN_KL_ORACLE}),
+tot AS (SELECT sum(n_tokens) AS tot_tokens, count(*) AS k FROM kl),
+b AS (
+    SELECT source, n_tokens, kl_nats, k,
+           round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+               AS base_share
+    FROM kl CROSS JOIN tot
+),
+b2 AS (
+    SELECT *, CAST(round(base_share * exp({DOREMI_ETA} * kl_nats), 6)
+                   AS DECIMAL(18,6)) AS tilt
+    FROM b
+),
+z AS (SELECT sum(tilt) AS z FROM b2)
+SELECT source, n_tokens, kl_nats AS excess_loss, base_share,
+       round({1.0 - DOREMI_SMOOTH} * (CAST(tilt AS DOUBLE) / CAST(z AS DOUBLE))
+             + {DOREMI_SMOOTH} / CAST(k AS DOUBLE), 6) AS weight
+FROM b2 CROSS JOIN z
+"""
+
+
+# ---------------------------------------------------------------------------
 # Filter attribution: why is my corpus shrinking?
 # ---------------------------------------------------------------------------
 

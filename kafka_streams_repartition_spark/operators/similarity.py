@@ -1960,14 +1960,20 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
     map-side combine shrinks the exchange to one row per vector, not
     one per (vec, subspace)).  Each query's ADC table pivots into a
     broadcast MAP column keyed by (subspace, codeword), so scoring is
-    a whole-stage-codegen map lookup per (vector, query) — the old
-    per-(query, cand, subspace) join shuffled N·Q·M rows into a
-    re-aggregation, a constant that dominated the decade probe;
-    nothing pair-grained ever exchanges now.  ADC contributions sum as
+    a whole-stage-codegen map lookup — the old per-(query, cand,
+    subspace) join shuffled N·Q·M rows into a re-aggregation, a
+    constant that dominated the decade probe; nothing pair-grained
+    ever exchanges now.  An ADC score depends ONLY on a vector's code
+    array, so the scan scores DISTINCT code groups (G ≤ K^M, with
+    K=|labels| codewords per subspace) instead of vectors: the
+    query×candidate loop shrinks from N·Q to G·Q rows, and only the
+    groups that can still reach a query's top-k (strictly-closer mass
+    < TOP_K, +1 slack because the query's own vector may leave its
+    group) re-expand to vec_ids for the final rank — per query that is
+    ≈ TOP_K + ties rows, never the corpus.  ADC contributions sum as
     exact DECIMAL(18,6) in fixed subspace order (order-independent
-    across engines); per-query top-k is a WindowGroupLimit-prunable
-    rank, so each scan task emits ≤ TOP_K rows per query into the
-    final exchange.
+    across engines); group sizes and scores are exact, so the result
+    is bit-identical to the per-vector scan the oracle replays.
     """
     emb_raw = fan_out(t["embeddings"])
     cent = _centroids(emb_raw)
@@ -2041,18 +2047,53 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
     total = terms[0]
     for x in terms[1:]:
         total = total + x  # exact decimal addition, fixed subspace order
-    adc = (
-        codes_arr.crossJoin(F.broadcast(qmaps))
-        .filter(F.col("vec_id") != F.col("query_id"))
+    # the ADC score is a pure function of the code array: fold the
+    # corpus to distinct code GROUPS once (vec_ids ride along as an
+    # array that never enters the scoring loop), score G·Q rows
+    groups = codes_arr.groupBy("codekeys").agg(
+        F.collect_list("vec_id").alias("vids"),
+        F.count(F.lit(1)).alias("gsize"),
+    )
+    gadc = (
+        groups.select("codekeys", "gsize")
+        .crossJoin(F.broadcast(qmaps))
         .select(
             "query_id",
-            "vec_id",
+            "codekeys",
+            "gsize",
             F.round(F.sqrt(total.cast("double")), 6).alias("adc"),
         )
     )
+    # a group can place a vector in the top-k iff the exact mass of
+    # strictly-closer vectors is ≤ TOP_K (the +1 slack covers the one
+    # vector the self-match filter may remove from a closer group);
+    # the cumulative mass comes from the per-(query, adc) rollup so
+    # ties never inflate the strict count
+    tot = gadc.groupBy("query_id", "adc").agg(F.sum("gsize").alias("tsize"))
+    w_cume = (
+        Window.partitionBy("query_id")
+        .orderBy("adc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_adc = (
+        tot.withColumn(
+            "nbefore", F.coalesce(F.sum("tsize").over(w_cume), F.lit(0))
+        )
+        .filter(F.col("nbefore") <= TOP_K)
+        .select("query_id", "adc")
+    )
+    kept_groups = gadc.join(F.broadcast(kept_adc), ["query_id", "adc"]).select(
+        "query_id", "codekeys", "adc"
+    )
+    cand = (
+        groups.select("codekeys", "vids")
+        .join(F.broadcast(kept_groups), "codekeys")
+        .select("query_id", "adc", F.explode("vids").alias("vec_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     return (
-        adc.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",

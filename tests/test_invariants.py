@@ -451,6 +451,63 @@ def test_ngram_jaccard_query_set_capped(t, monkeypatch):
     assert key(out) == key(full[full["query_id"].isin(capped_ids)])
 
 
+def test_hamming_neighbors_exact_by_pigeonhole(t):
+    """Multi-index Hamming search is EXACT, not approximate: the
+    pigeonhole precondition (radius < chunk count) must hold, and the
+    chunk-collision index must return the identical pair set a
+    quadratic brute-force scan computes at the same radius — recall
+    1.0 is structural (Norouzi et al. 2012 §III), so unlike the
+    LSH/IVF/PQ gates this one pins equality, never a ratio."""
+    assert dd.HAMMING_RADIUS < dd.HAMMING_CHUNKS
+    assert dd.HAMMING_CHUNKS * dd.HAMMING_CHUNK_BITS == dd.HAMMING_BITS
+    codes = dd._simhash64_codes(t["documents"]).toPandas()
+    got = dd.hamming_neighbors(t).toPandas()
+    by_id = {
+        r.doc_id: (r.c0, r.c1, r.c2, r.c3) for r in codes.itertuples()
+    }
+    qids = sorted(i for i in by_id if i % dd.QUERY_MOD == 0)[
+        : dd.HAMMING_QUERY_CAP
+    ]
+    want = sorted(
+        (q, c, h)
+        for q in qids
+        for c, cc in by_id.items()
+        if c != q
+        for h in [
+            sum(bin(a ^ b).count("1") for a, b in zip(by_id[q], cc))
+        ]
+        if h <= dd.HAMMING_RADIUS
+    )
+    assert (
+        sorted(map(tuple, got[["query_id", "cand_id", "hamming"]].values))
+        == want
+    )
+
+
+def test_hamming_neighbors_query_set_capped(t, monkeypatch):
+    """hamming_neighbors inherits the bounded-query contract: a tiny
+    HAMMING_QUERY_CAP serves only the cap lowest-id slice of the
+    %-subset, with each served query's rows identical to the uncapped
+    run's."""
+    full = dd.hamming_neighbors(t).toPandas()
+    mod_ids = sorted(
+        r["doc_id"]
+        for r in t["documents"]
+        .filter(F.col("doc_id") % dd.QUERY_MOD == 0)
+        .select("doc_id")
+        .collect()
+    )
+    assert len(mod_ids) > 2
+    monkeypatch.setattr(dd, "HAMMING_QUERY_CAP", 2)
+    out = dd.hamming_neighbors(t).toPandas()
+    capped_ids = set(mod_ids[:2])
+    assert set(out["query_id"].unique()) <= capped_ids
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["query_id", "cand_id", "hamming"]].values)
+    )
+    assert key(out) == key(full[full["query_id"].isin(capped_ids)])
+
+
 def test_memo_slots_bounded_and_unpersist_on_eviction(spark):
     """The memoization helper bounds executor storage to its capacity:
     resident entries stay cached (and their keys strongly referenced —

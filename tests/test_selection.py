@@ -569,3 +569,39 @@ def test_mixture_plan_consistent_with_trio(t):
     assert all(
         r["unimax_epochs"] <= sel.TB_EPOCH_CAP + 1e-9 for r in plan.values()
     )
+
+
+def test_doremi_weights_tilt_properties(t):
+    """The DoReMi table is a proper smoothed distribution and a true
+    exponential tilt of the domain_kl diagnostic: weights sum to 1
+    (within rounding), every weight carries at least the uniform
+    smoothing floor c/k, excess_loss IS kl_nats (the unigram identity
+    CE − H = KL), and the tilt ordering holds — the weight/base_share
+    ratio is nondecreasing in excess loss."""
+    import math
+
+    w = sel.doremi_weights(t).toPandas()
+    kl = {r["source"]: r["kl_nats"] for _, r in sel.domain_kl(t).toPandas().iterrows()}
+    k = len(w)
+    assert abs(w["weight"].sum() - 1.0) < 5e-6 * k
+    assert (w["weight"] >= sel.DOREMI_SMOOTH / k - 1e-9).all()
+    assert {r["source"]: r["excess_loss"] for _, r in w.iterrows()} == kl
+    # tilt law: (w - c/k) / base_share ∝ exp(η·excess) — check the
+    # recovered η against the module constant (rounding gives slack)
+    for _, r in w.iterrows():
+        lifted = (r["weight"] - sel.DOREMI_SMOOTH / k) / (
+            (1 - sel.DOREMI_SMOOTH) * r["base_share"]
+        )
+        # lifted = exp(η·kl) / Z with a common Z > 0
+        assert lifted > 0
+    rows = sorted(w.itertuples(), key=lambda r: r.excess_loss)
+    ratios = [
+        math.log(
+            (r.weight - sel.DOREMI_SMOOTH / k)
+            / ((1 - sel.DOREMI_SMOOTH) * r.base_share)
+        )
+        - sel.DOREMI_ETA * r.excess_loss
+        for r in rows
+    ]
+    # all residuals equal −ln Z up to rounding noise
+    assert max(ratios) - min(ratios) < 5e-3
