@@ -38,7 +38,7 @@ import os
 import re
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.caching import MemoSlots, release_local_checkpoint
@@ -1487,6 +1487,88 @@ WHERE q.doc_id IN (
   AND bit_count(xor(q.c0, b.c0)) + bit_count(xor(q.c1, b.c1))
     + bit_count(xor(q.c2, b.c2)) + bit_count(xor(q.c3, b.c3))
     <= {HAMMING_RADIUS}
+"""
+
+
+def hamming_threshold_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """The radius-selection design table for :func:`hamming_neighbors`
+    — the same discipline as ``minhash_band_tuning`` /
+    ``embdup_plane_tuning`` / ``dedup_threshold_curve``: since the MIH
+    index is exact AT a radius, its one deploy knob is the radius
+    itself, and this measures what each candidate radius ADMITS — the
+    full Hamming-distance histogram of the capped query set against
+    the corpus, with the cumulative pair count per radius (how many
+    pairs radius ≤ h returns) and how many distinct queries hit.
+    ``HAMMING_RADIUS`` defaults inside pigeonhole exactness (< chunk
+    count); a radius chosen past it needs more chunks — a decision
+    this table informs with measured pair mass, not a guess.
+
+    Scale shape: one zero-shuffle code pass, one broadcast crossJoin
+    bounded by the query cap (Q×N narrow rows through
+    whole-stage-codegen `bit_count`), one 65-row aggregate — the
+    separation audit (``cosine_sim_histogram``'s binary-code twin) at
+    scan cost."""
+    codes = _simhash64_codes(fan_out(t["documents"]))
+    qids = (
+        codes.filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(HAMMING_QUERY_CAP)
+    )
+    qcodes = codes.join(F.broadcast(qids), "doc_id").select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(f"c{c}").alias(f"q{c}") for c in range(HAMMING_CHUNKS)],
+    )
+    ham = None
+    for c in range(HAMMING_CHUNKS):
+        term = F.bit_count(F.col(f"c{c}").bitwiseXOR(F.col(f"q{c}")))
+        ham = term if ham is None else ham + term
+    hist = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(ham.cast("long").alias("hamming"), "query_id")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("query_id").cast("long").alias("n_queries_hit"),
+        )
+    )
+    w = Window.orderBy("hamming").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "hamming",
+        "n_pairs",
+        "n_queries_hit",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+        (F.col("hamming") <= HAMMING_RADIUS).alias("within_default"),
+    )
+
+
+HAMMING_THRESHOLD_CURVE_ORACLE = f"""
+WITH codes AS ({_H64_CODES_SQL}),
+hist AS (
+    SELECT bit_count(xor(q.c0, b.c0)) + bit_count(xor(q.c1, b.c1))
+         + bit_count(xor(q.c2, b.c2)) + bit_count(xor(q.c3, b.c3))
+               AS hamming,
+           q.doc_id AS query_id
+    FROM codes q
+    JOIN codes b ON q.doc_id != b.doc_id
+    WHERE q.doc_id IN (
+        SELECT doc_id FROM codes WHERE doc_id % {QUERY_MOD} = 0
+        ORDER BY doc_id LIMIT {HAMMING_QUERY_CAP})
+),
+g AS (
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries_hit
+    FROM hist
+    GROUP BY 1
+)
+SELECT hamming, n_pairs, n_queries_hit,
+       CAST(sum(n_pairs) OVER (ORDER BY hamming
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pairs,
+       hamming <= {HAMMING_RADIUS} AS within_default
+FROM g
 """
 
 

@@ -1998,7 +1998,14 @@ def doremi_weights(t: dict[str, DataFrame]) -> DataFrame:
     output re-rounds, the same single-libm-call discipline
     ``domain_kl``'s `ln` established.
     """
-    kl = domain_kl(t)
+    return _doremi_from_kl(domain_kl(t))
+
+
+def _doremi_from_kl(kl: DataFrame) -> DataFrame:
+    """The tilt half of :func:`doremi_weights`, from a domain_kl-shaped
+    (source, n_tokens, kl_nats) rollup — shared with the streaming face
+    (``streaming.embindex.stream_doremi_weights``) so the two faces can
+    never diverge on the weight law."""
     tot = kl.agg(
         F.sum("n_tokens").alias("tot_tokens"),
         F.count(F.lit(1)).alias("k"),
@@ -2053,6 +2060,165 @@ SELECT source, n_tokens, kl_nats AS excess_loss, base_share,
        round({1.0 - DOREMI_SMOOTH} * (CAST(tilt AS DOUBLE) / CAST(z AS DOUBLE))
              + {DOREMI_SMOOTH} / CAST(k AS DOUBLE), 6) AS weight
 FROM b2 CROSS JOIN z
+"""
+
+
+# ---------------------------------------------------------------------------
+# RHO-loss: reducible-holdout-loss data selection (Mindermann et al. 2022)
+# ---------------------------------------------------------------------------
+
+RHO_HOLDOUT_MOD = 5  # ~20% of docs form the irreducible-loss holdout
+RHO_TOP_N = 100  # selected batch size
+
+
+def rho_loss_select(t: dict[str, DataFrame]) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al. 2022,
+    arXiv:2206.07137): rank candidate documents by REDUCIBLE loss —
+    current-model loss minus the loss of a model trained on a held-out
+    split (the irreducible part) — so selection prefers points that
+    are learnable (low holdout loss) but not yet learned (high
+    training loss), and skips both noise (high on both) and the
+    already-mastered (low on both).
+
+    Deterministic proxy pair, same discipline as
+    :func:`doremi_weights`'s unigram excess loss: the "current model"
+    is an add-1-smoothed unigram LM over the TRAIN split, the
+    irreducible model the same LM family over the md5-parity HOLDOUT
+    split (``_md5_long(doc_id) % {mod} == 0`` — the engine-portable
+    split ``stratified_kfold`` uses); both smooth over the UNION
+    vocabulary so every term has positive mass under both models.
+    rho = avg-token CE(train LM) − avg-token CE(holdout LM), each
+    rounded at 4 before the difference so the boundary cannot flip
+    across engines.
+
+    Scale shape: ONE tokenize pass builds the (doc, term, tf, split)
+    frame; each model's counts are a groupBy(term) re-aggregation of
+    it (hot terms partial-combine map-side); scoring LEFT-joins the
+    two vocab-sized count tables on term — the vocabulary never
+    broadcasts, only the two 1-row totals do; per-token ``tf·ln P``
+    contributions sum as DECIMAL(28,10).  The final top-N is an
+    orderBy+limit the optimizer plans as TakeOrderedAndProject —
+    map-side top-N per task, never a global sort materialization.
+    """
+    docs = t["documents"]
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "holdout",
+            _md5_long(F.col("doc_id").cast("string")) % RHO_HOLDOUT_MOD == 0,
+        )
+        .localCheckpoint()
+    )
+    vocab = tf.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
+    ct_tr = (
+        tf.filter(~F.col("holdout"))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("c_tr"))
+    )
+    ct_ho = (
+        tf.filter(F.col("holdout"))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("c_ho"))
+    )
+    n_tr = ct_tr.agg(F.coalesce(F.sum("c_tr"), F.lit(0)).alias("n_tr"))
+    n_ho = ct_ho.agg(F.coalesce(F.sum("c_ho"), F.lit(0)).alias("n_ho"))
+
+    def smoothed_nll(c: Column, n: Column) -> Column:
+        p = (F.coalesce(c, F.lit(0)) + 1).cast("double") / (
+            n + F.col("v")
+        ).cast("double")
+        return (-F.col("tf") * F.log(p)).cast("decimal(28,10)")
+
+    scored = (
+        tf.filter(~F.col("holdout"))
+        .join(ct_tr, "term", "left")
+        .join(ct_ho, "term", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_tr))
+        .crossJoin(F.broadcast(n_ho))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(smoothed_nll(F.col("c_tr"), F.col("n_tr")))
+            .cast("double")
+            .alias("tr_sum"),
+            F.sum(smoothed_nll(F.col("c_ho"), F.col("n_ho")))
+            .cast("double")
+            .alias("ho_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("tr_sum") / F.col("n_tokens"), 4).alias(
+                "train_loss"
+            ),
+            F.round(F.col("ho_sum") / F.col("n_tokens"), 4).alias(
+                "irreducible_loss"
+            ),
+        )
+        .withColumn(
+            "rho",
+            F.round(F.col("train_loss") - F.col("irreducible_loss"), 4),
+        )
+    )
+    return scored.orderBy(F.col("rho").desc(), F.col("doc_id")).limit(
+        RHO_TOP_N
+    )
+
+
+rho_loss_select.__doc__ = rho_loss_select.__doc__.format(
+    mod=RHO_HOLDOUT_MOD
+)
+
+
+RHO_LOSS_SELECT_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf,
+           {_md5_long_sql("CAST(doc_id AS VARCHAR)")} % {RHO_HOLDOUT_MOD} = 0
+               AS holdout
+    FROM toks GROUP BY 1, 2
+),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tf),
+ct_tr AS (SELECT term, sum(tf) AS c_tr FROM tf WHERE NOT holdout GROUP BY 1),
+ct_ho AS (SELECT term, sum(tf) AS c_ho FROM tf WHERE holdout GROUP BY 1),
+n_tr AS (SELECT coalesce(sum(c_tr), 0) AS n_tr FROM ct_tr),
+n_ho AS (SELECT coalesce(sum(c_ho), 0) AS n_ho FROM ct_ho),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(-tf.tf * ln(CAST(coalesce(ct_tr.c_tr, 0) + 1 AS DOUBLE)
+                / CAST(n_tr.n_tr + vocab.v AS DOUBLE)) AS DECIMAL(28,10)))
+               AS DOUBLE) AS tr_sum,
+           CAST(sum(CAST(-tf.tf * ln(CAST(coalesce(ct_ho.c_ho, 0) + 1 AS DOUBLE)
+                / CAST(n_ho.n_ho + vocab.v AS DOUBLE)) AS DECIMAL(28,10)))
+               AS DOUBLE) AS ho_sum
+    FROM tf
+    LEFT JOIN ct_tr USING (term)
+    LEFT JOIN ct_ho USING (term)
+    CROSS JOIN vocab CROSS JOIN n_tr CROSS JOIN n_ho
+    WHERE NOT tf.holdout
+    GROUP BY 1
+),
+rho AS (
+    SELECT doc_id, n_tokens,
+           round(tr_sum / n_tokens, 4) AS train_loss,
+           round(ho_sum / n_tokens, 4) AS irreducible_loss,
+           round(round(tr_sum / n_tokens, 4)
+               - round(ho_sum / n_tokens, 4), 4) AS rho
+    FROM scored
+)
+SELECT * FROM rho ORDER BY rho DESC, doc_id LIMIT {RHO_TOP_N}
 """
 
 

@@ -2734,3 +2734,64 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
 LSH_RECALL_ORACLE = _recall_oracle(ANN_TOPK_LSH_ORACLE)
 PQ_RECALL_ORACLE = _recall_oracle(ANN_TOPK_PQ_ORACLE)
 IVFPQ_RESIDUAL_RECALL_ORACLE = _recall_oracle(ANN_TOPK_IVFPQ_RESIDUAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-balance diagnostic
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_balance(t: dict[str, DataFrame]) -> DataFrame:
+    """Cell-occupancy balance of the trained IVF quantizer — the skew
+    diagnostic read BEFORE sizing N_PROBE for a 100 TB index: probed
+    work per query is the sum of probed CELL sizes, so a hot cell (a
+    load factor far above 1) makes worst-case latency diverge from the
+    average no matter the probe budget, and the fix (re-train with
+    more cells, or split hot cells) is an index-build decision this
+    table measures rather than assumes — FAISS's imbalance_factor, as
+    an oracle-gated query.
+
+    Per trained cell (:func:`kmeans_cells` — the production trainer,
+    never a reimplementation): occupancy, corpus share, and the load
+    factor n·k/N (1.0 = perfectly balanced).  Composition keeps the
+    frame cell-sized (k rows) after one trainer pass; the 1-row totals
+    broadcast.
+    """
+    assign = kmeans_cells(t).select("vec_id", "cell")
+    tot = assign.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("cell").alias("k"),
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("n_vecs").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("n_vecs").cast("double")
+                * F.col("k").cast("double")
+                / F.col("n_total").cast("double"),
+                4,
+            ).alias("load_factor"),
+        )
+    )
+
+
+IVF_CELL_BALANCE_ORACLE = f"""
+WITH assign AS ({KMEANS_CELLS_ORACLE}),
+tot AS (SELECT count(*) AS n_total, count(DISTINCT cell) AS k FROM assign)
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(count(*) AS DOUBLE) / CAST(any_value(tot.n_total) AS DOUBLE),
+             6) AS share,
+       round(CAST(count(*) AS DOUBLE) * CAST(any_value(tot.k) AS DOUBLE)
+             / CAST(any_value(tot.n_total) AS DOUBLE), 4) AS load_factor
+FROM assign CROSS JOIN tot
+GROUP BY 1
+"""

@@ -2003,3 +2003,70 @@ GROUP BY 1
 ORDER BY total_count DESC, bucket
 LIMIT {FEATURE_HASH_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: vocabulary power-law audit
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
+    """Zipf power-law fit of the corpus vocabulary — OLS of ln(count)
+    on ln(rank): natural text sits near exponent 1 (Zipf 1949); a
+    collapsing exponent flags boilerplate/duplication (mass
+    concentrating in few types) and an inflated one flags noise (too
+    many singletons) — the distributional health audit read next to
+    ``corpus_token_entropy`` before training on a crawl.
+
+    One tokenize pass → term counts; ranking is a row_number over the
+    VOCAB-sized count table (the documented tokenize_to_ids shape —
+    vocabulary-sized, never corpus-sized); the fit itself is the
+    built-in regression AGGREGATES over (ln r, ln c) — moment sums
+    that partial-combine map-side, same discipline as
+    ``value_trend_regression``, with the deterministic (count desc,
+    term) tie order shared with the oracle.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        fan_out(t["documents"])
+        .select(F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = ct.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("c").cast("double")).alias("ln_c"),
+        F.log(F.col("r").cast("double")).alias("ln_r"),
+        "c",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(-F.expr("regr_slope(ln_c, ln_r)"), 4).alias("zipf_exponent"),
+        F.round(F.expr("regr_intercept(ln_c, ln_r)"), 4).alias("ln_c0"),
+        F.round(F.expr("regr_r2(ln_c, ln_r)"), 6).alias("r2"),
+    )
+
+
+ZIPF_FIT_ORACLE = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS term
+    FROM documents
+),
+ct AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+ranked AS (
+    SELECT ln(CAST(c AS DOUBLE)) AS ln_c,
+           ln(CAST(row_number() OVER (ORDER BY c DESC, term) AS DOUBLE))
+               AS ln_r,
+           c
+    FROM ct
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(-regr_slope(ln_c, ln_r), 4) AS zipf_exponent,
+       round(regr_intercept(ln_c, ln_r), 4) AS ln_c0,
+       round(regr_r2(ln_c, ln_r), 6) AS r2
+FROM ranked
+"""

@@ -1289,6 +1289,100 @@ def stream_domain_kl(
     return allr.filter(F.col("batch") == last).drop("batch")
 
 
+# --- streaming DoReMi reweighting ------------------------------------------
+
+_DOREMI_SNAP_SCHEMA = (
+    "source string, n_tokens long, excess_loss double, base_share double, "
+    "weight double, batch long"
+)
+
+
+def stream_doremi_weights(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.selection.doremi_weights`` — the
+    DoReMi mixture weights maintained continuously: every micro-batch
+    folds its (source, term) token counts into the SAME persisted
+    vocabulary rollup discipline as ``stream_domain_kl`` and emits a
+    full weight-table snapshot via the shared batch kernels
+    (``_kl_from_counts`` → ``_doremi_from_kl``), because the weights
+    are a global functional of the corpus distribution — one source's
+    arrival retilts every weight, so each snapshot recomputes from the
+    folded counts rather than patching.
+
+    State layout and pruning follow ``stream_domain_kl`` exactly: one
+    cumulative vocabulary-sized ``counts`` table (superseded copies
+    pruned post-commit), per-batch ``doremi`` snapshots of ≤ n_sources
+    rows — the reweighting curve a training scheduler tails.  Document
+    text never persists.
+
+    Equivalence contract (tested): every batch's snapshot equals the
+    one-shot ``doremi_weights`` over exactly the documents ingested so
+    far — at EVERY cut.  Returns the latest committed snapshot.
+    """
+    from ..functions.text import words
+    from ..operators.selection import _doremi_from_kl, _kl_from_counts
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "DoReMi monitor"):
+            return
+        bc = (
+            batch_df.select(
+                "source",
+                F.explode_outer(words(F.col("text"))).alias("term"),
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+            .localCheckpoint(eager=False)
+        )
+        latest = _latest_committed_dir(root, "counts")
+        if latest is not None:
+            cum = (
+                spark.read.schema(_KL_CNT_SCHEMA)
+                .parquet(latest)
+                .unionByName(bc)
+                .groupBy("source", "term")
+                .agg(F.sum("c_st").alias("c_st"))
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+        snap = _doremi_from_kl(_kl_from_counts(cum))
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "doremi"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counts")
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_dirs(root, "doremi")
+    if not dirs:
+        return spark.createDataFrame(
+            [], _DOREMI_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_DOREMI_SNAP_SCHEMA).parquet(*dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
 # --- streaming mixture-plan decision table -------------------------------------
 
 _MP_SCHEMA = (

@@ -484,6 +484,32 @@ def test_hamming_neighbors_exact_by_pigeonhole(t):
     )
 
 
+def test_hamming_threshold_curve_consistent_with_index(t):
+    """The radius design table agrees with the operators it sizes: its
+    cumulative pair count at the default radius equals the MIH index's
+    output size, its total mass is exactly queries × (corpus − 1), and
+    cum_pairs is strictly the running sum of a complete histogram."""
+    curve = (
+        dd.hamming_threshold_curve(t)
+        .toPandas()
+        .sort_values("hamming", ignore_index=True)
+    )
+    idx_rows = dd.hamming_neighbors(t).count()
+    at_default = curve[curve["hamming"] <= dd.HAMMING_RADIUS]
+    assert at_default["n_pairs"].sum() == idx_rows
+    assert (at_default["within_default"]).all()
+    assert (~curve[curve["hamming"] > dd.HAMMING_RADIUS]["within_default"]).all()
+    n_codes = dd._simhash64_codes(t["documents"]).count()
+    n_q = curve["n_queries_hit"].max()  # the distance every query hits
+    total = curve["n_pairs"].sum()
+    qids = dd._simhash64_codes(t["documents"]).filter(
+        F.col("doc_id") % dd.QUERY_MOD == 0
+    )
+    assert total == min(qids.count(), dd.HAMMING_QUERY_CAP) * (n_codes - 1)
+    assert n_q <= min(qids.count(), dd.HAMMING_QUERY_CAP)
+    assert (curve["cum_pairs"] == curve["n_pairs"].cumsum()).all()
+
+
 def test_hamming_neighbors_query_set_capped(t, monkeypatch):
     """hamming_neighbors inherits the bounded-query contract: a tiny
     HAMMING_QUERY_CAP serves only the cap lowest-id slice of the
@@ -1217,6 +1243,48 @@ def test_derived_band_planes_rule_and_sql_mirror():
         con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
         got = con.execute(f"SELECT {expr}").fetchone()[0]
         assert got == dd.derived_band_planes(n), n
+
+
+def test_ivf_cell_balance_consistent_with_trainer(t):
+    """The balance table is an exact rollup of the trainer's own
+    assignment: occupancies sum to the corpus, shares to 1, the
+    load_factor averages 1 by construction (n·k/N over k cells), and
+    every cell's row reproduces its assignment count."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    bal = sim.ivf_cell_balance(t).toPandas()
+    want = (
+        sim.kmeans_cells(t)
+        .groupBy("cell")
+        .count()
+        .toPandas()
+        .set_index("cell")["count"]
+    )
+    assert set(bal["cell"]) == set(want.index)
+    for _, r in bal.iterrows():
+        assert r["n_vecs"] == want[r["cell"]]
+    n = want.sum()
+    k = len(bal)
+    assert bal["n_vecs"].sum() == n
+    assert abs(bal["share"].sum() - 1.0) < 5e-6 * k
+    assert abs(bal["load_factor"].mean() - 1.0) < 5e-4
+
+
+def test_zipf_fit_consistent_with_entropy_audit(t):
+    """zipf_fit's vocabulary/token totals equal corpus_token_entropy's
+    (same tokenizer, same corpus), and the fit is a genuine OLS on the
+    rank-frequency log-log points (r2 in [0, 1], exponent finite) —
+    on the synthetic flat-vocabulary fixture the exponent is SMALL,
+    which is the audit doing its job, not a bug."""
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+
+    z = tx.zipf_fit(t).toPandas()
+    e = tx.corpus_token_entropy(t).toPandas()
+    assert len(z) == 1
+    assert z["n_terms"][0] == e["vocab_size"][0]
+    assert z["n_tokens"][0] == e["n_tokens"][0]
+    assert 0.0 <= z["r2"][0] <= 1.0
+    assert abs(z["zipf_exponent"][0]) < 20
 
 
 def test_ivfpq_design_table_monotone_in_probe_budget(t):

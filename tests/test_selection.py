@@ -605,3 +605,42 @@ def test_doremi_weights_tilt_properties(t):
     ]
     # all residuals equal −ln Z up to rounding noise
     assert max(ratios) - min(ratios) < 5e-3
+
+
+def test_rho_loss_select_semantics(t):
+    """RHO-loss selection: only TRAIN-split docs are scored (holdout
+    docs supply the irreducible model, never candidates), rho is
+    exactly train_loss − irreducible_loss, the output is ordered by
+    (rho desc, doc_id), and both losses are positive (smoothed
+    probabilities are < 1)."""
+    out = sel.rho_loss_select(t).toPandas()
+    assert len(out) <= sel.RHO_TOP_N
+    # holdout docs never appear
+    from pyspark.sql import functions as F
+
+    from kafka_streams_repartition_spark.operators.selection import (
+        _md5_long,
+    )
+
+    hold = {
+        r["doc_id"]
+        for r in t["documents"]
+        .select("doc_id")
+        .withColumn(
+            "h",
+            _md5_long(F.col("doc_id").cast("string")) % sel.RHO_HOLDOUT_MOD
+            == 0,
+        )
+        .filter("h")
+        .collect()
+    }
+    assert hold and not (set(out["doc_id"]) & hold)
+    for _, r in out.iterrows():
+        assert r["rho"] == round(
+            round(r["train_loss"], 4) - round(r["irreducible_loss"], 4), 4
+        )
+    # rho ordering with doc_id tiebreak
+    key = list(zip(-out["rho"], out["doc_id"]))
+    assert key == sorted(key)
+    assert (out["train_loss"] > 0).all()
+    assert (out["irreducible_loss"] > 0).all()
