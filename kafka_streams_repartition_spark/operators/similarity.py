@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import hex_sign
-from ..functions.vectors import dot, norm, to_double_array
+from ..functions.vectors import (
+    dot,
+    dot_unrolled,
+    norm,
+    norm_unrolled,
+    sqdist_unrolled,
+    to_double_array,
+)
 from ..sources.tables import fan_out
 
 DIM = 64
@@ -573,13 +580,12 @@ def pq_codes(t: dict[str, DataFrame]) -> DataFrame:
             F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
         ).alias("m", "vsub"),
     )
+    # unrolled subvector distance: the HOF fold evaluates interpreted
+    # per (vec, subspace, codeword) row — N·M·K of them — while the
+    # flat sum compiles into whole-stage codegen; addition order is the
+    # same left-associated index walk, so results are bit-identical
     dist = F.round(
-        F.aggregate(
-            F.zip_with("vsub", "csub", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+        sqdist_unrolled(F.col("vsub"), F.col("csub"), PQ_SUB), 6
     ).alias("dist")
     scored = sub_v.join(F.broadcast(sub_c), "m").select("vec_id", "m", "label", dist)
     # argmin per subspace as a lexicographic struct-min (ties break on
@@ -773,13 +779,10 @@ def ann_topk_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
             F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
         ).alias("m", "vsub"),
     )
+    # unrolled subvector distance (see ann_topk_pq): same addition
+    # order as the HOF fold, whole-stage codegen instead of interpreted
     sdist = F.round(
-        F.aggregate(
-            F.zip_with("vsub", "csub", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+        sqdist_unrolled(F.col("vsub"), F.col("csub"), PQ_SUB), 6
     ).alias("dist")
     scored = sub_v.join(F.broadcast(sub_c), "m").select(
         "vec_id", "m", "label", sdist
@@ -1990,13 +1993,12 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
             F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
         ).alias("m", "vsub"),
     )
+    # unrolled subvector distance: the HOF fold evaluates interpreted
+    # per (vec, subspace, codeword) row — N·M·K of them — while the
+    # flat sum compiles into whole-stage codegen; addition order is the
+    # same left-associated index walk, so results are bit-identical
     dist = F.round(
-        F.aggregate(
-            F.zip_with("vsub", "csub", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+        sqdist_unrolled(F.col("vsub"), F.col("csub"), PQ_SUB), 6
     ).alias("dist")
     scored = sub_v.join(F.broadcast(sub_c), "m").select("vec_id", "m", "label", dist)
     # one shuffle, one row per vector: per-subspace argmin as M
@@ -2795,3 +2797,161 @@ SELECT cell,
 FROM assign CROSS JOIN tot
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-budget design table
+# ---------------------------------------------------------------------------
+
+# prefix lengths measured against the full-dimension truth; 64 == DIM is
+# the sanity leg (recall 1.0 by construction)
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def _truncated_topk(t: dict[str, DataFrame], d: int) -> DataFrame:
+    """Brute-force cosine top-k using only the FIRST ``d`` dimensions —
+    the query stage of a prefix-truncated (Matryoshka-style) index.
+    Same bounded query set, rounding, and tie order as
+    :func:`ann_topk_bruteforce`; at d == DIM the score expression is
+    bit-identical to the full scorer (both left-associate the dot in
+    index order), so the 64-dim leg IS the truth ranking."""
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", F.slice(to_double_array("embedding"), 1, d).alias("v")
+    )
+    emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), d))
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cos = F.round(
+        dot_unrolled(F.col("qv"), F.col("v"), d) / (F.col("qn") * F.col("nrm")),
+        6,
+    ).alias("cosine")
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+
+
+def mrl_recall_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """The dimension-budget design table (Matryoshka representation
+    learning, Kusupati et al. 2022, arXiv:2205.13147): recall@k of
+    brute-force search over the first d dimensions against the
+    full-dimension truth, per d — the measurement behind "how many
+    dims can the index DROP" before a 100 TB re-embed or a
+    shortlist-then-rerank deployment, where the prefix index serves
+    the shortlist and the full vectors only rerank survivors.  The
+    same design-table discipline as ``ivfpq_design_table`` /
+    ``embdup_plane_tuning``: choose the storage budget off a measured
+    recall curve, never a default.
+
+    Scale shape: every leg is the bounded-query brute-force scan
+    (broadcast capped queries, whole-stage-codegen unrolled dot over d
+    elements — each leg CHEAPER than the full scan by construction);
+    the truth ranking computes once (localCheckpoint) and each leg
+    reduces to one recall row, so output is |MRL_DIMS| rows at any
+    corpus size.  Recall is 1.0 at d = DIM by construction — the
+    in-table sanity row the invariant test pins.
+    """
+    truth = (
+        ann_topk_bruteforce(t)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    legs = []
+    for d in MRL_DIMS:
+        approx = _truncated_topk(t, d)
+        legs.append(
+            _recall_one_row(truth, approx).select(
+                F.lit(d).cast("long").alias("dims"),
+                "n_truth",
+                "n_approx",
+                "n_hits",
+                "recall",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _mrl_oracle() -> str:
+    legs = []
+    for d in MRL_DIMS:
+        legs.append(f"""
+r{d} AS (
+    SELECT CAST({d} AS BIGINT) AS dims,
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM (
+               SELECT * FROM ranked{d} WHERE rank <= {TOP_K})) AS n_approx,
+           count(*) AS n_hits
+    FROM truth t
+    WHERE EXISTS (
+        SELECT 1 FROM ranked{d} a
+        WHERE a.rank <= {TOP_K}
+          AND a.query_id = t.query_id AND a.cand_id = t.cand_id)
+)""")
+    rank_ctes = []
+    for d in MRL_DIMS:
+        rank_ctes.append(f"""
+norms{d} AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e WHERE pos <= {d} GROUP BY 1
+),
+scored{d} AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM e q
+    JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id AND q.pos <= {d}
+    JOIN norms{d} nq ON q.vec_id = nq.vec_id
+    JOIN norms{d} nc ON e.vec_id = nc.vec_id
+    WHERE q.vec_id IN ({_QCAP_SQL})
+    GROUP BY 1, 2, nq.nrm, nc.nrm
+),
+ranked{d} AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rank
+    FROM scored{d}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT dims, CAST(n_truth AS BIGINT) AS n_truth,"
+        f" CAST(n_approx AS BIGINT) AS n_approx,"
+        f" CAST(n_hits AS BIGINT) AS n_hits,"
+        f" round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall FROM r{d}"
+        for d in MRL_DIMS
+    )
+    return (
+        f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+truth AS (
+    SELECT query_id, cand_id FROM ({ANN_TOPK_BRUTEFORCE_ORACLE})
+),"""
+        + ",".join(rank_ctes)
+        + ","
+        + ",".join(legs)
+        + "\n"
+        + union
+    )
+
+
+MRL_RECALL_CURVE_ORACLE = _mrl_oracle()

@@ -1287,6 +1287,25 @@ def test_zipf_fit_consistent_with_entropy_audit(t):
     assert abs(z["zipf_exponent"][0]) < 20
 
 
+def test_mrl_recall_curve_sanity_leg_and_shape(t):
+    """The dimension-budget table carries its own proof obligations:
+    one row per configured prefix length, every leg measured against
+    the SAME truth (n_truth constant), every leg emitting a full top-k
+    list per query (n_approx == n_truth — prefix scoring changes the
+    ranking, never the list size), and the full-dimension leg reads
+    recall exactly 1.0 because its score expression is bit-identical
+    to the truth scorer."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    cur = sim.mrl_recall_curve(t).toPandas().sort_values("dims")
+    assert list(cur["dims"]) == list(sim.MRL_DIMS)
+    assert cur["n_truth"].nunique() == 1
+    assert (cur["n_approx"] == cur["n_truth"]).all()
+    full = cur[cur["dims"] == sim.DIM]
+    assert len(full) == 1 and full["recall"].iloc[0] == 1.0
+    assert ((cur["recall"] >= 0) & (cur["recall"] <= 1)).all()
+
+
 def test_ivfpq_design_table_monotone_in_probe_budget(t):
     """The residual-IVFADC deploy grid obeys its laws: every leg shares
     the same capped truth, every recall is a well-formed probability,
