@@ -1328,6 +1328,18 @@ HAMMING_QUERY_CAP = int(os.environ.get("HAMMING_QUERY_CAP", "4096"))
 # one vote per digit via the high-bit test the 16-bit fingerprint uses
 _H64_DIGITS = "md5(tok) || md5(tok || '|s2')"
 
+# one cached code table per documents frame: the 64-vote pass is the
+# expensive half of BOTH Hamming queries (index + design curve), so a
+# session running them back-to-back pays it once (the _GRAMS_CACHE
+# discipline — capacity-bounded, evicted frames unpersisted)
+_H64_CACHE = MemoSlots(capacity=2)
+
+
+def _simhash64_codes_cached(documents: DataFrame) -> DataFrame:
+    return _H64_CACHE.get_or_build(
+        documents, lambda: _simhash64_codes(fan_out(documents))
+    )
+
 
 def _simhash64_codes(docs: DataFrame) -> DataFrame:
     """Per-doc 64-bit SimHash as FOUR 16-bit chunk columns c0..c3 —
@@ -1396,7 +1408,7 @@ def hamming_neighbors(t: dict[str, DataFrame]) -> DataFrame:
     (``HAMMING_QUERY_CAP`` lowest ``% QUERY_MOD`` ids, oracle-mirrored)
     bounds the probe side exactly as the ANN family does.
     """
-    codes = _simhash64_codes(fan_out(t["documents"]))
+    codes = _simhash64_codes_cached(t["documents"])
     qids = (
         codes.filter(F.col("doc_id") % QUERY_MOD == 0)
         .select("doc_id")
@@ -1508,7 +1520,7 @@ def hamming_threshold_curve(t: dict[str, DataFrame]) -> DataFrame:
     whole-stage-codegen `bit_count`), one 65-row aggregate — the
     separation audit (``cosine_sim_histogram``'s binary-code twin) at
     scan cost."""
-    codes = _simhash64_codes(fan_out(t["documents"]))
+    codes = _simhash64_codes_cached(t["documents"])
     qids = (
         codes.filter(F.col("doc_id") % QUERY_MOD == 0)
         .select("doc_id")

@@ -1395,3 +1395,26 @@ def test_ann_ivfpq_broadcasts_probe_and_codebook(t):
     assert_broadcast_join(df, 2)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_neighbors_broadcast_equijoin(t):
+    """The MIH search plans as ONE broadcast (chunk, value) equi-join
+    against the capped query side — the corpus never key-exchanges for
+    candidate generation, and scoring happens in place (no join-back),
+    so no cartesian product exists anywhere in the plan."""
+    df = dd.hamming_neighbors(t)
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+
+
+def test_rho_loss_select_vocab_never_broadcasts(t):
+    """RHO-loss scoring joins the two count tables on term as keyed
+    joins of vocab-sized frames; only the 1-row totals and the vocab
+    count broadcast.  The top-N plans as TakeOrderedAndProject, never
+    a global sort materialization."""
+    from kafka_streams_repartition_spark.operators import selection as sel
+
+    df = sel.rho_loss_select(t)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

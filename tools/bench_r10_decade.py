@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERIES = ["crossmodal_clusters", "dedup_embedding_lsh"]
@@ -60,6 +61,9 @@ def main() -> None:
     scratch = os.path.join(REPO, ".scale")
 
     sf1 = run_bench(sf1_dir, os.path.join(scratch, "r10dec_sf1.json"), QUERIES)
+    # let the sf1 leg's 1-min loadavg decay so the sf10 leg's load flag
+    # reflects EXTERNAL contention, not our own back-to-back burst
+    time.sleep(120)
     sf10 = run_bench(sf10_dir, os.path.join(scratch, "r10dec_sf10.json"), QUERIES)
 
     ratios = {}
