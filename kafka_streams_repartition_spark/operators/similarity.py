@@ -27,10 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import hex_sign
+# hot scan paths use ONLY the unrolled forms: the HOF dot/norm evaluate
+# interpreted per row (per-row array allocation), the flat sums compile
+# into whole-stage codegen — same left-associated addition order, so
+# results are bit-identical (functions/vectors docstring)
 from ..functions.vectors import (
-    dot,
     dot_unrolled,
-    norm,
     norm_unrolled,
     sqdist_unrolled,
     to_double_array,
@@ -53,7 +55,7 @@ ANN_QUERY_CAP = int(os.environ.get("ANN_QUERY_CAP", "4096"))
 
 def _corpus(t: dict[str, DataFrame]) -> DataFrame:
     emb = fan_out(t["embeddings"]).select("vec_id", to_double_array("embedding").alias("v"))
-    return emb.withColumn("nrm", norm(F.col("v")))
+    return emb.withColumn("nrm", norm_unrolled(F.col("v"), DIM))
 
 
 def _queries(emb: DataFrame) -> DataFrame:
@@ -104,7 +106,7 @@ def ann_topk_bruteforce(t: dict[str, DataFrame]) -> DataFrame:
     emb = _corpus(t)
     q = _queries(emb)
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -162,7 +164,7 @@ def _signature(vec_col) -> F.Column:
     bits = []
     for row in _sign_matrix():
         lit_row = F.array(*[F.lit(float(s)) for s in row])
-        proj = dot(vec_col, lit_row)
+        proj = dot_unrolled(vec_col, lit_row, DIM)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -184,7 +186,7 @@ def ann_topk_lsh(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
     scored = (
         emb.join(F.broadcast(q), emb["sig"] == q["qsig"])
@@ -507,7 +509,7 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     emb_raw = fan_out(t["embeddings"])
     cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
-    cells = _assign_cells(emb, cent).withColumn("nrm", norm(F.col("v")))
+    cells = _assign_cells(emb, cent).withColumn("nrm", norm_unrolled(F.col("v"), DIM))
 
     # bounded-query contract: cap the broadcast side to the
     # ANN_QUERY_CAP lowest-id queries (oracle mirrors the LIMIT)
@@ -523,7 +525,7 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
     scored = (
         cells.join(F.broadcast(q), cells["cell"] == q["qcell"])
@@ -1688,7 +1690,7 @@ def knn_graph(t: dict[str, DataFrame]) -> DataFrame:
         F.col("sig").alias("csig"),
     )
     cos = F.round(
-        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        dot_unrolled(F.col("v"), F.col("cv"), DIM) / (F.col("nrm") * F.col("cn")), 6
     ).alias("cosine")
     pairs = (
         emb.join(cand, F.col("sig") == F.col("csig"))
@@ -2211,7 +2213,7 @@ def embedding_norm_outliers(t: dict[str, DataFrame]) -> DataFrame:
     compare — no shuffle of vectors at any point.
     """
     emb = fan_out(t["embeddings"]).select(
-        "vec_id", norm(to_double_array("embedding")).alias("nrm")
+        "vec_id", norm_unrolled(to_double_array("embedding"), DIM).alias("nrm")
     )
     stats = emb.agg(
         F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
@@ -2270,7 +2272,7 @@ def cosine_sim_histogram(t: dict[str, DataFrame]) -> DataFrame:
     # different orders, and the rounding collapses that last-ulp noise
     # so a boundary-adjacent cosine can't land in different bins.
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     )
     binned = (
         emb.crossJoin(F.broadcast(q))
@@ -2360,7 +2362,7 @@ def hybrid_search(t: dict[str, DataFrame]) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
     sem_scored = (
         emb.crossJoin(F.broadcast(q))
@@ -2638,7 +2640,7 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
             "vec_id",
             F.transform("s", lambda s: s["xh"]).alias("v"),
         )
-        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("nrm", norm_unrolled(F.col("v"), DIM))
     )
     q = (
         _queries(_corpus(t))
@@ -2647,7 +2649,7 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds approx AND the truth cut
     )
     cos = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
     scored = (
         recon.crossJoin(F.broadcast(q))

@@ -244,9 +244,6 @@ WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
-CORPUS_CURATION_ORACLE = _curation_oracle()
-
-
 def lang_id(t: dict[str, DataFrame]) -> DataFrame:
     """Marker-token language ID with deterministic tie-breaking
     (checked in lexicographic lang order with >=)."""
@@ -2070,3 +2067,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(regr_r2(ln_c, ln_r), 6) AS r2
 FROM ranked
 """
+
+
+# Composed at module END (not beside _curation_oracle): the composition
+# imports dedup → similarity → back into this module, so it must run
+# only after every name the cycle reads (BM25_*) already exists —
+# otherwise importing text_analysis FIRST raises a circular
+# ImportError that the driver's import order happened to hide.
+CORPUS_CURATION_ORACLE = _curation_oracle()
