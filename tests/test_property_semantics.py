@@ -693,3 +693,41 @@ def test_sq_codes_property(spark, seed, n_vecs):
         assert got[i]["n_saturated"] == int(
             ((code[i] == 0) | (code[i] == 255)).sum()
         )
+
+
+@given(texts=_DOC_TEXTS, seed=st.integers(0, 2**16))
+@settings(**_SETTINGS)
+def test_simhash64_codes_are_token_set_semantics(spark, texts, seed):
+    """The 64-bit SimHash is a pure function of the DISTINCT token
+    set: shuffling word order and duplicating words must leave every
+    chunk unchanged (votes come from array_distinct'd tokens), and a
+    doc with no tokens emits no code row — the properties the MIH
+    index relies on when it treats a re-ordered repost as Hamming-0."""
+    import random
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    rng = random.Random(seed)
+    scrambled = []
+    for text in texts:
+        toks = text.split()
+        rng.shuffle(toks)
+        toks = toks + [rng.choice(toks)] if toks else toks  # dup one
+        scrambled.append(" ".join(toks))
+    base = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    scr = spark.createDataFrame(
+        list(enumerate(scrambled)), "doc_id long, text string"
+    )
+    a = {
+        r["doc_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in dd._simhash64_codes(base).collect()
+    }
+    b = {
+        r["doc_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in dd._simhash64_codes(scr).collect()
+    }
+    assert a == b
+    empty = {i for i, t in enumerate(texts) if not t.split()}
+    assert empty.isdisjoint(a)
