@@ -2023,14 +2023,22 @@ def zipf_fit(t: dict[str, DataFrame]) -> DataFrame:
     ``value_trend_regression``, with the deterministic (count desc,
     term) tie order shared with the oracle.
     """
-    from pyspark.sql import Window
-
     toks = (
         fan_out(t["documents"])
         .select(F.explode_outer(words(F.col("text"))).alias("term"))
         .filter(F.col("term").isNotNull())
     )
     ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return _zipf_from_counts(ct)
+
+
+def _zipf_from_counts(ct: DataFrame) -> DataFrame:
+    """The fit half of :func:`zipf_fit`, from a (term, c) count rollup
+    — shared with the streaming face
+    (``streaming.embindex.stream_zipf_fit``) so the two faces can
+    never diverge on the fit."""
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col("c").desc(), "term")
     ranked = ct.withColumn("r", F.row_number().over(w)).select(
         F.log(F.col("c").cast("double")).alias("ln_c"),

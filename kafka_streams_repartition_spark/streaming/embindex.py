@@ -1383,6 +1383,98 @@ def stream_doremi_weights(
     return allr.filter(F.col("batch") == last).drop("batch")
 
 
+# --- streaming Zipf vocabulary monitor --------------------------------------
+
+_ZIPF_CNT_SCHEMA = "term string, c long"
+_ZIPF_SNAP_SCHEMA = (
+    "n_terms long, n_tokens long, zipf_exponent double, ln_c0 double, "
+    "r2 double, batch long"
+)
+
+
+def stream_zipf_fit(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.text_analysis.zipf_fit`` — the
+    vocabulary power-law audit maintained continuously: every
+    micro-batch folds its term counts into ONE persisted
+    vocabulary-sized count table (the ``stream_domain_kl`` commit/prune
+    discipline) and emits a full fit snapshot via the shared batch
+    kernel (``_zipf_from_counts``), because rank–frequency structure is
+    a global functional of the cumulative counts — one hot term's
+    arrival re-ranks the whole vocabulary, so each snapshot recomputes
+    from the folded counts rather than patching.
+
+    A collapsing exponent over ingest time is the boilerplate-flood
+    alarm this face exists for: the batch audit sees it after the
+    crawl, the stream sees WHEN it started.
+
+    Equivalence contract (tested): every batch's snapshot equals the
+    one-shot ``zipf_fit`` over exactly the documents ingested so far —
+    at EVERY cut.  Returns the latest committed snapshot.
+    """
+    from ..functions.text import words
+    from ..operators.text_analysis import _zipf_from_counts
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "Zipf monitor"):
+            return
+        bc = (
+            batch_df.select(
+                F.explode_outer(words(F.col("text"))).alias("term")
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        latest = _latest_committed_dir(root, "counts")
+        if latest is not None:
+            cum = (
+                spark.read.schema(_ZIPF_CNT_SCHEMA)
+                .parquet(latest)
+                .unionByName(bc)
+                .groupBy("term")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+        snap = _zipf_from_counts(cum)
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "zipf"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counts")
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = _committed_dirs(root, "zipf")
+    if not dirs:
+        return spark.createDataFrame(
+            [], _ZIPF_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_ZIPF_SNAP_SCHEMA).parquet(*dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
 # --- streaming mixture-plan decision table -------------------------------------
 
 _MP_SCHEMA = (

@@ -2022,6 +2022,53 @@ def test_stream_doremi_weights_every_snapshot_equals_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
 
 
+def test_stream_zipf_fit_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming vocabulary monitor's fit snapshot equals one-shot
+    zipf_fit over exactly the documents ingested so far — at EVERY cut
+    (rank–frequency is a global functional, recomputed per batch via
+    the shared _zipf_from_counts kernel) — and superseded cumulative
+    count rollups are pruned."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import (
+        text_analysis as tx,
+    )
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        stream_zipf_fit,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first_half = docs.filter(F.col("doc_id") <= cut)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_zipf_fit(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in tx.zipf_fit(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    snap0 = spark.read.parquet(os.path.join(root, "batch=0", "zipf")).drop(
+        "batch"
+    )
+    want0 = {
+        tuple(r) for r in tx.zipf_fit({"documents": first_half}).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
+
+
 def test_stream_token_budget_every_snapshot_equals_batch(spark, tmp_path):
     """The streaming UniMax controller's allocation snapshot equals
     one-shot token_budget over exactly the documents ingested so far —
