@@ -45,6 +45,78 @@ def load_flag(loadavg_1m: float, cores: int) -> str:
     return "loaded" if loadavg_1m > 1.5 * (cores / 8) else "idle"
 
 
+def _proc_stat_busy_jiffies() -> int | None:
+    """Host-wide busy jiffies (all fields of /proc/stat's cpu line
+    except idle+iowait) — in a container this reads the HOST, which is
+    exactly the contention domain loadavg reports on."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    except Exception:
+        return None
+
+
+def _own_tree_jiffies() -> int | None:
+    """utime+stime of this process and every live descendant (the
+    py4j-launched JVM and its python workers) plus reaped-child time
+    (cutime/cstime) — the run's OWN CPU, to subtract from the host
+    delta.  Live descendants are found by one ppid-closure walk."""
+    try:
+        me = os.getpid()
+        stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, own+reaped)
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue  # died mid-walk: its time folds into cutime later
+            # field 2 (comm) may contain spaces/parens: split after ')'
+            rest = raw[raw.rindex(")") + 2:].split()
+            ppid = int(rest[1])
+            cpu = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            stats[int(ent)] = (ppid, cpu)
+        tree = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _) in stats.items():
+                if ppid in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        return sum(cpu for pid, (_, cpu) in stats.items() if pid in tree)
+    except Exception:
+        return None
+
+
+def external_busy_cores(
+    host0: int | None, own0: int | None,
+    host1: int | None, own1: int | None,
+    elapsed_s: float,
+) -> float | None:
+    """Average number of cores OTHER work kept busy during the run:
+    (host busy delta − our process tree's delta) / elapsed.  Unlike
+    end-of-run loadavg — which the bench's own 32-thread bursts push to
+    6-8 even on an idle box (r9's idle artifact ended at 7.65) — this
+    subtracts our own work, so it separates a genuinely idle machine
+    from the r10 failure mode: a load transient inflated 8 queries up
+    to 9.7× while the artifact still said "idle" because only the
+    start-of-run 1-minute loadavg was consulted."""
+    if None in (host0, own0, host1, own1) or elapsed_s <= 0:
+        return None
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    return max(0.0, ((host1 - host0) - (own1 - own0)) / (elapsed_s * hz))
+
+
+# >2 cores of sustained external work (or cores/16 on bigger boxes) =
+# someone else is measurably on the machine; r10's tainted run would
+# have carried ~5-6 here
+EXTERNAL_CORES_LIMIT = 2.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
@@ -64,14 +136,20 @@ def main() -> None:
     only = set(only_env.split(",")) if only_env else None
     load_start = os.getloadavg()
     cores = os.cpu_count() or 8
-    flag = load_flag(load_start[0], cores)
+    # start flag considers the 1- AND 5-minute readings: r10's tainted
+    # run started at 1m 2.25 (transient dip) but 5m 5.85 — the average
+    # the 1m-only check waved through
+    flag = load_flag(max(load_start[0], load_start[1]), cores)
     if flag == "loaded":
         print(
             f"# WARNING: machine is LOADED at bench start (loadavg "
-            f"{load_start[0]:.2f} on {cores} cores > {1.5 * cores / 8:.1f}); "
+            f"{load_start[0]:.2f}/{load_start[1]:.2f} on {cores} cores > "
+            f"{1.5 * cores / 8:.1f}); "
             "timings will be inflated by contention — prefer an idle re-run",
             file=sys.stderr,
         )
+    host0, own0 = _proc_stat_busy_jiffies(), _own_tree_jiffies()
+    run_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
@@ -103,6 +181,20 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    ext_cores = external_busy_cores(
+        host0, own0,
+        _proc_stat_busy_jiffies(), _own_tree_jiffies(),
+        time.perf_counter() - run_t0,
+    )
+    ext_limit = max(EXTERNAL_CORES_LIMIT, cores / 16)
+    if ext_cores is not None and ext_cores > ext_limit:
+        flag = "loaded"
+        print(
+            f"# WARNING: OTHER work kept ~{ext_cores:.1f} cores busy "
+            f"during this run (> {ext_limit:.1f}); timings are "
+            "contention-inflated — prefer an idle re-run",
+            file=sys.stderr,
+        )
     out = {
         "metric": "total_runtime",
         "value": total,
@@ -117,6 +209,11 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cores": cores,
+        # avg cores of NON-bench work measured over the run (None if
+        # /proc was unreadable); the flag trips above max(2, cores/16)
+        "external_busy_cores": (
+            None if ext_cores is None else round(ext_cores, 2)
+        ),
         "load_flag": flag,
     }
     if errors:

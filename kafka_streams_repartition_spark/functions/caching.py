@@ -27,10 +27,18 @@ session touches.
 
 from __future__ import annotations
 
+import logging
 from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+
+# release failures are logged ONCE per process (the release runs per CC
+# round in a loop — a broken private surface would otherwise spam), but
+# counted unconditionally so tests can assert the failure is visible
+_release_failures = 0
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
@@ -51,13 +59,28 @@ def release_local_checkpoint(df: DataFrame) -> None:
     ``queryExecution().analyzed().rdd()`` — the ``LogicalRDD`` a
     checkpoint returns — because the public surface has no release
     verb for checkpoints (``DataFrame.unpersist`` only touches
-    ``cache()`` relations).  Failure is swallowed: an unreleased frame
-    is a GC-eventual leak, never a correctness problem.
+    ``cache()`` relations).  Failure is swallowed for the CALLER (an
+    unreleased frame is a GC-eventual leak, never a correctness
+    problem) but never silent: a Spark upgrade that changes the
+    analyzed-plan shape would otherwise turn the measured OOM fix back
+    into a per-round leak with no signal anywhere (r10 advisor
+    finding), so the first failure logs at debug and every failure
+    bumps ``_release_failures`` — and
+    ``tests/test_scale_utils.py::test_release_local_checkpoint_drops_blocks``
+    pins against the JVM's actual storage status that the release
+    still drops the checkpointed blocks on this Spark version.
     """
+    global _release_failures
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
-        pass
+        if _release_failures == 0:
+            _log.debug(
+                "release_local_checkpoint: private-surface walk failed; "
+                "checkpoint blocks will only release at driver GC",
+                exc_info=True,
+            )
+        _release_failures += 1
 
 
 def _unpersist_quietly(df: DataFrame) -> None:

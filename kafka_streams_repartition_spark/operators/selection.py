@@ -2070,6 +2070,15 @@ FROM b2 CROSS JOIN z
 RHO_HOLDOUT_MOD = 5  # ~20% of docs form the irreducible-loss holdout
 RHO_TOP_N = 100  # selected batch size
 
+# One cached (doc, term, tf, split) frame per documents frame: the
+# round-10 body localCheckpoint()ed this frame per INVOCATION and never
+# released it, so repeated calls in one session (test suites, multi-sf
+# benches) accumulated pinned executor storage — exactly the retention
+# pattern MemoSlots exists to bound (r10 advisor finding).  cache()
+# gives the same compute-once sharing across the four consumers below;
+# eviction unpersists at replacement, so ≤2 copies survive a session.
+_RHO_TF_CACHE = MemoSlots(capacity=2)
+
 
 def rho_loss_select(t: dict[str, DataFrame]) -> DataFrame:
     """RHO-loss data selection (Mindermann et al. 2022,
@@ -2101,20 +2110,26 @@ def rho_loss_select(t: dict[str, DataFrame]) -> DataFrame:
     map-side top-N per task, never a global sort materialization.
     """
     docs = t["documents"]
-    toks = (
-        fan_out(docs)
-        .select("doc_id", F.explode_outer(words(F.col("text"))).alias("term"))
-        .filter(F.col("term").isNotNull())
-    )
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "holdout",
-            _md5_long(F.col("doc_id").cast("string")) % RHO_HOLDOUT_MOD == 0,
+
+    def _build_tf() -> DataFrame:
+        toks = (
+            fan_out(docs)
+            .select(
+                "doc_id", F.explode_outer(words(F.col("text"))).alias("term")
+            )
+            .filter(F.col("term").isNotNull())
         )
-        .localCheckpoint()
-    )
+        return (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "holdout",
+                _md5_long(F.col("doc_id").cast("string")) % RHO_HOLDOUT_MOD
+                == 0,
+            )
+        )
+
+    tf = _RHO_TF_CACHE.get_or_build(docs, _build_tf)
     vocab = tf.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
     ct_tr = (
         tf.filter(~F.col("holdout"))

@@ -2809,13 +2809,62 @@ GROUP BY 1
 # the sanity leg (recall 1.0 by construction)
 MRL_DIMS = (8, 16, 32, 64)
 
+# The MRL table's query set DERIVES FROM CORPUS SIZE by default (the
+# ``derived_band_planes`` discipline, operators/dedup.py): each of the
+# table's |MRL_DIMS| legs is a bounded-query brute-force scan costing
+# Q·N comparisons, so a query set that grows with the corpus (the
+# ``% QUERY_MOD`` subset grows as N/100 until ANN_QUERY_CAP binds at
+# N = 409.6k) makes the DEFAULT config quadratic — measured 46.7× at
+# the 100× decade probe in BENCH_sf10_r10_newops.json vs the 12× bar.
+# ``derived_mrl_query_cap`` holds the per-leg comparison budget
+# Q·N ≤ MRL_WORK_BUDGET once the corpus outgrows it, clamped to
+# [MIN, MAX]: integer floor-division only (both engines compute the
+# identical BIGINT arithmetic — never a float log whose last-ulp
+# behavior could disagree), so Spark and the oracle always serve the
+# same query list at every corpus size.  At the fixture scales
+# (≤ 2k vectors) the budget leaves the cap at MAX and the natural
+# %-subset (≤ 20 ids) is what binds — behavior there is unchanged.
+# Manual ``MRL_QUERY_CAP`` env override wins when set (the measured
+# deploy knob, same contract as ``ANN_QUERY_CAP``); recall estimated
+# over ≥ MIN = 64 queries keeps the curve statistically usable while
+# the budget keeps the default-config decade leg linear in N.
+MRL_QCAP_MIN = 64
+MRL_QCAP_MAX = 1024
+MRL_WORK_BUDGET = 12_800_000
+_MRL_QCAP_ENV = os.environ.get("MRL_QUERY_CAP")
 
-def _truncated_topk(t: dict[str, DataFrame], d: int) -> DataFrame:
+
+def derived_mrl_query_cap(n_vecs: int) -> int:
+    """Query cap for an ``n_vecs``-vector corpus:
+    ``clamp(MRL_WORK_BUDGET // n_vecs, MRL_QCAP_MIN, MRL_QCAP_MAX)``
+    — holds each leg's Q·N comparison count at ~MRL_WORK_BUDGET once
+    the corpus outgrows the budget (above 12.8M/64 = 200k vectors the
+    MIN clamp binds and work grows linearly again, at the smallest
+    usable query set).  Manual ``MRL_QUERY_CAP`` env override wins."""
+    if _MRL_QCAP_ENV:
+        return int(_MRL_QCAP_ENV)
+    return max(MRL_QCAP_MIN, min(MRL_QCAP_MAX, MRL_WORK_BUDGET // max(n_vecs, 1)))
+
+
+def _mrl_qcap_sql() -> str:
+    """DuckDB scalar mirroring :func:`derived_mrl_query_cap` over the
+    ``embeddings`` view — BIGINT floor-division, bit-exact against the
+    Python rule at every corpus size."""
+    if _MRL_QCAP_ENV:
+        return str(int(_MRL_QCAP_ENV))
+    return (
+        f"(SELECT GREATEST({MRL_QCAP_MIN}, LEAST({MRL_QCAP_MAX}, "
+        f"{MRL_WORK_BUDGET} // GREATEST(count(*), 1))) FROM embeddings)"
+    )
+
+
+def _truncated_topk(t: dict[str, DataFrame], d: int, qcap: int) -> DataFrame:
     """Brute-force cosine top-k using only the FIRST ``d`` dimensions —
     the query stage of a prefix-truncated (Matryoshka-style) index.
-    Same bounded query set, rounding, and tie order as
-    :func:`ann_topk_bruteforce`; at d == DIM the score expression is
-    bit-identical to the full scorer (both left-associate the dot in
+    Same rounding and tie order as :func:`ann_topk_bruteforce`, query
+    set bounded by the corpus-derived ``qcap``
+    (:func:`derived_mrl_query_cap`); at d == DIM the score expression
+    is bit-identical to the full scorer (both left-associate the dot in
     index order), so the 64-dim leg IS the truth ranking."""
     emb = fan_out(t["embeddings"]).select(
         "vec_id", F.slice(to_double_array("embedding"), 1, d).alias("v")
@@ -2824,7 +2873,7 @@ def _truncated_topk(t: dict[str, DataFrame], d: int) -> DataFrame:
     q = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(qcap)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -2865,19 +2914,40 @@ def mrl_recall_curve(t: dict[str, DataFrame]) -> DataFrame:
     Scale shape: every leg is the bounded-query brute-force scan
     (broadcast capped queries, whole-stage-codegen unrolled dot over d
     elements — each leg CHEAPER than the full scan by construction);
-    the truth ranking computes once (localCheckpoint) and each leg
+    the query cap DERIVES from the corpus size
+    (:func:`derived_mrl_query_cap` — per-leg Q·N comparisons stay
+    ≲ MRL_WORK_BUDGET, so the default config survives the 100× decade
+    probe with no manual override); the truth ranking computes once at
+    d = DIM over the same query set (localCheckpoint) and each leg
     reduces to one recall row, so output is |MRL_DIMS| rows at any
-    corpus size.  Recall is 1.0 at d = DIM by construction — the
-    in-table sanity row the invariant test pins.
+    corpus size.  The d = DIM leg derives DIRECTLY from the truth
+    frame (``_truncated_topk(DIM)`` is the truth scorer, so recall is
+    1.0 structurally — computing it a second time would only re-spend
+    a full scan to re-derive the same rows; the oracle mirrors this by
+    reading its r64 leg off the truth CTE, which also removes the one
+    place where DuckDB's float summation order could have rounded a
+    boundary cosine differently in two independent CTEs).
     """
+    qcap = derived_mrl_query_cap(t["embeddings"].count())
     truth = (
-        ann_topk_bruteforce(t)
-        .select("query_id", "cand_id")
+        _truncated_topk(t, DIM, qcap)
         .localCheckpoint(eager=False)
     )
     legs = []
     for d in MRL_DIMS:
-        approx = _truncated_topk(t, d)
+        if d == DIM:
+            legs.append(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+                .select(
+                    F.lit(d).cast("long").alias("dims"),
+                    "n_truth",
+                    F.col("n_truth").alias("n_approx"),
+                    F.col("n_truth").alias("n_hits"),
+                    F.round(F.lit(1.0), 4).alias("recall"),
+                )
+            )
+            continue
+        approx = _truncated_topk(t, d, qcap)
         legs.append(
             _recall_one_row(truth, approx).select(
                 F.lit(d).cast("long").alias("dims"),
@@ -2896,6 +2966,23 @@ def mrl_recall_curve(t: dict[str, DataFrame]) -> DataFrame:
 def _mrl_oracle() -> str:
     legs = []
     for d in MRL_DIMS:
+        if d == DIM:
+            # the sanity leg reads DIRECTLY off the truth CTE —
+            # ranked{DIM} IS the truth ranking, so re-scoring it in an
+            # independent CTE would only reintroduce the one place
+            # where DuckDB's nondeterministic float summation order
+            # could round a boundary-adjacent cosine differently in
+            # two sibling CTEs (the Spark side is bit-identical by
+            # construction either way)
+            legs.append(f"""
+r{d} AS (
+    SELECT CAST({d} AS BIGINT) AS dims,
+           count(*) AS n_truth,
+           count(*) AS n_approx,
+           count(*) AS n_hits
+    FROM truth
+)""")
+            continue
         legs.append(f"""
 r{d} AS (
     SELECT CAST({d} AS BIGINT) AS dims,
@@ -2922,7 +3009,7 @@ scored{d} AS (
     JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id AND q.pos <= {d}
     JOIN norms{d} nq ON q.vec_id = nq.vec_id
     JOIN norms{d} nc ON e.vec_id = nc.vec_id
-    WHERE q.vec_id IN ({_QCAP_SQL})
+    WHERE q.vec_id IN (SELECT vec_id FROM qset)
     GROUP BY 1, 2, nq.nrm, nc.nrm
 ),
 ranked{d} AS (
@@ -2945,11 +3032,18 @@ WITH e AS (
            generate_subscripts(embedding, 1) AS pos
     FROM embeddings
 ),
-truth AS (
-    SELECT query_id, cand_id FROM ({ANN_TOPK_BRUTEFORCE_ORACLE})
+qset AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) z
+    WHERE z.rn <= {_mrl_qcap_sql()}
 ),"""
         + ",".join(rank_ctes)
         + ","
+        + f"""
+truth AS (
+    SELECT query_id, cand_id FROM ranked{DIM} WHERE rank <= {TOP_K}
+),"""
         + ",".join(legs)
         + "\n"
         + union

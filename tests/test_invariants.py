@@ -1245,6 +1245,37 @@ def test_derived_band_planes_rule_and_sql_mirror():
         assert got == dd.derived_band_planes(n), n
 
 
+def test_derived_mrl_query_cap_rule_and_sql_mirror():
+    """The corpus-size → MRL query cap rule (per-leg Q·N comparison
+    budget, clamp(BUDGET // n, MIN, MAX), integer arithmetic only):
+    pins the fixture scales at the MAX clamp (behavior unchanged where
+    the natural %-subset binds), the decade-probe corpora at the
+    budget-derived values that keep the default leg linear, the MIN
+    clamp, monotone nonincrease, and that the DuckDB scalar mirror
+    agrees with the Python rule at every threshold boundary."""
+    import duckdb
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    assert sim.derived_mrl_query_cap(1) == 1024
+    assert sim.derived_mrl_query_cap(500) == 1024    # sf0.001 / sf0.01
+    assert sim.derived_mrl_query_cap(2000) == 1024   # sf0.1
+    assert sim.derived_mrl_query_cap(12500) == 1024  # boundary: BUDGET/MAX
+    assert sim.derived_mrl_query_cap(12501) == 1023
+    assert sim.derived_mrl_query_cap(20000) == 640   # sf1 probe corpus
+    assert sim.derived_mrl_query_cap(200000) == 64   # sf10 probe: MIN binds
+    assert sim.derived_mrl_query_cap(10**9) == 64    # clamped floor
+    vals = [sim.derived_mrl_query_cap(n) for n in range(1, 10**6, 9973)]
+    assert vals == sorted(vals, reverse=True)
+    expr = sim._mrl_qcap_sql()
+    for n in (1, 500, 2000, 12499, 12500, 12501, 20000, 199999, 200000,
+              200001, 10**7):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got == sim.derived_mrl_query_cap(n), n
+
+
 def test_ivf_cell_balance_consistent_with_trainer(t):
     """The balance table is an exact rollup of the trainer's own
     assignment: occupancies sum to the corpus, shares to 1, the

@@ -326,3 +326,46 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_release_local_checkpoint_drops_blocks(spark):
+    """release_local_checkpoint walks a PRIVATE py4j surface
+    (queryExecution().analyzed().rdd()) and swallows failures for its
+    callers, so a Spark upgrade that changes the analyzed-plan shape
+    could silently turn the measured CC-ladder OOM fix back into a
+    per-round leak.  This pin asks the JVM itself: an eager local
+    checkpoint must appear in the storage status, the release must
+    remove it, and the failure counter must stay untouched — if the
+    private surface ever breaks, this test fails loudly instead of the
+    leak returning unnoticed (r10 advisor finding)."""
+    import time
+
+    from kafka_streams_repartition_spark.functions import caching
+
+    def persisted_rdd_ids() -> set[int]:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {infos[i].id() for i in range(len(infos))}
+
+    before = persisted_rdd_ids()
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).localCheckpoint(eager=True)
+    assert df.count() == 10_000
+    added = persisted_rdd_ids() - before
+    assert added, "eager localCheckpoint left no trace in storage status"
+
+    failures_before = caching._release_failures
+    caching.release_local_checkpoint(df)
+    assert caching._release_failures == failures_before, (
+        "release_local_checkpoint hit its exception fallback — the "
+        "private analyzed-plan surface changed under this Spark version"
+    )
+    # unpersist(blocking=False) is async; give the block manager a beat
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        if not (persisted_rdd_ids() & added):
+            break
+        time.sleep(0.2)
+    assert not (persisted_rdd_ids() & added), (
+        "checkpointed blocks still pinned after release"
+    )
