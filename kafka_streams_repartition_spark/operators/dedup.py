@@ -3474,3 +3474,84 @@ GROUP BY 1
 
 
 CROSSMODAL_CLUSTERS_ORACLE = _crossmodal_oracle()
+
+
+# ---------------------------------------------------------------------------
+# D4: de-duplication then diversification
+# ---------------------------------------------------------------------------
+
+# drop the most-prototypical 1/DIV of each cell's semdedup survivors —
+# an integer RATIO (cut = n_kept // DIV), never a float fraction, so
+# the per-cell cut point is bit-identical across engines
+D4_PROTO_DIV = 5
+
+
+def d4_select(t: dict[str, DataFrame]) -> DataFrame:
+    """D4 selection (Tirumala et al. 2023, arXiv:2308.12284): SemDeDup
+    semantic near-dup pruning followed by SSL-prototype
+    DIVERSIFICATION — within each k-means cell, drop the most
+    prototypical survivors (highest cosine to the cell centroid),
+    because points nearest a cluster prototype carry the least
+    marginal information once the cluster is represented.  The paper's
+    exact-dup stage is this repo's ``dedup_exact``/``dedup_minhash_lsh``
+    on the text side; this operator is the embedding-side core
+    (stages 2+3), emitting one row per vector with the stage verdict:
+    ``semdedup`` (removed as a semantic near-dup), ``prototype``
+    (removed by the diversify cut — the top ``n_kept // D4_PROTO_DIV``
+    per cell), or ``kept``.
+
+    Scale shape: everything rides :func:`semdedup`'s bucketed plan
+    (cell-tiled pair checks, never all-pairs); the diversify pass adds
+    one window over the survivor frame partitioned by cell —
+    cell-sized tasks, no new corpus-wide exchange beyond the keyed
+    repartition the window needs — and one narrow verdict join back.
+    Deterministic ties: equal centroid-cosines rank by lower vec_id.
+    """
+    sd = semdedup(t).select("vec_id", "cell", "cent_cos", "removed")
+    surv = sd.filter(~F.col("removed"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cent_cos").desc(), F.col("vec_id")
+    )
+    nw = Window.partitionBy("cell")
+    cut = (
+        surv.withColumn("rk", F.row_number().over(w))
+        .withColumn("nk", F.count(F.lit(1)).over(nw))
+        .select(
+            "vec_id",
+            # `div` is Spark's BIGINT floor-division — the same integer
+            # arithmetic as the oracle's `//`, no float quotient anywhere
+            (F.col("rk") <= F.expr(f"nk div {D4_PROTO_DIV}")).alias("proto"),
+        )
+    )
+    return (
+        sd.join(cut, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            F.when(F.col("removed"), F.lit("semdedup"))
+            .when(F.col("proto"), F.lit("prototype"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
+    )
+
+
+D4_SELECT_ORACLE = f"""
+WITH sd AS ({{SEMDEDUP}}),
+ranked AS (
+    SELECT vec_id,
+           row_number() OVER (
+               PARTITION BY cell ORDER BY cent_cos DESC, vec_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY cell) AS nk
+    FROM sd WHERE NOT removed
+)
+SELECT sd.vec_id, sd.cell, sd.cent_cos,
+       CASE WHEN sd.removed THEN 'semdedup'
+            WHEN r.rk <= r.nk // {D4_PROTO_DIV} THEN 'prototype'
+            ELSE 'kept' END AS stage
+FROM sd
+LEFT JOIN ranked r ON r.vec_id = sd.vec_id
+"""
+D4_SELECT_ORACLE = D4_SELECT_ORACLE.replace("{SEMDEDUP}", SEMDEDUP_ORACLE)

@@ -3051,3 +3051,300 @@ truth AS (
 
 
 MRL_RECALL_CURVE_ORACLE = _mrl_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MRL shortlist-then-rerank (the deployment mrl_recall_curve designs for)
+# ---------------------------------------------------------------------------
+
+# the dimension budget the recall curve prices: the shortlist index
+# stores/scans only the first 16 of 64 dims (4x cheaper per candidate),
+# and the full vectors score only the shortlist survivors
+MRL_SHORTLIST_DIM = 16
+MRL_SHORTLIST_N = 4 * TOP_K  # shortlist width per query
+
+
+def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
+    """Matryoshka shortlist-then-rerank retrieval (Kusupati et al.
+    2022, arXiv:2205.13147 §4 "adaptive retrieval"): stage 1 ranks the
+    WHOLE corpus by cosine over only the first ``MRL_SHORTLIST_DIM``
+    dimensions (the cheap prefix index — the storage budget
+    :func:`mrl_recall_curve` prices), keeps the top
+    ``MRL_SHORTLIST_N`` per query; stage 2 re-scores only those
+    survivors with the full ``DIM``-dimensional cosine and emits the
+    final top-``TOP_K``.  Same output contract as
+    :func:`ann_topk_bruteforce` (its recall gate is
+    :func:`mrl_shortlist_recall`).
+
+    Scale shape: the corpus-sized scan touches ``MRL_SHORTLIST_DIM``
+    elements per row (unrolled, whole-stage codegen) instead of
+    ``DIM`` — a 4× cut on the dominant term; the full-dimension dot
+    computes AFTER the shortlist filter, so it runs on
+    ``MRL_SHORTLIST_N``·|queries| rows — constant in corpus size.  The
+    query set is the module-wide ``ANN_QUERY_CAP`` bounded broadcast.
+    """
+    d = MRL_SHORTLIST_DIM
+    emb = _corpus(t).withColumn(
+        "pv", F.slice(F.col("v"), 1, d)
+    ).withColumn("pn", norm_unrolled(F.col("pv"), d))
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("pv").alias("qpv"),
+            F.col("pn").alias("qpn"),
+        )
+    )
+    p_cos = F.round(
+        dot_unrolled(F.col("qpv"), F.col("pv"), d) / (F.col("qpn") * F.col("pn")),
+        6,
+    ).alias("p_cos")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cand_id")
+    )
+    short = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            p_cos,
+            "v",
+            "nrm",
+            "qv",
+            "qn",
+        )
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= MRL_SHORTLIST_N)
+    )
+    # full-dimension rerank AFTER the shortlist cut: SHORTLIST_N rows
+    # per query, constant in corpus size
+    cos = F.round(
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")),
+        6,
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        short.select("query_id", "cand_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cand_id",
+            "cosine",
+        )
+    )
+
+
+ANN_TOPK_MRL_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+pnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+           FROM e WHERE pos <= {MRL_SHORTLIST_DIM} GROUP BY 1),
+q AS (SELECT * FROM e WHERE vec_id IN ({_QCAP_SQL})),
+pscored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS p_cos
+    FROM q
+    JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id
+         AND q.pos <= {MRL_SHORTLIST_DIM}
+    JOIN pnorms nq ON q.vec_id = nq.vec_id
+    JOIN pnorms nc ON e.vec_id = nc.vec_id
+    GROUP BY 1, 2, nq.nrm, nc.nrm
+),
+short AS (
+    SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY p_cos DESC, cand_id
+        ) AS prank
+        FROM pscored
+    ) WHERE prank <= {MRL_SHORTLIST_N}
+),
+rescored AS (
+    SELECT s.query_id, s.cand_id,
+           round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM short s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e ON e.vec_id = s.cand_id AND e.pos = q.pos
+    JOIN norms nq ON nq.vec_id = s.query_id
+    JOIN norms nc ON nc.vec_id = s.cand_id
+    GROUP BY 1, 2, nq.nrm, nc.nrm
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rank
+    FROM rescored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cosine
+FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
+def mrl_shortlist_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the MRL shortlist-then-rerank pipeline
+    (:func:`ann_topk_mrl`) against the brute-force truth — the
+    acceptance gate that closes the MRL story: the recall CURVE
+    (:func:`mrl_recall_curve`) prices the prefix budgets, this gate
+    measures the one the production operator actually ships
+    (shortlist at MRL_SHORTLIST_DIM dims, rerank at full DIM).
+    Because the rerank is exact, the only loss is a true neighbor
+    falling outside the prefix index's top-MRL_SHORTLIST_N shortlist —
+    the curve's d=MRL_SHORTLIST_DIM row bounds it."""
+    return _recall_one_row(
+        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        ann_topk_mrl(t).select("query_id", "cand_id"),
+    )
+
+
+MRL_SHORTLIST_RECALL_ORACLE = _recall_oracle(ANN_TOPK_MRL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8  # selected coreset size (one driver round per center)
+
+
+def kcenter_select(t: dict[str, DataFrame]) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985's 2-approx
+    farthest-first traversal; the coreset active-learning selector of
+    Sener & Savarese 2018, arXiv:1708.00489): seed with the lowest
+    vec_id, then repeatedly add the point FARTHEST (max min cosine
+    distance, ties on lowest vec_id) from the already-selected set —
+    the diversity-maximizing complement to density-based selection
+    (``semdedup`` removes the redundant; this picks the spanning).
+    Output: one row per selected center with its selection order and
+    its distance to the previously-selected set at selection time (the
+    coverage radius ladder — row i's ``dist`` bounds the whole
+    corpus's distance to the first i−1 centers, so the ladder IS the
+    coverage-vs-budget design curve).
+
+    Scale shape: exactly ``KCENTER_K − 1`` rounds, each ONE corpus
+    scan computing the unrolled 64-term dot against a single
+    broadcast-literal center vector plus a ``least()`` fold into the
+    running min-dist column — O(k·N) total work, O(1) driver state per
+    round (one 64-dim row).  The running frame localCheckpoints per
+    round and the superseded round's blocks release deterministically
+    (the CC kernel's storage ladder, ``functions/caching``); the
+    per-round argmax is a TakeOrderedAndProject (map-side top-1), never
+    a global sort.  The driver collect is ONE row per round — bounded
+    by k, the documented exception pattern (BPE's one-row-per-round).
+    """
+    from ..functions.caching import release_local_checkpoint
+
+    emb = _corpus(t)  # vec_id, v, nrm
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    out_rows = [(1, seed["vec_id"], 0.0)]
+    sel_vec, sel_nrm = seed["v"], seed["nrm"]
+
+    def dist_to(v_lit: list[float], nrm: float) -> F.Column:
+        c = F.array(*[F.lit(float(x)) for x in v_lit])
+        cos = F.round(
+            dot_unrolled(F.col("v"), c, DIM) / (F.col("nrm") * F.lit(nrm)), 6
+        )
+        return F.round(F.lit(1.0) - cos, 6)
+
+    cur = (
+        emb.filter(F.col("vec_id") != F.lit(seed["vec_id"]))
+        .select("vec_id", "v", "nrm", dist_to(sel_vec, sel_nrm).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, KCENTER_K + 1):
+        far = cur.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+        if not far:  # corpus smaller than k: emit what exists
+            break
+        far = far[0]
+        out_rows.append((i, far["vec_id"], float(far["d"])))
+        if i == KCENTER_K:
+            break
+        nxt = (
+            cur.filter(F.col("vec_id") != F.lit(far["vec_id"]))
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                F.least(
+                    F.col("d"), dist_to(far["v"], far["nrm"])
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        nxt.count()  # materialize before releasing the parent's blocks
+        release_local_checkpoint(cur)
+        cur = nxt
+    release_local_checkpoint(cur)
+    spark = t["embeddings"].sparkSession
+    return spark.createDataFrame(
+        out_rows, "sel_order long, vec_id long, dist double"
+    )
+
+
+def _kcenter_oracle() -> str:
+    # every CTE in the chain is MATERIALIZED: d{i} and c{i} each
+    # reference d{i-1} more than once, and DuckDB inlines unhinted CTEs
+    # per reference — the unhinted chain re-evaluated ~3^k times
+    # (measured: the k=8 oracle spun >8 min at sf0.001; materialized it
+    # runs in milliseconds)
+    parts = [
+        """e AS MATERIALIZED (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)""",
+        "norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm"
+        " FROM e GROUP BY 1)",
+        "c1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id, 0.0 AS d"
+        " FROM embeddings)",
+        """d1 AS MATERIALIZED (
+    SELECT e.vec_id,
+           round(1 - round(sum(e.x * c.x) / (ne.nrm * nc.nrm), 6), 6) AS d
+    FROM e
+    JOIN e c ON c.pos = e.pos AND c.vec_id = (SELECT vec_id FROM c1)
+    JOIN norms ne ON ne.vec_id = e.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+    WHERE e.vec_id != (SELECT vec_id FROM c1)
+    GROUP BY e.vec_id, ne.nrm, nc.nrm
+)""",
+    ]
+    for i in range(2, KCENTER_K + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, d FROM d{i - 1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if i == KCENTER_K:
+            break
+        parts.append(f"""d{i} AS MATERIALIZED (
+    SELECT p.vec_id, least(p.d,
+           round(1 - round(sum(e.x * c.x) / (ne.nrm * nc.nrm), 6), 6)) AS d
+    FROM d{i - 1} p
+    JOIN e ON e.vec_id = p.vec_id
+    JOIN e c ON c.pos = e.pos AND c.vec_id = (SELECT vec_id FROM c{i})
+    JOIN norms ne ON ne.vec_id = p.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+    WHERE p.vec_id != (SELECT vec_id FROM c{i})
+    GROUP BY p.vec_id, p.d, ne.nrm, nc.nrm
+)""")
+    legs = [
+        "SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, d AS dist FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT) AS sel_order, vec_id, d AS dist FROM c{i}"
+        for i in range(2, KCENTER_K + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+KCENTER_SELECT_ORACLE = _kcenter_oracle()
