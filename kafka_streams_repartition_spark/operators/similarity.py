@@ -3348,3 +3348,110 @@ def _kcenter_oracle() -> str:
 
 
 KCENTER_SELECT_ORACLE = _kcenter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ANN-mined hard negatives
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(t: dict[str, DataFrame]) -> DataFrame:
+    """ANN-mined hard negatives for contrastive embedding training —
+    the ANCE recipe (Xiong et al. 2021, arXiv:2007.00808; also DPR's
+    BM25-mined negatives, Karpukhin et al. 2020): for each query, the
+    ``TOP_K`` highest-cosine candidates whose ``label`` DIFFERS from
+    the query's — near the query in embedding space but semantically
+    wrong, the negatives that carry gradient signal (random negatives,
+    :func:`selection.pair_mining`'s leg, are mostly too easy).  The
+    complement of :func:`knn_graph` (which links same-space neighbors
+    regardless of label).
+
+    Scale shape: identical to :func:`ann_topk_bruteforce` — bounded
+    query broadcast (``ANN_QUERY_CAP``), one corpus scan with the
+    unrolled codegen dot, the label filter applied BEFORE ranking so
+    the window sees only cross-label rows; top-k per query via
+    ``row_number`` (map-side partial).  In production the corpus scan
+    swaps for any of this module's gated indexes; the brute-force form
+    is the truth this table is defined by.
+    """
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), DIM))
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cos = F.round(
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")),
+        6,
+    ).alias("cosine")
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("neg_label"),
+            cos,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cand_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            F.col("neg_label").cast("int").alias("neg_label"),
+            "cosine",
+        )
+    )
+
+
+HARD_NEGATIVE_MINING_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id IN ({_QCAP_SQL})),
+scored AS (
+    SELECT q.vec_id AS query_id, lq.label AS q_label,
+           e.vec_id AS cand_id, lc.label AS neg_label,
+           round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS cosine
+    FROM q
+    JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id
+    JOIN norms nq ON q.vec_id = nq.vec_id
+    JOIN norms nc ON e.vec_id = nc.vec_id
+    JOIN lab lq ON lq.vec_id = q.vec_id
+    JOIN lab lc ON lc.vec_id = e.vec_id
+    WHERE lq.label != lc.label
+    GROUP BY 1, 2, 3, 4, nq.nrm, nc.nrm
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+       CAST(q_label AS INT) AS q_label, CAST(neg_label AS INT) AS neg_label,
+       cosine
+FROM ranked
+WHERE rank <= {TOP_K}
+"""

@@ -2083,3 +2083,102 @@ FROM ranked
 # otherwise importing text_analysis FIRST raises a circular
 # ImportError that the driver's import order happened to hide.
 CORPUS_CURATION_ORACLE = _curation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring
+# ---------------------------------------------------------------------------
+
+
+def readability_score(t: dict[str, DataFrame]) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic curation signal for age/complexity-stratified training
+    mixes (used alongside the quality filters: e.g. filtering web text
+    to a readability band before mixing).  Deterministic, engine-
+    portable proxies for the linguistic counts: sentences = runs of
+    ``[.!?]`` (at least 1); syllables per word = vowel-letter runs of
+    ``[aeiouy]`` (at least 1 per word) — the standard heuristic, and
+    the SAME regex semantics on both engines so counts are integers
+    that match exactly.
+
+    Flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    FK grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Scale shape: one scan, all per-row array expressions inside
+    whole-stage codegen (split/filter/transform/aggregate — no explode,
+    no shuffle, no Python); output one narrow row per document.
+    """
+    toks = words(F.col("text"))
+    n_words = F.size(toks)
+    # sentence RUNS: split on terminator runs yields (runs + 1) pieces
+    n_sent = F.greatest(
+        F.size(F.split(F.col("text"), "[.!?]+")) - 1, F.lit(1)
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(
+                    F.filter(
+                        F.split(w, "[^aeiouy]+"), lambda x: x != F.lit("")
+                    )
+                ),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words / n_sent
+    spw = F.when(n_words > 0, syl / n_words).otherwise(F.lit(0.0))
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ),
+    ).otherwise(F.lit(0.0))
+    fk = F.when(
+        n_words > 0,
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
+    ).otherwise(F.lit(0.0))
+    return fan_out(t["documents"]).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+        fk.alias("fk_grade"),
+    )
+
+
+READABILITY_SCORE_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w,
+           greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+               AS n_sent
+    FROM documents
+),
+cnt AS (
+    SELECT doc_id,
+           len(w) AS n_words,
+           n_sent,
+           COALESCE(list_aggregate(list_transform(w, x -> greatest(
+               len(list_filter(regexp_split_to_array(x, '[^aeiouy]+'),
+                               y -> y != '')), 1)), 'sum'), 0) AS syl
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * (n_words / n_sent)
+                       - 84.6 * (syl / n_words), 4)
+            ELSE 0.0 END AS flesch,
+       CASE WHEN n_words > 0
+            THEN round(0.39 * (n_words / n_sent)
+                       + 11.8 * (syl / n_words) - 15.59, 4)
+            ELSE 0.0 END AS fk_grade
+FROM cnt
+"""

@@ -1366,3 +1366,113 @@ def test_ivfpq_design_table_monotone_in_probe_budget(t):
             assert rows[(hi, k)]["recall"] >= rows[(lo, k)]["recall"], (
                 k, lo, hi,
             )
+
+
+def test_ann_topk_mrl_shortlist_dominates_prefix_topk(t):
+    """The shortlist-rerank pipeline's recall is bounded BELOW by the
+    recall curve's d=MRL_SHORTLIST_DIM row, structurally: a truth hit
+    inside the prefix top-10 is inside the prefix top-40 shortlist, and
+    the exact rerank can never rank a true global-top-k member out of
+    the final top-k (nothing in the shortlist outscores it).  Also pins
+    the output contract: ≤ TOP_K rows per query, ranks contiguous from
+    1, and every (query, cand) pair label-agnostic distinct."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    out = sim.ann_topk_mrl(t).toPandas()
+    per = out.groupby("query_id")["rank"]
+    assert (per.max() <= sim.TOP_K).all()
+    assert (per.min() == 1).all()
+    assert not out.duplicated(["query_id", "cand_id"]).any()
+
+    gate = sim.mrl_shortlist_recall(t).toPandas()
+    assert len(gate) == 1
+    curve = sim.mrl_recall_curve(t).toPandas()
+    r16 = curve[curve["dims"] == sim.MRL_SHORTLIST_DIM]["recall"].iloc[0]
+    assert gate["recall"].iloc[0] >= r16
+
+
+def test_kcenter_select_ladder(t):
+    """Farthest-first traversal invariants: exactly k distinct centers,
+    selection orders 1..k, the seed at distance 0, and the coverage
+    ladder NONINCREASING from round 2 on (each added center can only
+    shrink every point's min-dist, so successive maxima cannot grow)."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    out = (
+        sim.kcenter_select(t).toPandas().sort_values("sel_order")
+    )
+    assert list(out["sel_order"]) == list(range(1, sim.KCENTER_K + 1))
+    assert out["vec_id"].nunique() == sim.KCENTER_K
+    assert out["dist"].iloc[0] == 0.0
+    ladder = out["dist"].iloc[1:].tolist()
+    assert all(ladder[i] >= ladder[i + 1] for i in range(len(ladder) - 1))
+    assert all(d >= 0 for d in ladder)
+
+
+def test_d4_select_consistent_with_semdedup(t):
+    """D4's verdicts are an exact refinement of semdedup's: same row
+    set, 'semdedup' exactly where semdedup removed, and per cell the
+    'prototype' count is exactly n_kept // D4_PROTO_DIV taken from the
+    TOP of the centroid-cosine ranking (no kept row may be more
+    prototypical than a pruned one)."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    d4 = dd.d4_select(t).toPandas()
+    sd = dd.semdedup(t).toPandas()
+    assert len(d4) == len(sd)
+    merged = d4.merge(sd[["vec_id", "removed"]], on="vec_id")
+    assert ((merged["stage"] == "semdedup") == merged["removed"]).all()
+    surv = d4[d4["stage"] != "semdedup"]
+    for cell, grp in surv.groupby("cell"):
+        n_proto = int((grp["stage"] == "prototype").sum())
+        assert n_proto == len(grp) // dd.D4_PROTO_DIV, cell
+        if n_proto:
+            worst_pruned = grp[grp["stage"] == "prototype"]["cent_cos"].min()
+            best_kept = grp[grp["stage"] == "kept"]["cent_cos"].max()
+            assert worst_pruned >= best_kept
+
+
+def test_hard_negative_mining_cross_label_only(t):
+    """Every mined negative carries a label DIFFERENT from its query's
+    (that is the operator's whole contract), at most TOP_K per query,
+    ranks contiguous, cosines in [-1, 1], and the hardest negative's
+    cosine never exceeds the brute-force global top-1 for that query."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    out = sim.hard_negative_mining(t).toPandas()
+    assert (out["q_label"] != out["neg_label"]).all()
+    per = out.groupby("query_id")["rank"]
+    assert (per.max() <= sim.TOP_K).all()
+    assert (per.min() == 1).all()
+    assert out["cosine"].between(-1.0, 1.0).all()
+    bf = sim.ann_topk_bruteforce(t).toPandas()
+    top1 = bf[bf["rank"] == 1].set_index("query_id")["cosine"]
+    hard1 = out[out["rank"] == 1].set_index("query_id")["cosine"]
+    joined = hard1.to_frame("h").join(top1.to_frame("b"), how="inner")
+    assert (joined["h"] <= joined["b"]).all()
+
+
+def test_readability_score_counting_laws(t):
+    """Counting invariants on real docs: every word contributes ≥1
+    syllable (so n_syllables ≥ n_words), sentence count ≥ 1, and both
+    scores are finite; a doc with more syllables per word can only
+    read HARDER at fixed words-per-sentence (spot-checked via the
+    formula's sign: fk_grade rises with syllables/word)."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+
+    out = tx.readability_score(t).toPandas()
+    pos = out[out["n_words"] > 0]
+    assert (pos["n_syllables"] >= pos["n_words"]).all()
+    assert (out["n_sentences"] >= 1).all()
+    assert np.isfinite(out["flesch"]).all()
+    assert np.isfinite(out["fk_grade"]).all()
+    # formula check on the frame itself (tolerance, not equality:
+    # pandas .round is half-even, Spark's is half-up)
+    recomputed = (
+        0.39 * (pos["n_words"] / pos["n_sentences"])
+        + 11.8 * (pos["n_syllables"] / pos["n_words"])
+        - 15.59
+    )
+    assert (recomputed - pos["fk_grade"]).abs().max() < 1e-4
