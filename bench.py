@@ -151,6 +151,7 @@ def main() -> None:
     host0, own0 = _proc_stat_busy_jiffies(), _own_tree_jiffies()
     run_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         if only is not None and name not in only:
@@ -171,6 +172,7 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
         timings[name] = round(statistics.median(samples), 3)
+        raw_samples[name] = [round(s, 3) for s in samples]
         if verbose:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         # Release this query's frames NOW: lazy localCheckpoint blocks
@@ -218,6 +220,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # raw per-repeat samples go to the FILE artifact only (stdout stays
+    # tail-safe): single-repeat decade ratios swung 3-6.6x in r10, so a
+    # recorded spread is what makes a median claim checkable
+    out["samples"] = raw_samples
     # Durable artifact: the round driver's stdout tail-capture truncated
     # BENCH_r03 to 75/109 timings ("parsed": null).  The file is the full
     # record; stdout stays a single compact JSON line.

@@ -2829,3 +2829,181 @@ def stream_span_dedup(
         .filter(F.col("rn") == 1)
         .drop("rn", "batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hard-negative miner
+# ---------------------------------------------------------------------------
+
+_HN_VEC_SCHEMA = "vec_id long, label int, v array<double>, nrm double"
+_HN_QID_SCHEMA = "query_id long"
+_HN_NEG_SCHEMA = (
+    "query_id long, rank long, cand_id long, q_label int, neg_label int, "
+    "cosine double"
+)
+
+
+def stream_hard_negatives(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.similarity.hard_negative_mining``:
+    the per-query cross-label top-k negative table maintained
+    continuously as the embedding corpus streams in — the ANCE miner's
+    "refresh negatives as the index grows" loop (Xiong et al. 2021)
+    without ever rescanning history for history.
+
+    Incremental fold, exactly two bounded score legs per batch:
+
+    - every NEW vector scores as a CANDIDATE against all current
+      queries (|batch| × |queries| — queries are the module's capped
+      broadcast);
+    - queries that ENTER the capped query set this batch (new
+      ``% QUERY_MOD`` arrivals, or cap displacement re-admitting a
+      lower id) score against the committed corpus once.
+
+    A committed query's snapshot rows stay valid because the corpus
+    only grows: its previous top-k dominates every older candidate, so
+    merging (previous rows ∪ new-candidate scores) and re-ranking IS
+    the exact cumulative top-k — the same monotone-fold argument as
+    ``stream_span_dedup``'s ownership merge.  Queries the cap
+    displaces drop their rows in the same commit.
+
+    State: per-batch ``vecs`` contributions (append-only),
+    cumulative ``negs``/``qids`` snapshots (superseded copies pruned).
+    Equivalence contract (tested): after every commit the snapshot
+    equals one-shot ``hard_negative_mining`` over exactly the vectors
+    ingested so far.  Returns the latest committed snapshot.
+    """
+    from ..operators.similarity import (
+        ANN_QUERY_CAP,
+        DIM,
+        QUERY_MOD,
+        TOP_K,
+    )
+
+    os.makedirs(root, exist_ok=True)
+
+    def score(cands: DataFrame, q: DataFrame) -> DataFrame:
+        cos = F.round(
+            dot_unrolled(F.col("qv"), F.col("v"), DIM)
+            / (F.col("qn") * F.col("nrm")),
+            6,
+        ).alias("cosine")
+        return (
+            cands.crossJoin(F.broadcast(q))
+            .filter(F.col("label") != F.col("q_label"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("cand_id"),
+                "q_label",
+                F.col("label").alias("neg_label"),
+                cos,
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "HN miner"):
+            return
+        new = (
+            batch_df.select(
+                "vec_id",
+                F.col("label").cast("int").alias("label"),
+                to_double_array("embedding").alias("v"),
+            )
+            .withColumn("nrm", norm_unrolled(F.col("v"), DIM))
+            .localCheckpoint(eager=False)
+        )
+        vec_dirs = _committed_dirs(root, "vecs")
+        old = (
+            spark.read.schema(_HN_VEC_SCHEMA).parquet(*vec_dirs)
+            if vec_dirs
+            else None
+        )
+        all_vecs = new.unionByName(old) if old is not None else new
+        q = (
+            all_vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .orderBy("vec_id")
+            .limit(ANN_QUERY_CAP)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        qids_dir = _latest_committed_dir(root, "qids")
+        prev_qids = (
+            spark.read.schema(_HN_QID_SCHEMA).parquet(qids_dir)
+            if qids_dir
+            else spark.createDataFrame([], _HN_QID_SCHEMA)
+        )
+        new_q = q.join(prev_qids, "query_id", "left_anti")
+        legs = [score(new, q)]
+        if old is not None:
+            legs.append(score(old, new_q))
+        negs_dir = _latest_committed_dir(root, "negs")
+        if negs_dir is not None:
+            prev = spark.read.schema(_HN_NEG_SCHEMA).parquet(negs_dir)
+            # cap displacement: only rows whose query survives merge
+            legs.append(
+                prev.join(
+                    q.select("query_id"), "query_id", "left_semi"
+                ).select(
+                    "query_id", "cand_id", "q_label", "neg_label", "cosine"
+                )
+            )
+        merged = legs[0]
+        for leg in legs[1:]:
+            merged = merged.unionByName(leg)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id")
+        )
+        snap = (
+            merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                "query_id",
+                F.col("rank").cast("long").alias("rank"),
+                "cand_id",
+                "q_label",
+                "neg_label",
+                "cosine",
+            )
+        )
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.write.mode("overwrite").parquet(os.path.join(out, "negs"))
+        q.select("query_id").write.mode("overwrite").parquet(
+            os.path.join(out, "qids")
+        )
+        new.select("vec_id", "label", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "vecs"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "negs")
+        _prune_superseded(root, "qids")
+        # every consumer of the two per-batch checkpoints has written;
+        # release now or a long stream pins one copy per batch
+        from ..functions.caching import release_local_checkpoint
+
+        release_local_checkpoint(new)
+        release_local_checkpoint(q)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    (
+        vec_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    negs_dir = _latest_committed_dir(root, "negs")
+    if negs_dir is None:
+        return spark.createDataFrame([], _HN_NEG_SCHEMA)
+    return spark.read.schema(_HN_NEG_SCHEMA).parquet(negs_dir)

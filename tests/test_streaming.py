@@ -2904,3 +2904,67 @@ def test_stream_span_dedup_every_snapshot_equals_batch_any_order(
     assert any(
         final_by_id.get(d, 0) > c0 for d, c0 in snap0_by_id.items()
     ), "no cross-batch dethroning happened — weak fixture"
+
+
+def test_stream_hard_negatives_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming hard-negative miner's snapshot equals one-shot
+    hard_negative_mining over exactly the vectors ingested so far — at
+    EVERY cut (corpus growth is monotone, so a committed query's
+    previous top-k plus the new candidates' scores re-rank to the
+    exact cumulative top-k; new queries backfill against the committed
+    corpus once) — and superseded neg/qid snapshots are pruned."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        stream_hard_negatives,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    vecs = t["embeddings"].select("vec_id", "embedding", "label")
+    cut = vecs.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first_half = vecs.filter(F.col("vec_id") <= cut)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    vecs.filter(F.col("vec_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    cuts: dict[int, set] = {}
+
+    def grab(batch_id: int) -> None:
+        # the negs snapshot is cumulative state (pruned when
+        # superseded), so each cut is inspected inside the commit hook
+        cuts[batch_id] = {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(root, f"batch={batch_id}", "negs")
+            ).collect()
+        }
+
+    folded = stream_hard_negatives(
+        spark,
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+        on_batch=grab,
+    )
+    want = {
+        tuple(r) for r in sim.hard_negative_mining(t).collect()
+    }
+    assert {tuple(r) for r in folded.collect()} == want and want
+    want0 = {
+        tuple(r)
+        for r in sim.hard_negative_mining(
+            {"embeddings": first_half}
+        ).collect()
+    }
+    assert cuts[0] == want0 and want0
+    assert cuts[1] == want
+    assert not os.path.isdir(os.path.join(root, "batch=0", "qids"))
+    assert not os.path.isdir(os.path.join(root, "batch=0", "negs"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "negs"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "vecs"))

@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Round-11 decade (100×) probes — every leg MEDIAN-OF-3 with the raw
+samples recorded (VERDICT r10 item 2: the single-repeat crossmodal leg
+swung 3–6.6× run-to-run, so the 100× evidence needed a spread).
+
+Four families, each its own committed artifact:
+
+1. BENCH_sf10_r11.json — default-banding re-probe
+   (dedup_embedding_lsh, crossmodal_clusters), derived planes, no env
+   override.
+2. BENCH_sf10_r11_quartet.json — PQ/IVF re-probe (ann_topk_pq,
+   ann_topk_ivf) default + ANN_QUERY_CAP=200 legs.
+3. BENCH_sf10_r11_mrl.json — the r10 weak item's fix, measured:
+   mrl_recall_curve with the corpus-DERIVED query cap (no override;
+   sf1 natural 200 queries, sf10 derived cap 64) must come in under
+   the 12× bar by construction of the Q·N budget.
+4. BENCH_sf10_r11_newops.json — this round's additions at 100×:
+   kcenter_select, d4_select (mm decor, default config);
+   ann_topk_mrl + hard_negative_mining (default AND capped-200 — the
+   query-vs-corpus family contract: the %-subset grows with the
+   corpus until ANN_QUERY_CAP binds, the capped leg isolates
+   per-query scaling, same recording discipline as the quartet);
+   readability_score on the text-decor probe.
+
+Run from the repo root with NOTHING else on the machine (bench.py now
+measures external CPU and will flag the artifact otherwise):
+
+    python tools/bench_r11_decade.py [family ...]
+
+Families: banding quartet mrl newops (default: all four).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RATIO_BAR = 12.0
+TIMEOUT = 3600
+REPEATS = "3"
+
+
+def run_bench(
+    sf_dir: str, queries: list[str], out_path: str,
+    extra_env: dict | None = None,
+) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_ONLY=",".join(queries),
+        SPARK_GRAFT_BENCH_OUT=out_path,
+        SPARK_GRAFT_BENCH_REPEATS=REPEATS,
+        **(extra_env or {}),
+    )
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO,
+            env=env,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            timeout=TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        return {"queries": {}, "errors": {q: f"timeout>{TIMEOUT}s" for q in queries}}
+    except subprocess.CalledProcessError as exc:
+        return {"queries": {}, "errors": {q: f"exit {exc.returncode}" for q in queries}}
+    with open(out_path) as fh:
+        return json.load(fh)
+
+
+def ratios(small: dict, big: dict) -> dict:
+    out = {}
+    for q, b in big.get("queries", {}).items():
+        a = small.get("queries", {}).get(q)
+        if a and b:
+            out[q] = round(b / a, 2)
+    return out
+
+
+def spread(*runs: dict) -> dict:
+    out = {}
+    for r in runs:
+        for q, s in r.get("samples", {}).items():
+            out.setdefault(q, []).append(s)
+    return out
+
+
+def errs(**runs: dict) -> dict:
+    out = {}
+    for tag, r in runs.items():
+        for k, v in r.get("errors", {}).items():
+            out[f"{tag}:{k}"] = v
+    return out
+
+
+def write(name: str, obj: dict) -> None:
+    path = os.path.join(REPO, name)
+    with open(path, "w") as fh:
+        json.dump(obj, fh, indent=1)
+    print(f"=== {name}\n" + json.dumps(obj, indent=1))
+
+
+def family_banding(sf1_dir: str, sf10_dir: str, scratch: str) -> None:
+    qs = ["dedup_embedding_lsh", "crossmodal_clusters"]
+    sf1 = run_bench(sf1_dir, qs, os.path.join(scratch, "r11b_sf1.json"))
+    sf10 = run_bench(sf10_dir, qs, os.path.join(scratch, "r11b_sf10.json"))
+    r = ratios(sf1, sf10)
+    write("BENCH_sf10_r11.json", {
+        "metric": "sf10_over_sf1_ratio_r11_default_banding",
+        "scaling_model": "signed-rotation decor; planes DERIVED per corpus "
+                         "size (sf1 20k vecs -> 5 planes, sf10 200k -> 8), "
+                         "no env override",
+        "ratio_bar": RATIO_BAR,
+        "repeats": 3,
+        "stat": "median",
+        "sf1_sec": sf1.get("queries", {}),
+        "sf10_sec": sf10.get("queries", {}),
+        "ratio_default": r,
+        "over_bar_default": [q for q, v in r.items() if v > RATIO_BAR],
+        "samples_sf1": sf1.get("samples", {}),
+        "samples_sf10": sf10.get("samples", {}),
+        "load_flags": {"sf1": sf1.get("load_flag"),
+                       "sf10": sf10.get("load_flag")},
+        "external_busy_cores": {
+            "sf1": sf1.get("external_busy_cores"),
+            "sf10": sf10.get("external_busy_cores"),
+        },
+        "errors": errs(sf1=sf1, sf10=sf10),
+    })
+
+
+def family_quartet(sf1_dir: str, sf10_dir: str, scratch: str) -> None:
+    qs = ["ann_topk_pq", "ann_topk_ivf"]
+    sf1 = run_bench(sf1_dir, qs, os.path.join(scratch, "r11q_sf1.json"))
+    sf10 = run_bench(sf10_dir, qs, os.path.join(scratch, "r11q_sf10.json"))
+    sf10c = run_bench(
+        sf10_dir, qs, os.path.join(scratch, "r11q_sf10_cap.json"),
+        {"ANN_QUERY_CAP": "200"},
+    )
+    rd, rc = ratios(sf1, sf10), ratios(sf1, sf10c)
+    write("BENCH_sf10_r11_quartet.json", {
+        "metric": "sf10_over_sf1_ratio_r11_pq_ivf",
+        "ratio_bar": RATIO_BAR,
+        "repeats": 3,
+        "stat": "median",
+        "sf1_sec": sf1.get("queries", {}),
+        "sf10_sec": sf10.get("queries", {}),
+        "sf10_capped_sec": sf10c.get("queries", {}),
+        "ratio_default": rd,
+        "ratio_capped_200": rc,
+        "over_bar_default": [q for q, v in rd.items() if v > RATIO_BAR],
+        "over_bar_capped": [q for q, v in rc.items() if v > RATIO_BAR],
+        "samples_sf1": sf1.get("samples", {}),
+        "samples_sf10": sf10.get("samples", {}),
+        "samples_sf10_capped": sf10c.get("samples", {}),
+        "load_flags": {"sf1": sf1.get("load_flag"),
+                       "sf10": sf10.get("load_flag"),
+                       "sf10_capped": sf10c.get("load_flag")},
+        "external_busy_cores": {
+            "sf1": sf1.get("external_busy_cores"),
+            "sf10": sf10.get("external_busy_cores"),
+            "sf10_capped": sf10c.get("external_busy_cores"),
+        },
+        "errors": errs(sf1=sf1, sf10=sf10, sf10_capped=sf10c),
+    })
+
+
+def family_mrl(sf1_dir: str, sf10_dir: str, scratch: str) -> None:
+    qs = ["mrl_recall_curve"]
+    sf1 = run_bench(sf1_dir, qs, os.path.join(scratch, "r11m_sf1.json"))
+    sf10 = run_bench(sf10_dir, qs, os.path.join(scratch, "r11m_sf10.json"))
+    r = ratios(sf1, sf10)
+    write("BENCH_sf10_r11_mrl.json", {
+        "metric": "sf10_over_sf1_ratio_r11_mrl_derived_cap",
+        "scaling_model": "query cap DERIVES from corpus size "
+                         "(clamp(12.8M // n, 64, 1024)): sf1 natural 200 "
+                         "queries (cap 640 not binding), sf10 cap 64 — "
+                         "per-leg Q*N comparisons bounded, NO env override",
+        "ratio_bar": RATIO_BAR,
+        "repeats": 3,
+        "stat": "median",
+        "sf1_sec": sf1.get("queries", {}),
+        "sf10_sec": sf10.get("queries", {}),
+        "ratio_default": r,
+        "over_bar_default": [q for q, v in r.items() if v > RATIO_BAR],
+        "samples_sf1": sf1.get("samples", {}),
+        "samples_sf10": sf10.get("samples", {}),
+        "load_flags": {"sf1": sf1.get("load_flag"),
+                       "sf10": sf10.get("load_flag")},
+        "external_busy_cores": {
+            "sf1": sf1.get("external_busy_cores"),
+            "sf10": sf10.get("external_busy_cores"),
+        },
+        "errors": errs(sf1=sf1, sf10=sf10),
+    })
+
+
+def family_newops(
+    sf1_dir: str, sf10_dir: str, sf1_text: str, sf10_text: str, scratch: str
+) -> None:
+    mm_default = ["kcenter_select", "d4_select"]
+    mm_capped = ["ann_topk_mrl", "hard_negative_mining"]
+    tx = ["readability_score"]
+    sf1_mm = run_bench(
+        sf1_dir, mm_default + mm_capped, os.path.join(scratch, "r11n_sf1.json")
+    )
+    sf10_mm = run_bench(
+        sf10_dir, mm_default + mm_capped, os.path.join(scratch, "r11n_sf10.json")
+    )
+    sf10_cap = run_bench(
+        sf10_dir, mm_capped, os.path.join(scratch, "r11n_sf10_cap.json"),
+        {"ANN_QUERY_CAP": "200"},
+    )
+    sf1_tx = run_bench(sf1_text, tx, os.path.join(scratch, "r11n_sf1_tx.json"))
+    sf10_tx = run_bench(sf10_text, tx, os.path.join(scratch, "r11n_sf10_tx.json"))
+    rd = {**ratios(sf1_mm, sf10_mm), **ratios(sf1_tx, sf10_tx)}
+    rc = ratios(sf1_mm, sf10_cap)
+    write("BENCH_sf10_r11_newops.json", {
+        "metric": "sf10_over_sf1_ratio_r11_new_operators",
+        "scaling_model": "mm: signed-rotation decor; text: token-suffix "
+                         "decor.  ann_topk_mrl / hard_negative_mining are "
+                         "query-vs-corpus brute ops: the %-subset query "
+                         "count grows 10x between the legs (200 -> 2000, "
+                         "under ANN_QUERY_CAP=4096), so the default leg "
+                         "measures Q*N growth honestly and the capped-200 "
+                         "leg isolates per-query scaling — the quartet's "
+                         "recording discipline",
+        "ratio_bar": RATIO_BAR,
+        "repeats": 3,
+        "stat": "median",
+        "sf1_sec": {**sf1_mm.get("queries", {}), **sf1_tx.get("queries", {})},
+        "sf10_sec": {**sf10_mm.get("queries", {}), **sf10_tx.get("queries", {})},
+        "sf10_capped_sec": sf10_cap.get("queries", {}),
+        "ratio_default": rd,
+        "ratio_capped_200": rc,
+        "over_bar_default": [q for q, v in rd.items() if v > RATIO_BAR],
+        "over_bar_capped": [q for q, v in rc.items() if v > RATIO_BAR],
+        "samples": {
+            "sf1_mm": sf1_mm.get("samples", {}),
+            "sf10_mm": sf10_mm.get("samples", {}),
+            "sf10_capped": sf10_cap.get("samples", {}),
+            "sf1_text": sf1_tx.get("samples", {}),
+            "sf10_text": sf10_tx.get("samples", {}),
+        },
+        "load_flags": {
+            "sf1_mm": sf1_mm.get("load_flag"),
+            "sf10_mm": sf10_mm.get("load_flag"),
+            "sf10_capped": sf10_cap.get("load_flag"),
+            "sf1_text": sf1_tx.get("load_flag"),
+            "sf10_text": sf10_tx.get("load_flag"),
+        },
+        "errors": errs(sf1_mm=sf1_mm, sf10_mm=sf10_mm, sf10_capped=sf10_cap,
+                       sf1_text=sf1_tx, sf10_text=sf10_tx),
+    })
+
+
+def main() -> None:
+    scratch = os.path.join(REPO, ".scale")
+    sf1 = os.path.join(scratch, "sf1")
+    sf10 = os.path.join(scratch, "sf10_mm_decor")
+    sf1_text = sf1  # sf1 probe carries decorated documents too
+    sf10_text = os.path.join(scratch, "sf10_text_decor")
+    fams = sys.argv[1:] or ["banding", "quartet", "mrl", "newops"]
+    if "banding" in fams:
+        family_banding(sf1, sf10, scratch)
+    if "quartet" in fams:
+        family_quartet(sf1, sf10, scratch)
+    if "mrl" in fams:
+        family_mrl(sf1, sf10, scratch)
+    if "newops" in fams:
+        family_newops(sf1, sf10, sf1_text, sf10_text, scratch)
+
+
+if __name__ == "__main__":
+    main()
