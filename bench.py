@@ -136,16 +136,18 @@ def main() -> None:
     only = set(only_env.split(",")) if only_env else None
     load_start = os.getloadavg()
     cores = os.cpu_count() or 8
-    # start flag considers the 1- AND 5-minute readings: r10's tainted
-    # run started at 1m 2.25 (transient dip) but 5m 5.85 — the average
-    # the 1m-only check waved through
-    flag = load_flag(max(load_start[0], load_start[1]), cores)
-    if flag == "loaded":
+    # start loadavg is a WARNING only — back-to-back bench legs leave
+    # the previous leg's own load undecayed in the 1/5-minute averages,
+    # so it cannot be the flag; the flag comes from the external-CPU
+    # measurement below (own work subtracted), falling back to this
+    # heuristic only when /proc is unreadable
+    start_warn = load_flag(max(load_start[0], load_start[1]), cores)
+    if start_warn == "loaded":
         print(
-            f"# WARNING: machine is LOADED at bench start (loadavg "
-            f"{load_start[0]:.2f}/{load_start[1]:.2f} on {cores} cores > "
-            f"{1.5 * cores / 8:.1f}); "
-            "timings will be inflated by contention — prefer an idle re-run",
+            f"# WARNING: loadavg is high at bench start "
+            f"({load_start[0]:.2f}/{load_start[1]:.2f} on {cores} cores > "
+            f"{1.5 * cores / 8:.1f}) — a previous run's decay or real "
+            "contention; the external-CPU measure decides the flag",
             file=sys.stderr,
         )
     host0, own0 = _proc_stat_busy_jiffies(), _own_tree_jiffies()
@@ -189,8 +191,12 @@ def main() -> None:
         time.perf_counter() - run_t0,
     )
     ext_limit = max(EXTERNAL_CORES_LIMIT, cores / 16)
-    if ext_cores is not None and ext_cores > ext_limit:
-        flag = "loaded"
+    if ext_cores is not None:
+        # measured ground truth: non-bench CPU during the run
+        flag = "loaded" if ext_cores > ext_limit else "idle"
+    else:
+        flag = start_warn  # /proc unreadable: loadavg heuristic
+    if flag == "loaded" and ext_cores is not None:
         print(
             f"# WARNING: OTHER work kept ~{ext_cores:.1f} cores busy "
             f"during this run (> {ext_limit:.1f}); timings are "

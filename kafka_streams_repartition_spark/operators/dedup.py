@@ -3555,3 +3555,85 @@ FROM sd
 LEFT JOIN ranked r ON r.vec_id = sd.vec_id
 """
 D4_SELECT_ORACLE = D4_SELECT_ORACLE.replace("{SEMDEDUP}", SEMDEDUP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric) near-dup detection
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(t: dict[str, DataFrame]) -> DataFrame:
+    """Asymmetric containment detection (Broder 1997, "On the
+    resemblance and containment of documents"): for a capped query
+    subset, every corpus document containing ≥ ``CONTAINMENT_THRESHOLD``
+    of the query's word trigrams — C(q, c) = |G(q) ∩ G(c)| / |G(q)|.
+    The family member Jaccard misses: a short document quoted whole
+    inside a long one has tiny Jaccard (union is the long doc) but
+    containment ~1 — the subsumed-document case (quote farms,
+    boilerplate wrappers, concatenated dumps) that resemblance-based
+    dedup (:func:`dedup_ngram_jaccard`, :func:`dedup_minhash_lsh`)
+    is structurally blind to.
+
+    Scale shape: identical to :func:`dedup_ngram_jaccard` — the capped
+    query grams broadcast, the shared-shingle pairing is a map-side
+    join over the corpus gram scan (no gram shuffle), intersections
+    partial-aggregate per (query, cand).  The denominator is the
+    QUERY's gram count only, so the threshold prunes to candidates
+    genuinely covering the query.
+    """
+    arr = _doc_gram_arrays_cached(t["documents"])
+    grams = arr.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = arr.select("doc_id", "n")
+    q_ids = (
+        arr.filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(JACCARD_QUERY_CAP)
+    )
+    q_grams = F.broadcast(grams.join(F.broadcast(q_ids), "doc_id"))
+    inter = (
+        q_grams.alias("a")
+        .join(grams.alias("b"), ["gram"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("query_id"),
+            F.col("b.doc_id").alias("cand_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.col("qa.n")
+    return (
+        inter.join(sizes.alias("qa"), F.col("query_id") == F.col("qa.doc_id"))
+        .filter(F.col("qa.n") > 0)
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cont, 4).alias("containment"),
+            F.col("qa.n").cast("long").alias("n_query_grams"),
+        )
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS query_id, b.doc_id AS cand_id, count(*) AS inter
+    FROM grams a
+    JOIN grams b ON a.gram = b.gram AND a.doc_id != b.doc_id
+    WHERE a.doc_id IN (
+        SELECT doc_id FROM documents WHERE doc_id % {QUERY_MOD} = 0
+        ORDER BY doc_id LIMIT {JACCARD_QUERY_CAP})
+    GROUP BY 1, 2
+)
+SELECT query_id, cand_id,
+       round(CAST(inter AS DOUBLE) / qa.n, 4) AS containment,
+       CAST(qa.n AS BIGINT) AS n_query_grams
+FROM inter
+JOIN sizes qa ON query_id = qa.doc_id
+WHERE qa.n > 0
+  AND CAST(inter AS DOUBLE) / qa.n >= {CONTAINMENT_THRESHOLD}
+"""

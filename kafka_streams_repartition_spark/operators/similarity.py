@@ -3244,23 +3244,43 @@ def kcenter_select(t: dict[str, DataFrame]) -> DataFrame:
     a global sort.  The driver collect is ONE row per round — bounded
     by k, the documented exception pattern (BPE's one-row-per-round).
     """
+    centers = _kcenter_centers(t)
+    spark = t["embeddings"].sparkSession
+    return spark.createDataFrame(
+        [(o, vid, d) for o, vid, d, _, _ in centers],
+        "sel_order long, vec_id long, dist double",
+    )
+
+
+def _kc_dist_to(v_lit: list[float], nrm: float) -> F.Column:
+    """Rounded cosine distance of column ``v`` (with norm column
+    ``nrm``) to one literal center vector — the shared scoring
+    expression of the k-center family (selection loop and coverage
+    scan must score bit-identically)."""
+    c = F.array(*[F.lit(float(x)) for x in v_lit])
+    cos = F.round(
+        dot_unrolled(F.col("v"), c, DIM) / (F.col("nrm") * F.lit(nrm)), 6
+    )
+    return F.round(F.lit(1.0) - cos, 6)
+
+
+def _kcenter_centers(
+    t: dict[str, DataFrame],
+) -> list[tuple[int, int, float, list[float], float]]:
+    """The greedy selection loop shared by :func:`kcenter_select` and
+    :func:`kcenter_coverage`: returns (order, vec_id, dist, v, nrm)
+    per selected center — k driver rows total, the bounded collect."""
     from ..functions.caching import release_local_checkpoint
 
     emb = _corpus(t)  # vec_id, v, nrm
     seed = emb.orderBy("vec_id").limit(1).collect()[0]
-    out_rows = [(1, seed["vec_id"], 0.0)]
-    sel_vec, sel_nrm = seed["v"], seed["nrm"]
-
-    def dist_to(v_lit: list[float], nrm: float) -> F.Column:
-        c = F.array(*[F.lit(float(x)) for x in v_lit])
-        cos = F.round(
-            dot_unrolled(F.col("v"), c, DIM) / (F.col("nrm") * F.lit(nrm)), 6
-        )
-        return F.round(F.lit(1.0) - cos, 6)
-
+    out = [(1, seed["vec_id"], 0.0, list(seed["v"]), float(seed["nrm"]))]
     cur = (
         emb.filter(F.col("vec_id") != F.lit(seed["vec_id"]))
-        .select("vec_id", "v", "nrm", dist_to(sel_vec, sel_nrm).alias("d"))
+        .select(
+            "vec_id", "v", "nrm",
+            _kc_dist_to(seed["v"], seed["nrm"]).alias("d"),
+        )
         .localCheckpoint(eager=False)
     )
     for i in range(2, KCENTER_K + 1):
@@ -3268,7 +3288,10 @@ def kcenter_select(t: dict[str, DataFrame]) -> DataFrame:
         if not far:  # corpus smaller than k: emit what exists
             break
         far = far[0]
-        out_rows.append((i, far["vec_id"], float(far["d"])))
+        out.append(
+            (i, far["vec_id"], float(far["d"]), list(far["v"]),
+             float(far["nrm"]))
+        )
         if i == KCENTER_K:
             break
         nxt = (
@@ -3278,7 +3301,7 @@ def kcenter_select(t: dict[str, DataFrame]) -> DataFrame:
                 "v",
                 "nrm",
                 F.least(
-                    F.col("d"), dist_to(far["v"], far["nrm"])
+                    F.col("d"), _kc_dist_to(far["v"], far["nrm"])
                 ).alias("d"),
             )
             .localCheckpoint(eager=False)
@@ -3287,10 +3310,7 @@ def kcenter_select(t: dict[str, DataFrame]) -> DataFrame:
         release_local_checkpoint(cur)
         cur = nxt
     release_local_checkpoint(cur)
-    spark = t["embeddings"].sparkSession
-    return spark.createDataFrame(
-        out_rows, "sel_order long, vec_id long, dist double"
-    )
+    return out
 
 
 def _kcenter_oracle() -> str:
@@ -3455,3 +3475,74 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
 FROM ranked
 WHERE rank <= {TOP_K}
 """
+
+
+KCENTER_BUCKET_SCALE = 10  # bucket = floor(dist * 10), dist in [0, 2]
+
+
+def kcenter_coverage(t: dict[str, DataFrame]) -> DataFrame:
+    """Coverage histogram of the greedy k-center solution
+    (:func:`kcenter_select`): for EVERY corpus vector, its cosine
+    distance to the nearest selected center, bucketed at 0.1 — the
+    table that prices the coreset budget (Sener & Savarese 2018 §3:
+    the k-center objective IS the max of this distribution, but the
+    mass near the radius decides whether k+1 helps).  The selection
+    ladder gives the radius at each k; this gives the SHAPE under it.
+
+    Scale shape: the selection loop is :func:`kcenter_select`'s
+    bounded k-round traversal; the histogram is then ONE corpus scan
+    scoring k broadcast-literal centers inside whole-stage codegen
+    (``least`` over k unrolled dots) and a |buckets|-row groupBy —
+    no joins, no pair materialization.
+    """
+    centers = _kcenter_centers(t)
+    emb = _corpus(t)
+    d = F.least(*[_kc_dist_to(v, nrm) for _, _, _, v, nrm in centers])
+    bucket = F.floor(d * F.lit(KCENTER_BUCKET_SCALE)).cast("long")
+    tot = Window.partitionBy()
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+    )
+
+
+def _kcenter_coverage_oracle() -> str:
+    chain = KCENTER_SELECT_ORACLE.split("\nUNION ALL\n")[0]
+    # keep only the WITH-chain (strip the first SELECT leg), then
+    # append the coverage CTEs over the selected ids
+    with_part = chain[: chain.rindex("SELECT CAST(1 AS BIGINT)")]
+    sel_ids = " UNION ALL ".join(
+        f"SELECT vec_id FROM c{i}" for i in range(1, KCENTER_K + 1)
+    )
+    return (
+        with_part
+        + f""",
+sel AS MATERIALIZED ({sel_ids}),
+pc AS MATERIALIZED (
+    SELECT e.vec_id,
+           round(1 - round(sum(e.x * c.x) / (ne.nrm * nc.nrm), 6), 6) AS d
+    FROM e
+    JOIN e c ON c.pos = e.pos
+    JOIN sel s ON c.vec_id = s.vec_id
+    JOIN norms ne ON ne.vec_id = e.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+    GROUP BY e.vec_id, c.vec_id, ne.nrm, nc.nrm
+),
+md AS MATERIALIZED (SELECT vec_id, min(d) AS d FROM pc GROUP BY 1),
+hist AS (
+    SELECT CAST(floor(d * {KCENTER_BUCKET_SCALE}) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM md GROUP BY 1
+)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+FROM hist
+"""
+    )
+
+
+KCENTER_COVERAGE_ORACLE = _kcenter_coverage_oracle()

@@ -2182,3 +2182,48 @@ SELECT doc_id,
             ELSE 0.0 END AS fk_grade
 FROM cnt
 """
+
+
+def langid_confusion(t: dict[str, DataFrame]) -> DataFrame:
+    """Confusion rollup of the marker-token language identifier
+    (:func:`lang_id`) against the corpus's recorded ``lang`` column —
+    the eval table a pipeline owner reads before TRUSTING the
+    classifier to route documents at 100 TB (per-language recall
+    shares expose which languages the marker set confuses).  One row
+    per (true, predicted) pair with its count and its share of the
+    true language's documents.
+
+    Scale shape: the classifier is one scan (array expressions); the
+    rollup is a two-column groupBy of (lang, pred_lang) — partial
+    map-side combine, |langs|² output rows at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    pred = lang_id(t).select("doc_id", "pred_lang")
+    truth = t["documents"].select("doc_id", "lang")
+    per_true = Window.partitionBy("lang")
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "share",
+            F.round(F.col("n") / F.sum("n").over(per_true), 6),
+        )
+    )
+
+
+LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({LANG_ID_ORACLE}),
+joined AS (
+    SELECT d.lang, p.pred_lang
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+cnt AS (
+    SELECT lang, pred_lang, count(*) AS n FROM joined GROUP BY 1, 2
+)
+SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY lang), 6) AS share
+FROM cnt
+"""

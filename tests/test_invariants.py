@@ -1476,3 +1476,69 @@ def test_readability_score_counting_laws(t):
         - 15.59
     )
     assert (recomputed - pos["fk_grade"]).abs().max() < 1e-4
+
+
+def test_dedup_containment_dominates_jaccard(t):
+    """Containment laws: C = I/|A| lies in (0, 1] (per-doc grams are
+    distinct, so the intersection can never exceed the query's gram
+    count), and for every pair the Jaccard family also surfaces,
+    containment >= jaccard (I/|A| >= I/|A∪B| always) — the structural
+    reason the asymmetric table catches subsumed documents resemblance
+    misses."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    c = dd.dedup_containment(t).toPandas()
+    assert ((c["containment"] > 0) & (c["containment"] <= 1.0)).all()
+    assert (c["containment"] >= dd.CONTAINMENT_THRESHOLD).all()
+    j = dd.dedup_ngram_jaccard(t).toPandas()
+    m = c.merge(j, on=["query_id", "cand_id"], how="inner")
+    assert (m["containment"] >= m["jaccard"] - 1e-9).all()
+
+
+def test_langid_confusion_is_exact_rollup(t):
+    """The confusion table is an exact rollup of lang_id joined on the
+    recorded lang column: per-true-language shares sum to 1, counts
+    sum to the corpus size, and each cell reproduces the underlying
+    per-document join."""
+    from kafka_streams_repartition_spark.operators import (
+        text_analysis as tx,
+    )
+
+    conf = tx.langid_confusion(t).toPandas()
+    docs = t["documents"].select("doc_id", "lang").toPandas()
+    assert conf["n"].sum() == len(docs)
+    for lang, grp in conf.groupby("lang"):
+        assert abs(grp["share"].sum() - 1.0) < 1e-5, lang
+    pred = tx.lang_id(t).toPandas()[["doc_id", "pred_lang"]]
+    cell = (
+        docs.merge(pred, on="doc_id")
+        .groupby(["lang", "pred_lang"])
+        .size()
+        .reset_index(name="n2")
+    )
+    m = conf.merge(cell, on=["lang", "pred_lang"], how="outer")
+    assert m["n"].equals(m["n2"].astype("int64"))
+
+
+def test_kcenter_coverage_accounts_every_vector(t):
+    """The coverage histogram is a partition of the corpus: counts sum
+    to the corpus size, shares to 1, buckets lie in [0, 20] (cosine
+    distance ≤ 2), bucket 0 holds at least the k centers themselves
+    (self-distance 0), and the max occupied bucket is consistent with
+    the selection ladder's final radius (every remaining vector is
+    within the last selected center's distance — the 2-approx
+    invariant's measurable face)."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    cov = sim.kcenter_coverage(t).toPandas()
+    n_corpus = t["embeddings"].count()
+    assert cov["n"].sum() == n_corpus
+    assert abs(cov["share"].sum() - 1.0) < 1e-5
+    assert cov["bucket"].between(0, 2 * sim.KCENTER_BUCKET_SCALE).all()
+    z = cov[cov["bucket"] == 0]
+    assert len(z) == 1 and z["n"].iloc[0] >= sim.KCENTER_K
+    sel = sim.kcenter_select(t).toPandas().sort_values("sel_order")
+    radius = sel["dist"].iloc[-1]
+    # every vector's min-dist <= the k-th selection distance (the
+    # greedy picks the global max at each step)
+    assert cov["bucket"].max() <= int(radius * sim.KCENTER_BUCKET_SCALE)
