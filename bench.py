@@ -46,23 +46,27 @@ def load_flag(loadavg_1m: float, cores: int) -> str:
 
 
 def _proc_stat_busy_jiffies() -> int | None:
-    """Host-wide busy jiffies (all fields of /proc/stat's cpu line
-    except idle+iowait) — in a container this reads the HOST, which is
-    exactly the contention domain loadavg reports on."""
+    """Host-wide USER+NICE jiffies.  User time only, deliberately:
+    system time includes kernel worker threads (pagecache writeback,
+    block I/O) that OUR OWN disk-heavy queries drive but that no
+    process-tree walk can attribute (kworkers hang off kthreadd) —
+    measured: the DISK_ONLY checkpoint ladder of crossmodal_clusters
+    read as 4.4 "external" cores of pure kworker time on an idle box.
+    A genuinely competing process burns user time, which this sees."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        return vals[0] + vals[1]
     except Exception:
         return None
 
 
 def _own_tree_jiffies() -> int | None:
-    """utime+stime of this process and every live descendant (the
-    py4j-launched JVM and its python workers) plus reaped-child time
-    (cutime/cstime) — the run's OWN CPU, to subtract from the host
-    delta.  Live descendants are found by one ppid-closure walk."""
+    """utime of this process and every live descendant (the
+    py4j-launched JVM and its python workers) plus reaped-child user
+    time (cutime) — the run's OWN USER CPU, to subtract from the host
+    user delta.  Live descendants are found by one ppid-closure walk."""
     try:
         me = os.getpid()
         stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, own+reaped)
@@ -72,12 +76,17 @@ def _own_tree_jiffies() -> int | None:
             try:
                 with open(f"/proc/{ent}/stat") as fh:
                     raw = fh.read()
-            except OSError:
+            except (OSError, ValueError):
                 continue  # died mid-walk: its time folds into cutime later
-            # field 2 (comm) may contain spaces/parens: split after ')'
-            rest = raw[raw.rindex(")") + 2:].split()
-            ppid = int(rest[1])
-            cpu = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            # field 2 (comm) may contain spaces/parens: split after ')';
+            # a process dying mid-read can hand back a truncated line —
+            # skip it (its time folds into its parent's cutime)
+            try:
+                rest = raw[raw.rindex(")") + 2:].split()
+                ppid = int(rest[1])
+                cpu = int(rest[11]) + int(rest[13])  # utime + cutime
+            except (ValueError, IndexError):
+                continue
             stats[int(ent)] = (ppid, cpu)
         tree = {me}
         grew = True
@@ -97,8 +106,8 @@ def external_busy_cores(
     host1: int | None, own1: int | None,
     elapsed_s: float,
 ) -> float | None:
-    """Average number of cores OTHER work kept busy during the run:
-    (host busy delta − our process tree's delta) / elapsed.  Unlike
+    """Average number of cores OTHER work kept busy (user time) during
+    the run: (host user delta − our tree's user delta) / elapsed.  Unlike
     end-of-run loadavg — which the bench's own 32-thread bursts push to
     6-8 even on an idle box (r9's idle artifact ended at 7.65) — this
     subtracts our own work, so it separates a genuinely idle machine

@@ -53,8 +53,8 @@ def run_bench(
         SPARK_GRAFT_BENCH_ONLY=",".join(queries),
         SPARK_GRAFT_BENCH_OUT=out_path,
         SPARK_GRAFT_BENCH_REPEATS=REPEATS,
-        **(extra_env or {}),
     )
+    env.update(extra_env or {})  # may override REPEATS (brute default leg)
     try:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -202,21 +202,47 @@ def family_mrl(sf1_dir: str, sf10_dir: str, scratch: str) -> None:
 def family_newops(
     sf1_dir: str, sf10_dir: str, sf1_text: str, sf10_text: str, scratch: str
 ) -> None:
-    mm_default = ["kcenter_select", "d4_select"]
-    mm_capped = ["ann_topk_mrl", "hard_negative_mining"]
+    # corpus-LINEAR ops: default config, median-of-3 both legs
+    mm_linear = ["kcenter_select", "d4_select"]
+    # query-vs-corpus BRUTE ops (the quartet family): the %-subset
+    # query count grows 10x between the legs, so the default leg's
+    # work grows ~100x — recorded honestly as ONE repeat (the pair at
+    # repeats=3 would blow the leg's wall cap; same recording decision
+    # as r10's mrl default), with the capped-200 leg (which pins the
+    # query count at sf1's natural size) at median-of-3 as the
+    # production config
+    mm_brute = ["ann_topk_mrl", "hard_negative_mining"]
     tx = ["readability_score"]
     sf1_mm = run_bench(
-        sf1_dir, mm_default + mm_capped, os.path.join(scratch, "r11n_sf1.json")
+        sf1_dir, mm_linear + mm_brute, os.path.join(scratch, "r11n_sf1.json")
     )
-    sf10_mm = run_bench(
-        sf10_dir, mm_default + mm_capped, os.path.join(scratch, "r11n_sf10.json")
+    sf10_lin = run_bench(
+        sf10_dir, mm_linear, os.path.join(scratch, "r11n_sf10_lin.json")
+    )
+    sf10_brute = run_bench(
+        sf10_dir, mm_brute, os.path.join(scratch, "r11n_sf10_brute.json"),
+        {"SPARK_GRAFT_BENCH_REPEATS": "1"},
     )
     sf10_cap = run_bench(
-        sf10_dir, mm_capped, os.path.join(scratch, "r11n_sf10_cap.json"),
+        sf10_dir, mm_brute, os.path.join(scratch, "r11n_sf10_cap.json"),
         {"ANN_QUERY_CAP": "200"},
     )
     sf1_tx = run_bench(sf1_text, tx, os.path.join(scratch, "r11n_sf1_tx.json"))
     sf10_tx = run_bench(sf10_text, tx, os.path.join(scratch, "r11n_sf10_tx.json"))
+    sf10_mm = {
+        "queries": {**sf10_lin.get("queries", {}),
+                    **sf10_brute.get("queries", {})},
+        "samples": {**sf10_lin.get("samples", {}),
+                    **sf10_brute.get("samples", {})},
+        "load_flag": {"linear": sf10_lin.get("load_flag"),
+                      "brute_r1": sf10_brute.get("load_flag")},
+        "external_busy_cores": {
+            "linear": sf10_lin.get("external_busy_cores"),
+            "brute_r1": sf10_brute.get("external_busy_cores"),
+        },
+        "errors": {**sf10_lin.get("errors", {}),
+                   **sf10_brute.get("errors", {})},
+    }
     rd = {**ratios(sf1_mm, sf10_mm), **ratios(sf1_tx, sf10_tx)}
     rc = ratios(sf1_mm, sf10_cap)
     write("BENCH_sf10_r11_newops.json", {
@@ -230,7 +256,8 @@ def family_newops(
                          "leg isolates per-query scaling — the quartet's "
                          "recording discipline",
         "ratio_bar": RATIO_BAR,
-        "repeats": 3,
+        "repeats": {"linear": 3, "brute_default": 1, "brute_capped": 3,
+                    "text": 3},
         "stat": "median",
         "sf1_sec": {**sf1_mm.get("queries", {}), **sf1_tx.get("queries", {})},
         "sf10_sec": {**sf10_mm.get("queries", {}), **sf10_tx.get("queries", {})},
@@ -252,6 +279,11 @@ def family_newops(
             "sf10_capped": sf10_cap.get("load_flag"),
             "sf1_text": sf1_tx.get("load_flag"),
             "sf10_text": sf10_tx.get("load_flag"),
+        },
+        "external_busy_cores": {
+            "sf1_mm": sf1_mm.get("external_busy_cores"),
+            "sf10_mm": sf10_mm.get("external_busy_cores"),
+            "sf10_capped": sf10_cap.get("external_busy_cores"),
         },
         "errors": errs(sf1_mm=sf1_mm, sf10_mm=sf10_mm, sf10_capped=sf10_cap,
                        sf1_text=sf1_tx, sf10_text=sf10_tx),
