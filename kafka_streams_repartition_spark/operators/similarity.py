@@ -3082,6 +3082,15 @@ def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
     computes AFTER the shortlist filter, so it runs on
     ``MRL_SHORTLIST_N``·|queries| rows — constant in corpus size.  The
     query set is the module-wide ``ANN_QUERY_CAP`` bounded broadcast.
+
+    ONLY (query_id, cand_id, p_cos) rows — 24 bytes — cross the
+    shortlist ranking exchange: the first version of this operator
+    carried the candidate AND query vectors through the window and
+    died of spill-disk exhaustion at the 100× probe (|Q|·N rows ×
+    ~2·DIM doubles ≈ hundreds of GB); the survivors re-join to the
+    vector frame and the query broadcast instead, which costs two
+    narrow keyed joins on an 80k-row frame — the repo-wide "vectors
+    never ride an exchange they don't need" discipline.
     """
     d = MRL_SHORTLIST_DIM
     emb = _corpus(t).withColumn(
@@ -3098,6 +3107,7 @@ def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
             F.col("pv").alias("qpv"),
             F.col("pn").alias("qpn"),
         )
+        .localCheckpoint(eager=False)  # feeds shortlist AND rerank
     )
     p_cos = F.round(
         dot_unrolled(F.col("qpv"), F.col("pv"), d) / (F.col("qpn") * F.col("pn")),
@@ -3107,22 +3117,20 @@ def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
         F.col("p_cos").desc(), F.col("cand_id")
     )
     short = (
-        emb.crossJoin(F.broadcast(q))
+        emb.crossJoin(F.broadcast(q.select("query_id", "qpv", "qpn")))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            p_cos,
-            "v",
-            "nrm",
-            "qv",
-            "qn",
-        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), p_cos)
         .withColumn("prank", F.row_number().over(pw))
         .filter(F.col("prank") <= MRL_SHORTLIST_N)
+        .select("query_id", "cand_id")
     )
     # full-dimension rerank AFTER the shortlist cut: SHORTLIST_N rows
-    # per query, constant in corpus size
+    # per query, constant in corpus size — vectors join back HERE
+    cand_v = _corpus(t).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v"),
+        F.col("nrm"),
+    )
     cos = F.round(
         dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")),
         6,
@@ -3131,7 +3139,9 @@ def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
         F.col("cosine").desc(), F.col("cand_id")
     )
     return (
-        short.select("query_id", "cand_id", cos)
+        short.join(cand_v, "cand_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select("query_id", "cand_id", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
@@ -3386,22 +3396,31 @@ def hard_negative_mining(t: dict[str, DataFrame]) -> DataFrame:
     complement of :func:`knn_graph` (which links same-space neighbors
     regardless of label).
 
-    Scale shape: identical to :func:`ann_topk_bruteforce` — bounded
-    query broadcast (``ANN_QUERY_CAP``), one corpus scan with the
-    unrolled codegen dot, the label filter applied BEFORE ranking so
-    the window sees only cross-label rows; top-k per query via
-    ``row_number`` (map-side partial).  In production the corpus scan
-    swaps for any of this module's gated indexes; the brute-force form
-    is the truth this table is defined by.
+    Scale shape: one corpus scan with the unrolled codegen dot, the
+    label filter applied BEFORE ranking so the window sees only
+    cross-label rows; top-k per query via ``row_number`` (map-side
+    partial).  The ANCHOR BATCH DERIVES FROM CORPUS SIZE
+    (:func:`derived_mrl_query_cap` — the same Q·N comparison-budget
+    rule the MRL design table uses, mirrored in the oracle): a miner
+    is a batch job over a budget-sized anchor list per pass, not a
+    serving index with a fixed query contract, so an anchor set that
+    grew as N/100 with the corpus would make every mining pass
+    quadratic (measured 108× at the 100× probe under the fixed
+    ``ANN_QUERY_CAP``; the derived batch keeps the pass linear).  At
+    the fixture scales the natural %-subset binds and behavior is
+    unchanged.  In production the corpus scan swaps for any of this
+    module's gated indexes; the brute-force form is the truth this
+    table is defined by.
     """
     emb = fan_out(t["embeddings"]).select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
     emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), DIM))
+    qcap = derived_mrl_query_cap(t["embeddings"].count())
     q = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(qcap)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("q_label"),
@@ -3449,7 +3468,13 @@ WITH e AS (
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
 lab AS (SELECT vec_id, label FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id IN ({_QCAP_SQL})),
+qset AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) z
+    WHERE z.rn <= {_mrl_qcap_sql()}
+),
+q AS (SELECT * FROM e WHERE vec_id IN (SELECT vec_id FROM qset)),
 scored AS (
     SELECT q.vec_id AS query_id, lq.label AS q_label,
            e.vec_id AS cand_id, lc.label AS neg_label,

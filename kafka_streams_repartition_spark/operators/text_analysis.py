@@ -1228,13 +1228,18 @@ def bpe_encode(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle() -> str:
-    """Training CTE chain + literal application over the same framing."""
+def _bpe_apply_sql_parts() -> tuple[str, str]:
+    """(trainer WITH-chain, encoded-string expression) — shared by
+    every oracle that applies the learned merge table (``bpe_encode``'s
+    per-source compression and ``tokenizer_fertility``'s per-language
+    equity rollup must encode identically or their counts drift).
+
+    Keeps the trainer's full WITH chain (vocab/syms/best blocks), drops
+    its final UNION-of-best_r SELECT tail; merges then apply as K
+    nested replaces whose patterns are 1-row scalar subqueries on the
+    best_r CTEs.
+    """
     train = _bpe_train_oracle()
-    # keep the trainer's full WITH chain (vocab/syms/best blocks), drop
-    # its final UNION-of-best_r SELECT tail; merges then apply as K
-    # nested replaces whose patterns are 1-row scalar subqueries on the
-    # best_r CTEs
     with_block = train[: train.index("\nSELECT 1 AS round")]
     apply_expr = (
         "list_aggregate(list_transform(list_filter(string_split(lower(text),"
@@ -1249,6 +1254,12 @@ def _bpe_encode_oracle() -> str:
             f"FROM best_{r}), "
             f"(SELECT chr(30) || a || b || chr(31) FROM best_{r}))"
         )
+    return with_block, apply_expr
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTE chain + literal application over the same framing."""
+    with_block, apply_expr = _bpe_apply_sql_parts()
     return f"""{with_block}
 , encoded AS (
     SELECT source,
@@ -2227,3 +2238,111 @@ SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
              / sum(n) OVER (PARTITION BY lang), 6) AS share
 FROM cnt
 """
+
+
+def tokenizer_fertility(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility of the trained BPE — BPE
+    symbols per whitespace word, and each language's fertility relative
+    to the corpus-wide rate.  The multilingual-equity table (see e.g.
+    the NLLB and XLM-R tokenizer analyses; Rust et al. 2021,
+    arXiv:2012.15613): a language whose fertility runs far above the
+    corpus mean pays more sequence length per word under the shared
+    vocabulary, so its effective context and its per-token training
+    signal both shrink — the number a data team reads before accepting
+    one tokenizer for a language mix.  ``bpe_encode`` reports the same
+    application pass rolled up by SOURCE (compression view); this
+    rolls up by ``lang`` and normalizes.
+
+    Scale shape: identical to :func:`bpe_encode` — K driver-side merge
+    literals applied as chained codegen ``replace`` over the
+    delimiter-framed encoding, one scan, |langs|-row rollup, one
+    corpus-total window over the |langs| rows.
+    """
+    docs = t["documents"]
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(t).orderBy("round").collect()
+    ]
+    enc_tok = F.array_join(
+        F.transform(
+            words(F.col("text")),
+            lambda tok: F.array_join(
+                F.transform(
+                    F.filter(F.split(tok, ""), lambda c: c != F.lit("")),
+                    lambda c: F.concat(F.lit(_BPE_O), c, F.lit(_BPE_C)),
+                ),
+                "",
+            ),
+        ),
+        " ",
+    )
+    s = enc_tok
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(_BPE_O + a + _BPE_C + _BPE_O + b + _BPE_C),
+            F.lit(_BPE_O + a + b + _BPE_C),
+        )
+    n_bpe = F.length(s) - F.length(F.replace(s, F.lit(_BPE_O), F.lit("")))
+    per_doc = fan_out(docs).select(
+        F.col("lang"),
+        F.size(words(F.col("text"))).cast("long").alias("ws"),
+        n_bpe.cast("long").alias("bpe"),
+    )
+    from pyspark.sql import Window
+
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+    )
+    tot = Window.partitionBy()
+    fertility = F.round(
+        F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4
+    )
+    rel = F.round(
+        (F.col("n_bpe_tokens").cast("double")
+         * F.sum("n_ws_tokens").over(tot))
+        / (F.col("n_ws_tokens") * F.sum("n_bpe_tokens").over(tot)),
+        4,
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        fertility.alias("fertility"),
+        rel.alias("rel_fertility"),
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    with_block, apply_expr = _bpe_apply_sql_parts()
+    return f"""{with_block}
+, encoded AS (
+    SELECT lang,
+           len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS ws,
+           length({apply_expr})
+               - length(replace({apply_expr}, chr(30), '')) AS bpe
+    FROM documents
+),
+per_lang AS (
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(ws) AS sws,
+           sum(bpe) AS sbpe
+    FROM encoded GROUP BY 1
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sws AS BIGINT) AS n_ws_tokens,
+       CAST(sbpe AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sbpe AS DOUBLE) / sws, 4) AS fertility,
+       round((CAST(sbpe AS DOUBLE) * sum(sws) OVER ())
+             / (sws * sum(sbpe) OVER ()), 4) AS rel_fertility
+FROM per_lang
+"""
+
+
+TOKENIZER_FERTILITY_ORACLE = _tokenizer_fertility_oracle()

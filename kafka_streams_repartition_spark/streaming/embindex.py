@@ -2879,10 +2879,10 @@ def stream_hard_negatives(
     ingested so far.  Returns the latest committed snapshot.
     """
     from ..operators.similarity import (
-        ANN_QUERY_CAP,
         DIM,
         QUERY_MOD,
         TOP_K,
+        derived_mrl_query_cap,
     )
 
     os.makedirs(root, exist_ok=True)
@@ -2925,10 +2925,15 @@ def stream_hard_negatives(
             else None
         )
         all_vecs = new.unionByName(old) if old is not None else new
+        # the anchor batch derives from the CUMULATIVE corpus size,
+        # recomputed per commit — the batch operator's contract; a
+        # shrinking cap displaces committed anchors exactly like cap
+        # displacement below (their rows drop in the same commit)
+        qcap = derived_mrl_query_cap(all_vecs.count())
         q = (
             all_vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
             .orderBy("vec_id")
-            .limit(ANN_QUERY_CAP)
+            .limit(qcap)
             .select(
                 F.col("vec_id").alias("query_id"),
                 F.col("label").alias("q_label"),

@@ -1542,3 +1542,29 @@ def test_kcenter_coverage_accounts_every_vector(t):
     # every vector's min-dist <= the k-th selection distance (the
     # greedy picks the global max at each step)
     assert cov["bucket"].max() <= int(radius * sim.KCENTER_BUCKET_SCALE)
+
+
+def test_tokenizer_fertility_consistent_with_bpe_encode(t):
+    """The per-language equity table and the per-source compression
+    table are the SAME encoding pass rolled up two ways: corpus-total
+    whitespace and BPE token counts must agree exactly between them,
+    fertility >= 1 is NOT required (merges shrink symbol counts but a
+    word is >= 1 symbol, so bpe >= ws ALWAYS holds here — pinned), and
+    the weighted mean of rel_fertility is 1 by construction."""
+    from kafka_streams_repartition_spark.operators import (
+        text_analysis as tx,
+    )
+
+    fert = tx.tokenizer_fertility(t).toPandas()
+    enc = tx.bpe_encode(t).toPandas()
+    assert fert["n_ws_tokens"].sum() == enc["n_ws_tokens"].sum()
+    assert fert["n_bpe_tokens"].sum() == enc["n_bpe_tokens"].sum()
+    assert (fert["n_bpe_tokens"] >= fert["n_ws_tokens"]).all()
+    assert (fert["fertility"] >= 1.0).all()
+    # rel = (bpe_l/ws_l) / (BPE/WS), so the ws-weighted mean of rel is
+    # exactly 1 (sum_l ws_l·rel_l = sum_l bpe_l·WS/BPE = WS) — up to the
+    # stored 4-decimal rounding of rel
+    wmean = (fert["rel_fertility"] * fert["n_ws_tokens"]).sum() / fert[
+        "n_ws_tokens"
+    ].sum()
+    assert abs(wmean - 1.0) < 1e-3

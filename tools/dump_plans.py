@@ -52,6 +52,9 @@ HEADLINERS = [
     ("minhash_band_tuning", "banding design curve: ONE pair-builder pass to a single aggregate row, layout fan-out AFTER the aggregate"),
     ("jl_project", "JL projection: sign matrix broadcast, 16 rows per vector cross the exchange, bounded query broadcast for the distortion pairs"),
     ("leakage_split", "split audit: bucket expression map-side, split tags joined onto the collision-bounded pair frame, one-row stitches"),
+    ("ann_topk_mrl", "MRL shortlist-rerank: corpus scan touches only 16 of 64 dims, the full-dim dot computes AFTER the shortlist row_number filter (constant rows per query), query side one bounded broadcast"),
+    ("kcenter_coverage", "k-center coverage: one corpus scan, min-dist as least() over k broadcast-literal unrolled dots inside codegen, 21-bucket rollup is the only exchange"),
+    ("hard_negative_mining", "hard negatives: label filter applied BEFORE the ranking window — cross-label pairs only ever reach row_number; same bounded broadcast scan as the brute scorer"),
 ]
 
 
