@@ -44,13 +44,85 @@ TOP_K = 10
 QUERY_MOD = 100
 N_PLANES = 8
 
-# Hard cap on the driver-collected query set of ``ann_topk_vectorized``
-# (production ANN serves a FIXED query list; an uncapped ``% QUERY_MOD``
-# subset grows linearly with the corpus, turning the driver and every
-# task closure into an O(corpus) buffer).  4096 queries × 64 dims × 8 B
-# ≈ 2 MB — constant in corpus size.  The cap is part of the operator's
-# contract: its oracle applies the same lowest-vec_id LIMIT.
-ANN_QUERY_CAP = int(os.environ.get("ANN_QUERY_CAP", "4096"))
+# The module-wide query cap DERIVES FROM CORPUS SIZE by default (the
+# ``derived_mrl_query_cap`` discipline, generalized to every
+# query-vs-corpus op in this module): each such op is a bounded-query
+# scan costing Q·N comparisons, and the natural ``% QUERY_MOD`` subset
+# grows as N/100 with the corpus — under the old FIXED cap of 4096 the
+# subset only stopped growing at N = 409.6k, so the default-config
+# decade probes read 18.8× (``ann_topk_mrl``) and 22.63×
+# (``ann_topk_ivf``) at the 100× leg (BENCH_sf10_r11_newops/quartet).
+# ``derived_ann_query_cap`` holds Q·N ≤ ANN_WORK_BUDGET once the corpus
+# outgrows the budget, clamped to [MIN, MAX]: BIGINT floor-division
+# only, mirrored bit-exactly by ``_ann_qcap_sql`` so Spark and the
+# oracle always serve the same query list at every corpus size.  At
+# the fixture scales (≤ 3.1k vectors) the budget leaves the cap at MAX
+# = 4096 (the old fixed default) and the natural %-subset (≤ 20 ids)
+# is what binds — behavior there is unchanged.  The driver-collected
+# forms stay bounded too: ≤ cap × DIM doubles (~2 MB worst case).
+#
+# Manual ``ANN_QUERY_CAP`` env override wins when set (the measured
+# deploy knob — production ANN serves a FIXED query list; the decade
+# probes' capped legs pin it to isolate per-query scaling).  Tests
+# monkeypatch the module attribute directly for the same effect.
+ANN_QCAP_MIN = 64
+ANN_QCAP_MAX = 4096
+ANN_WORK_BUDGET = 12_800_000
+_ANN_QCAP_ENV = os.environ.get("ANN_QUERY_CAP")
+ANN_QUERY_CAP: int | None = int(_ANN_QCAP_ENV) if _ANN_QCAP_ENV else None
+
+
+def derived_ann_query_cap(n_vecs: int) -> int:
+    """Query cap for an ``n_vecs``-vector corpus:
+    ``clamp(ANN_WORK_BUDGET // n_vecs, ANN_QCAP_MIN, ANN_QCAP_MAX)`` —
+    holds every query-vs-corpus op's Q·N comparison count at
+    ~ANN_WORK_BUDGET once the corpus outgrows the budget (above
+    12.8M/64 = 200k vectors the MIN clamp binds and work grows
+    linearly again, at the smallest usable query set).  A manual
+    ``ANN_QUERY_CAP`` (env at import, or monkeypatched module
+    attribute) wins."""
+    if ANN_QUERY_CAP is not None:
+        return ANN_QUERY_CAP
+    return max(ANN_QCAP_MIN, min(ANN_QCAP_MAX, ANN_WORK_BUDGET // max(n_vecs, 1)))
+
+
+def _ann_qcap_sql() -> str:
+    """DuckDB scalar mirroring :func:`derived_ann_query_cap` over the
+    ``embeddings`` view — BIGINT floor-division, bit-exact against the
+    Python rule at every corpus size."""
+    if ANN_QUERY_CAP is not None:
+        return str(ANN_QUERY_CAP)
+    return (
+        f"(SELECT GREATEST({ANN_QCAP_MIN}, LEAST({ANN_QCAP_MAX}, "
+        f"{ANN_WORK_BUDGET} // GREATEST(count(*), 1))) FROM embeddings)"
+    )
+
+
+# identity-keyed memo of the raw embeddings frame's row count (the
+# MemoSlots discipline, scalar-valued): the cap derivation needs ONE
+# count of the raw table per distinct frame — the stored key reference
+# keeps the frame alive while resident so its id cannot be reused
+from collections import OrderedDict as _OrderedDict
+
+_NVEC_MEMO: "_OrderedDict[int, tuple[DataFrame, int]]" = _OrderedDict()
+
+
+def _n_vecs(emb_raw: DataFrame) -> int:
+    k = id(emb_raw)
+    hit = _NVEC_MEMO.get(k)
+    if hit is not None:
+        _NVEC_MEMO.move_to_end(k)
+        return hit[1]
+    n = emb_raw.count()
+    _NVEC_MEMO[k] = (emb_raw, n)
+    while len(_NVEC_MEMO) > 8:
+        _NVEC_MEMO.popitem(last=False)
+    return n
+
+
+def _ann_qcap(t: dict[str, DataFrame]) -> int:
+    """The derived module-wide query cap for this corpus."""
+    return derived_ann_query_cap(_n_vecs(t["embeddings"]))
 
 
 def _corpus(t: dict[str, DataFrame]) -> DataFrame:
@@ -58,19 +130,20 @@ def _corpus(t: dict[str, DataFrame]) -> DataFrame:
     return emb.withColumn("nrm", norm_unrolled(F.col("v"), DIM))
 
 
-def _queries(emb: DataFrame) -> DataFrame:
+def _queries(emb: DataFrame, qcap: int) -> DataFrame:
     """The bounded query set every query-vs-corpus op in this module
-    broadcasts: the ``ANN_QUERY_CAP`` lowest vec_ids of the
-    ``% QUERY_MOD`` subset.  The ``%``-filter alone grows as N/100 with
+    broadcasts: the ``qcap`` lowest vec_ids of the ``% QUERY_MOD``
+    subset, ``qcap`` derived from corpus size by the caller
+    (:func:`_ann_qcap`).  The ``%``-filter alone grows as N/100 with
     the corpus (the broadcast would stop being broadcastable at 100×);
     the cap keeps the frame ≤ cap × DIM doubles at any corpus size.
-    Every oracle mirrors the identical lowest-vec_id LIMIT, so the
-    capped list is the operator family's contract, not an
-    approximation."""
+    Every oracle mirrors the identical lowest-vec_id cut
+    (``_QCAP_SQL``), so the capped list is the operator family's
+    contract, not an approximation."""
     return (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(qcap)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -79,7 +152,7 @@ def _queries(emb: DataFrame) -> DataFrame:
     )
 
 
-def _qcap_ids(emb: DataFrame) -> DataFrame:
+def _qcap_ids(emb: DataFrame, qcap: int) -> DataFrame:
     """The capped query-id frame (one ``vec_id`` column) for ops whose
     query side is derived from an exploded/sub-vector frame rather than
     the embedding rows themselves (PQ/IVF-PQ ADC tables): semi-joining
@@ -89,22 +162,26 @@ def _qcap_ids(emb: DataFrame) -> DataFrame:
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select("vec_id")
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(qcap)
     )
 
 
 # the oracle-side mirror of the capped query list — every query CTE in
 # this module restricts with ``vec_id IN (_QCAP_SQL)`` so both engines
-# serve exactly the same bounded query set
+# serve exactly the same bounded query set; the cap itself is the
+# corpus-derived scalar (:func:`_ann_qcap_sql`), computed IN SQL so the
+# module-level oracle strings stay corpus-size-agnostic
 _QCAP_SQL = (
-    f"SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 "
-    f"ORDER BY vec_id LIMIT {ANN_QUERY_CAP}"
+    f"SELECT vec_id FROM ("
+    f"SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS qrn "
+    f"FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) qz "
+    f"WHERE qz.qrn <= {_ann_qcap_sql()}"
 )
 
 
 def ann_topk_bruteforce(t: dict[str, DataFrame]) -> DataFrame:
     emb = _corpus(t)
-    q = _queries(emb)
+    q = _queries(emb, _ann_qcap(t))
     cos = F.round(
         dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")), 6
     ).alias("cosine")
@@ -173,11 +250,11 @@ def ann_topk_lsh(t: dict[str, DataFrame]) -> DataFrame:
     """Top-k within the query's hyperplane-signature bucket."""
     emb = _corpus(t).withColumn("sig", _signature(F.col("v")))
     # bounded-query contract (the _queries discipline): cap the
-    # broadcast side to the ANN_QUERY_CAP lowest-id queries
+    # broadcast side to the corpus-derived lowest-id query set
     q = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(_ann_qcap(t))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -404,11 +481,12 @@ def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
     expression evaluation, no Python loop, shuffle bounded by k.
 
     Driver-memory bound: the collect is a ``TakeOrderedAndProject`` of
-    the ``ANN_QUERY_CAP`` lowest-id queries — the driver and every task
-    closure hold ≤ cap × DIM doubles (~2 MB at the default) REGARDLESS
-    of corpus size, where the old unbounded ``% QUERY_MOD`` subset grew
-    as N/100.  The oracle applies the identical LIMIT, so the capped
-    list is the operator's contract, not an approximation.
+    the corpus-derived cap's lowest-id queries (:func:`_ann_qcap`) —
+    the driver and every task closure hold ≤ cap × DIM doubles (~2 MB
+    worst case) REGARDLESS of corpus size, where the old unbounded
+    ``% QUERY_MOD`` subset grew as N/100.  The oracle applies the
+    identical cut, so the capped list is the operator's contract, not
+    an approximation.
     """
     from collections.abc import Iterator
 
@@ -416,13 +494,14 @@ def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
     import pandas as pd
 
     emb = fan_out(t["embeddings"]).select("vec_id", "embedding")
+    qcap = _ann_qcap(t)
     q_rows = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(qcap)
         .collect()
     )
-    assert len(q_rows) <= ANN_QUERY_CAP
+    assert len(q_rows) <= qcap
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -472,7 +551,7 @@ def ann_topk_vectorized(t: dict[str, DataFrame]) -> DataFrame:
 # capped query list (the bounded-query contract is module-wide), so the
 # two physical strategies share one oracle verbatim
 ANN_TOPK_VECTORIZED_ORACLE = ANN_TOPK_BRUTEFORCE_ORACLE
-assert "LIMIT" in ANN_TOPK_VECTORIZED_ORACLE  # the cap is really in place
+assert "qrn <=" in ANN_TOPK_VECTORIZED_ORACLE  # the cap is really in place
 
 
 # --- IVF (coarse-quantizer cells from the label column) -------------------
@@ -512,11 +591,11 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     cells = _assign_cells(emb, cent).withColumn("nrm", norm_unrolled(F.col("v"), DIM))
 
     # bounded-query contract: cap the broadcast side to the
-    # ANN_QUERY_CAP lowest-id queries (oracle mirrors the LIMIT)
+    # corpus-derived lowest-id query set (oracle mirrors the cut)
     q = (
         cells.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(_ann_qcap(t))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -747,8 +826,8 @@ def ann_topk_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
     )
     # bounded-query contract: one capped id list bounds BOTH
     # query-derived broadcasts below (the probe list and the ADC
-    # tables); oracle mirrors the LIMIT in its probe and qtab CTEs
-    qids = _qcap_ids(emb)
+    # tables); oracle mirrors the cut in its probe and qtab CTEs
+    qids = _qcap_ids(emb, _ann_qcap(t))
     qd = (
         emb.join(F.broadcast(qids), "vec_id")
         .crossJoin(F.broadcast(cent.select(F.col("label").alias("cell"), "cv")))
@@ -998,11 +1077,12 @@ def _rpq_topk(
     cb1: DataFrame,
     codes: DataFrame,
     n_probe: int,
+    qcap: int,
 ) -> DataFrame:
     """Query side of the residual pipeline: probe ``n_probe`` coarse
     cells, rebuild the per-(query, cell) residual ADC table against
     ``cb1``, score the probed cells' codes, rank top-k."""
-    qids = _qcap_ids(emb)
+    qids = _qcap_ids(emb, qcap)
     cdist = F.round(
         F.aggregate(
             F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
@@ -1116,7 +1196,7 @@ def ann_topk_ivfpq_residual(
     rpq_k = rpq_k or RPQ_K
     emb, cent, cells, rsub = _rpq_shared(t)
     cb1, codes = _rpq_codebook(rsub, rpq_k)
-    return _rpq_topk(emb, cent, cells, cb1, codes, n_probe)
+    return _rpq_topk(emb, cent, cells, cb1, codes, n_probe, _ann_qcap(t))
 
 
 def _ivfpq_residual_oracle(n_probe: int, rpq_k: int) -> str:
@@ -1351,7 +1431,9 @@ def ivfpq_design_table(t: dict[str, DataFrame]) -> DataFrame:
         for np_, kk in IVFPQ_GRID:
             if kk != k:
                 continue
-            approx = _rpq_topk(emb, cent, cells, cb1, codes, np_).select(
+            approx = _rpq_topk(
+                emb, cent, cells, cb1, codes, np_, _ann_qcap(t)
+            ).select(
                 "query_id", "cand_id"
             )
             legs.append(
@@ -1492,7 +1574,7 @@ def jl_project(t: dict[str, DataFrame]) -> DataFrame:
     projection is one narrow pass per vector (posexplode → sign join →
     (vec, k)-keyed partial-combining sum — 16 rows per vector cross
     the exchange, not 64); distances reuse the brute-force bounded
-    shape (``ANN_QUERY_CAP`` lowest-id queries broadcast against the
+    shape (corpus-derived-cap lowest-id queries broadcast against the
     corpus scan); the per-pair relative errors are rounded then summed
     as exact DECIMAL, so the one-row gate is order-independent across
     engines.
@@ -1526,7 +1608,7 @@ def jl_project(t: dict[str, DataFrame]) -> DataFrame:
     q = (
         base.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(_ann_qcap(t))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -1590,8 +1672,7 @@ proj AS (
     FROM e JOIN signs sg ON e.j = sg.j
     GROUP BY 1, 2
 ),
-qcap AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
-         ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
+qcap AS ({_QCAP_SQL}),
 d0 AS (
     SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
            round(sqrt(sum((a.x - b.x) * (a.x - b.x))), 6) AS d0
@@ -2031,7 +2112,7 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
     # query's (subspace, codeword) → distance table pivots into ONE
     # map column, M·K entries
     qmaps = (
-        scored.join(F.broadcast(_qcap_ids(emb)), "vec_id")
+        scored.join(F.broadcast(_qcap_ids(emb, _ann_qcap(t))), "vec_id")
         .groupBy(F.col("vec_id").alias("query_id"))
         .agg(
             F.map_from_entries(
@@ -2267,7 +2348,7 @@ def cosine_sim_histogram(t: dict[str, DataFrame]) -> DataFrame:
     expression mirrored in the oracle so IEEE doubles agree.
     """
     emb = _corpus(t)
-    q = _queries(emb)
+    q = _queries(emb, _ann_qcap(t))
     # round(6) BEFORE binning: the two engines sum the dot product in
     # different orders, and the rounding collapses that last-ulp noise
     # so a boundary-adjacent cosine can't land in different bins.
@@ -2621,8 +2702,8 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
     ground-truth side is the expensive one — which is exactly why the
     recall number must be known before the exact path is retired.
 
-    The query side is CAPPED to the ``ANN_QUERY_CAP`` lowest-id
-    queries — the same bound (and the same contract: the oracle LIMITs
+    The query side is CAPPED to the corpus-derived lowest-id query
+    set — the same bound (and the same contract: the oracle cuts
     identically) as ``ann_topk_vectorized``.  An uncapped
     ``% QUERY_MOD`` subset grows as N/100 with the corpus, and this
     gate would otherwise broadcast/crossJoin exactly the unbounded
@@ -2643,9 +2724,7 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
         .withColumn("nrm", norm_unrolled(F.col("v"), DIM))
     )
     q = (
-        _queries(_corpus(t))
-        .orderBy("query_id")
-        .limit(ANN_QUERY_CAP)  # bounded broadcast: ≤ cap × DIM doubles
+        _queries(_corpus(t), _ann_qcap(t))  # bounded: ≤ cap × DIM doubles
         .localCheckpoint(eager=False)  # feeds approx AND the truth cut
     )
     cos = F.round(
@@ -2698,8 +2777,7 @@ ex AS (
     FROM embeddings
 ),
 qn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
-qcap AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
-         ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
+qcap AS ({_QCAP_SQL}),
 qe AS (SELECT * FROM ex WHERE vec_id IN (SELECT vec_id FROM qcap)),
 scored AS (
     SELECT qe.vec_id AS query_id, rc.vec_id AS cand_id,
@@ -3081,7 +3159,11 @@ def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
     ``DIM`` — a 4× cut on the dominant term; the full-dimension dot
     computes AFTER the shortlist filter, so it runs on
     ``MRL_SHORTLIST_N``·|queries| rows — constant in corpus size.  The
-    query set is the module-wide ``ANN_QUERY_CAP`` bounded broadcast.
+    query set is the module-wide corpus-derived bounded broadcast
+    (:func:`_ann_qcap`), so the scan's Q·N term is budgeted at every
+    corpus size — the fixed-cap version of this operator read 18.8× at
+    the 100× decade probe (BENCH_sf10_r11_newops) because the
+    ``% QUERY_MOD`` subset grew 10× between legs under the cap.
 
     ONLY (query_id, cand_id, p_cos) rows — 24 bytes — cross the
     shortlist ranking exchange: the first version of this operator
@@ -3099,7 +3181,7 @@ def ann_topk_mrl(t: dict[str, DataFrame]) -> DataFrame:
     q = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
-        .limit(ANN_QUERY_CAP)
+        .limit(_ann_qcap(t))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),

@@ -790,7 +790,7 @@ def test_jl_project_distortion_sane(t):
         t["embeddings"].filter(F.col("vec_id") % sim.QUERY_MOD == 0).count()
     )
     n = t["embeddings"].count()
-    assert r["n_pairs"] <= min(n_q, sim.ANN_QUERY_CAP) * (n - 1)
+    assert r["n_pairs"] <= min(n_q, sim.derived_ann_query_cap(n)) * (n - 1)
     assert 0.0 <= r["avg_rel_err"] <= r["max_rel_err"]
     assert 0.0 <= r["frac_within_10pct"] <= 1.0
     # 16 random signs per dim: typical relative distance error should
@@ -937,7 +937,7 @@ def test_jl_project_numpy_replica(spark):
     X = np.array([v[1] for v in vecs])
     Y = np.round(X @ S.T / np.sqrt(sim.JL_K), 6)
     q_idx = [i for i, v in enumerate(ids) if v % sim.QUERY_MOD == 0]
-    q_idx = sorted(q_idx, key=lambda i: ids[i])[: sim.ANN_QUERY_CAP]
+    q_idx = sorted(q_idx, key=lambda i: ids[i])[: sim.derived_ann_query_cap(n)]
     rels = []
     for qi in q_idx:
         for ci in range(n):
@@ -1274,6 +1274,47 @@ def test_derived_mrl_query_cap_rule_and_sql_mirror():
         con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
         got = con.execute(f"SELECT {expr}").fetchone()[0]
         assert got == sim.derived_mrl_query_cap(n), n
+
+
+def test_derived_ann_query_cap_rule_and_sql_mirror(monkeypatch):
+    """The MODULE-WIDE corpus-size → ANN query cap rule (round 12: the
+    ``derived_mrl_query_cap`` discipline generalized to every
+    query-vs-corpus op sharing ``_queries``/``_QCAP_SQL``): pins the
+    fixture scales at the MAX clamp = 4096 (the old fixed default, so
+    behavior there is unchanged — the natural %-subset is what binds),
+    the decade-probe corpora at the budget-derived values that keep
+    the default legs linear (sf1 probe 20k → 640 ≥ its natural 200
+    queries; sf10 probe 200k → MIN = 64 binds), monotone nonincrease,
+    the manual-override contract, and that the DuckDB scalar mirror
+    agrees with the Python rule at every threshold boundary."""
+    import duckdb
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    assert sim.ANN_QCAP_MAX == 4096  # the pre-r12 fixed default
+    assert sim.derived_ann_query_cap(1) == 4096
+    assert sim.derived_ann_query_cap(500) == 4096    # sf0.001 / sf0.01
+    assert sim.derived_ann_query_cap(2000) == 4096   # sf0.1
+    assert sim.derived_ann_query_cap(3125) == 4096   # boundary: BUDGET/MAX
+    assert sim.derived_ann_query_cap(3126) == 4094
+    assert sim.derived_ann_query_cap(20000) == 640   # sf1 probe corpus
+    assert sim.derived_ann_query_cap(200000) == 64   # sf10 probe: MIN binds
+    assert sim.derived_ann_query_cap(10**9) == 64    # clamped floor
+    vals = [sim.derived_ann_query_cap(n) for n in range(1, 10**6, 9973)]
+    assert vals == sorted(vals, reverse=True)
+    expr = sim._ann_qcap_sql()
+    for n in (1, 500, 2000, 3124, 3125, 3126, 20000, 199999, 200000,
+              200001, 10**7):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got == sim.derived_ann_query_cap(n), n
+    # manual override (env at import / monkeypatched attribute) wins at
+    # EVERY corpus size, in the rule and in the SQL mirror
+    monkeypatch.setattr(sim, "ANN_QUERY_CAP", 7)
+    assert sim.derived_ann_query_cap(1) == 7
+    assert sim.derived_ann_query_cap(10**9) == 7
+    assert sim._ann_qcap_sql() == "7"
 
 
 def test_ivf_cell_balance_consistent_with_trainer(t):
