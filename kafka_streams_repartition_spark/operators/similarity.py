@@ -3356,12 +3356,42 @@ def _kc_dist_to(v_lit: list[float], nrm: float) -> F.Column:
     return F.round(F.lit(1.0) - cos, 6)
 
 
+# identity-keyed memo of the selection loop's k center rows, keyed on
+# the raw embeddings frame (the loader memoizes that per (session,
+# sf_dir), the _LOGREG_CACHE discipline): kcenter_select and
+# kcenter_coverage share the SAME k−1 driver-synchronous rounds, and
+# before this memo coverage re-ran the whole loop it had just watched
+# select run — 2×(k−1) rounds per bench sweep, 18.3 s median at sf0.1
+# with a 11.5–34.2 s spread (VERDICT r11 item 3).  The value is k
+# plain Python tuples (≤ k × DIM floats), not a frame — nothing to
+# unpersist on eviction.
+_KCENTER_MEMO: "_OrderedDict[int, tuple[DataFrame, list]]" = _OrderedDict()
+
+
 def _kcenter_centers(
     t: dict[str, DataFrame],
 ) -> list[tuple[int, int, float, list[float], float]]:
     """The greedy selection loop shared by :func:`kcenter_select` and
     :func:`kcenter_coverage`: returns (order, vec_id, dist, v, nrm)
-    per selected center — k driver rows total, the bounded collect."""
+    per selected center — k driver rows total, the bounded collect.
+    Memoized per embeddings frame so the coverage histogram costs one
+    corpus scan, not a second selection loop."""
+    key = t["embeddings"]
+    k = id(key)
+    hit = _KCENTER_MEMO.get(k)
+    if hit is not None:
+        _KCENTER_MEMO.move_to_end(k)
+        return hit[1]
+    out = _kcenter_centers_uncached(t)
+    _KCENTER_MEMO[k] = (key, out)
+    while len(_KCENTER_MEMO) > 4:
+        _KCENTER_MEMO.popitem(last=False)
+    return out
+
+
+def _kcenter_centers_uncached(
+    t: dict[str, DataFrame],
+) -> list[tuple[int, int, float, list[float], float]]:
     from ..functions.caching import release_local_checkpoint
 
     emb = _corpus(t)  # vec_id, v, nrm
