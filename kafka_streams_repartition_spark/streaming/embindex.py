@@ -3012,3 +3012,170 @@ def stream_hard_negatives(
     if negs_dir is None:
         return spark.createDataFrame([], _HN_NEG_SCHEMA)
     return spark.read.schema(_HN_NEG_SCHEMA).parquet(negs_dir)
+
+
+# --- streaming Hamming/MIH radius index ---------------------------------------
+
+_HM_CODE_SCHEMA = "doc_id long, c0 long, c1 long, c2 long, c3 long"
+_HM_QID_SCHEMA = "query_id long"
+_HM_PAIR_SCHEMA = "query_id long, cand_id long, hamming long"
+
+
+def stream_hamming_neighbors(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.hamming_neighbors`` — the
+    exact multi-index-hashing radius search (Norouzi, Punjani & Fleet
+    2012) maintained continuously as documents stream in.  The 8-byte
+    code is the cheapest per-doc state in the repo, which makes this
+    the index a 100 TB ingest keeps hot while the float-ANN faces stay
+    offline.
+
+    Incremental fold, exactly two bounded score legs per batch (the
+    ``stream_hard_negatives`` skeleton):
+
+    - every NEW doc's code scores as a CANDIDATE against all current
+      queries (|batch| × |queries| bounded by the MIH bucket join —
+      queries are the batch operator's capped broadcast);
+    - queries that ENTER the capped query set this batch (new
+      ``% QUERY_MOD`` arrivals, or cap displacement re-admitting a
+      lower id) score against the committed code table once.
+
+    Unlike the top-k faces there is NO re-ranking: a radius verdict is
+    a pure function of the two fixed codes, so committed pair rows
+    stay valid verbatim and the merge is a distinct union (pairs of a
+    displaced query drop in the same commit).  Re-ingested doc_ids are
+    dropped against the committed code table (codes are deterministic
+    in the text, so the first arrival's row already carries the
+    verdicts).
+
+    State: per-batch ``codes`` contributions (append-only, 8 bytes a
+    doc + the id), cumulative ``pairs``/``qids`` snapshots (superseded
+    copies pruned).  Equivalence contract (tested): after every commit
+    the snapshot equals one-shot ``hamming_neighbors`` over exactly
+    the documents ingested so far, under arbitrary arrival order
+    including re-ingested ids.  Returns the latest committed snapshot.
+    """
+    from ..operators.dedup import (
+        HAMMING_CHUNKS,
+        HAMMING_QUERY_CAP,
+        HAMMING_RADIUS,
+        QUERY_MOD,
+        _simhash64_codes,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    ccols = [f"c{c}" for c in range(HAMMING_CHUNKS)]
+
+    def score(cands: DataFrame, qcodes: DataFrame) -> DataFrame:
+        # the batch operator's MIH shape: both sides explode to
+        # (chunk, value) rows carrying their full code, the bucket
+        # equi-join both finds and scores candidates in place, and
+        # multi-chunk collisions dedupe on the pair key alone
+        corpus_long = cands.select(
+            "doc_id",
+            *ccols,
+            F.posexplode(F.array(*[F.col(c) for c in ccols])).alias(
+                "chunk", "cval"
+            ),
+        )
+        qlong = qcodes.select(
+            "query_id",
+            *[F.col(f"q{c}") for c in range(HAMMING_CHUNKS)],
+            F.posexplode(
+                F.array(*[F.col(f"q{c}") for c in range(HAMMING_CHUNKS)])
+            ).alias("chunk", "cval"),
+        )
+        ham = None
+        for c in range(HAMMING_CHUNKS):
+            term = F.bit_count(F.col(f"c{c}").bitwiseXOR(F.col(f"q{c}")))
+            ham = term if ham is None else ham + term
+        return (
+            corpus_long.join(F.broadcast(qlong), ["chunk", "cval"])
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("doc_id").alias("cand_id"),
+                ham.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= HAMMING_RADIUS)
+            .distinct()
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "MIH index"):
+            return
+        code_dirs = _committed_dirs(root, "codes")
+        old = (
+            spark.read.schema(_HM_CODE_SCHEMA).parquet(*code_dirs)
+            if code_dirs
+            else None
+        )
+        new = _simhash64_codes(batch_df).dropDuplicates(["doc_id"])
+        if old is not None:  # re-ingested ids: first arrival wins
+            new = new.join(old, "doc_id", "left_anti")
+        new = new.localCheckpoint(eager=False)
+        all_codes = new.unionByName(old) if old is not None else new
+        q = (
+            all_codes.filter(F.col("doc_id") % QUERY_MOD == 0)
+            .orderBy("doc_id")
+            .limit(HAMMING_QUERY_CAP)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                *[F.col(f"c{c}").alias(f"q{c}") for c in range(HAMMING_CHUNKS)],
+            )
+            .localCheckpoint(eager=False)
+        )
+        qids_dir = _latest_committed_dir(root, "qids")
+        prev_qids = (
+            spark.read.schema(_HM_QID_SCHEMA).parquet(qids_dir)
+            if qids_dir
+            else spark.createDataFrame([], _HM_QID_SCHEMA)
+        )
+        new_q = q.join(prev_qids, "query_id", "left_anti")
+        legs = [score(new, q)]
+        if old is not None:
+            legs.append(score(old, new_q))
+        pairs_dir = _latest_committed_dir(root, "pairs")
+        if pairs_dir is not None:
+            prev = spark.read.schema(_HM_PAIR_SCHEMA).parquet(pairs_dir)
+            # cap displacement: only rows whose query survives merge
+            legs.append(
+                prev.join(q.select("query_id"), "query_id", "left_semi")
+            )
+        merged = legs[0]
+        for leg in legs[1:]:
+            merged = merged.unionByName(leg)
+        out = os.path.join(root, f"batch={batch_id}")
+        merged.distinct().write.mode("overwrite").parquet(
+            os.path.join(out, "pairs")
+        )
+        q.select("query_id").write.mode("overwrite").parquet(
+            os.path.join(out, "qids")
+        )
+        new.write.mode("overwrite").parquet(os.path.join(out, "codes"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "pairs")
+        _prune_superseded(root, "qids")
+        from ..functions.caching import release_local_checkpoint
+
+        release_local_checkpoint(new)
+        release_local_checkpoint(q)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    pairs_dir = _latest_committed_dir(root, "pairs")
+    if pairs_dir is None:
+        return spark.createDataFrame([], _HM_PAIR_SCHEMA)
+    return spark.read.schema(_HM_PAIR_SCHEMA).parquet(pairs_dir)

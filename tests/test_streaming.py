@@ -2968,3 +2968,66 @@ def test_stream_hard_negatives_every_snapshot_equals_batch(spark, tmp_path):
     assert not os.path.isdir(os.path.join(root, "batch=0", "negs"))
     assert os.path.isdir(os.path.join(root, "batch=1", "negs"))
     assert os.path.isdir(os.path.join(root, "batch=0", "vecs"))
+
+
+def test_stream_hamming_neighbors_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming MIH radius index's snapshot equals one-shot
+    hamming_neighbors over exactly the documents ingested so far — at
+    EVERY cut, under id-DESCENDING arrival (late batches admit NEW
+    lower-id queries that must backfill against the committed code
+    table once) and under re-ingestion (a replayed batch changes
+    nothing: first arrival's code already carries the verdicts) — and
+    superseded pair/qid snapshots are pruned while the append-only
+    code contributions stay."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        stream_hamming_neighbors,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    late = docs.filter(F.col("doc_id") > cut)
+    early = docs.filter(F.col("doc_id") <= cut)
+    src = str(tmp_path / "src")
+    late.coalesce(1).write.mode("append").parquet(src)       # batch 0
+    early.coalesce(1).write.mode("append").parquet(src)      # batch 1
+    late.coalesce(1).write.mode("append").parquet(src)       # batch 2: re-ingest
+    root = str(tmp_path / "index")
+    cuts: dict[int, set] = {}
+
+    def grab(batch_id: int) -> None:
+        cuts[batch_id] = {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(root, f"batch={batch_id}", "pairs")
+            ).collect()
+        }
+
+    folded = stream_hamming_neighbors(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+        on_batch=grab,
+    )
+    want_late = {
+        tuple(r) for r in dd.hamming_neighbors({"documents": late}).collect()
+    }
+    want_full = {
+        tuple(r) for r in dd.hamming_neighbors(t).collect()
+    }
+    assert cuts[0] == want_late and want_late
+    assert cuts[1] == want_full and want_full
+    assert cuts[2] == want_full  # re-ingest is a no-op
+    assert {tuple(r) for r in folded.collect()} == want_full
+    assert not os.path.isdir(os.path.join(root, "batch=0", "pairs"))
+    assert not os.path.isdir(os.path.join(root, "batch=1", "qids"))
+    assert os.path.isdir(os.path.join(root, "batch=2", "pairs"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "codes"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "codes"))
