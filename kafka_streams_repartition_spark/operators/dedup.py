@@ -3637,3 +3637,96 @@ JOIN sizes qa ON query_id = qa.doc_id
 WHERE qa.n > 0
   AND CAST(inter AS DOUBLE) / qa.n >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# Token-weighted duplication inflation (the "what does dedup buy" number)
+# --------------------------------------------------------------------------
+
+
+def dedup_inflation(t: dict[str, DataFrame]) -> DataFrame:
+    """One-row token-weighted duplication accounting: how much of the
+    corpus's TOKEN mass sits in non-keeper exact-duplicate copies —
+    the headline number a training-data pipeline reads before paying
+    for dedup (Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" reports corpora where near-dups are >10%
+    of tokens), and the doc-count/token-count split matters because
+    duplicated docs are rarely length-representative.
+
+    Same duplicate law as :func:`dedup_exact` (content hash, keeper =
+    min doc_id), same whitespace tokenizer as ``token_count``.
+    ``inflation`` = total tokens / kept tokens — the multiplier the
+    raw corpus applies to every training epoch over the deduped set.
+
+    Scale shape: one corpus scan computes (hash, n_tokens) per doc;
+    keeper resolution is one hash-keyed aggregation; the verdict join
+    is hash-keyed with map-side partials into a ONE-row rollup — no
+    pairwise work, no text ever leaves the scan.
+    """
+    from ..functions.text import words
+
+    toks = fan_out(t["documents"]).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    keep = toks.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    j = toks.join(keep, "h").select(
+        "n_tok", (F.col("doc_id") != F.col("keeper_id")).alias("is_dup")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("is_dup"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_dup"),
+    ).select(
+        "n_docs",
+        "n_dup_docs",
+        F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+            "dup_doc_frac"
+        ),
+        "tokens_total",
+        "tokens_dup",
+        F.round(F.col("tokens_dup") / F.col("tokens_total"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(
+            F.col("tokens_total")
+            / (F.col("tokens_total") - F.col("tokens_dup")),
+            6,
+        ).alias("inflation"),
+    )
+
+
+DEDUP_INFLATION_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                x -> x != '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+keep AS (SELECT h, min(doc_id) AS keeper_id FROM tk GROUP BY 1),
+j AS (
+    SELECT tk.n_tok, tk.doc_id != k.keeper_id AS is_dup
+    FROM tk JOIN keep k ON tk.h = k.h
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_dup
+    FROM j
+)
+SELECT n_docs, n_dup_docs,
+       round(n_dup_docs / n_docs, 6) AS dup_doc_frac,
+       tokens_total, tokens_dup,
+       round(tokens_dup / tokens_total, 6) AS dup_token_frac,
+       round(tokens_total / (tokens_total - tokens_dup), 6) AS inflation
+FROM agg
+"""

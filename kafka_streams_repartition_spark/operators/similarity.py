@@ -421,6 +421,19 @@ def kmeans_model(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
 
 
 def _kmeans_oracle() -> str:
+    return (
+        "WITH "
+        + _kmeans_parts()
+        + f"\nSELECT vec_id, cell FROM assign{KMEANS_ITER}"
+    )
+
+
+def _kmeans_parts() -> str:
+    """The Lloyd's-loop CTE chain (e / cent0..centN / assign0..assignN)
+    shared by every oracle that consumes the trained quantizer —
+    ``kmeans_cells`` itself plus the clustering diagnostics
+    (:func:`cluster_purity`, :func:`silhouette_simplified`), so the
+    trainer replays bit-identically everywhere."""
     assign = """
     SELECT vec_id, cell FROM (
         SELECT d.vec_id, d.cell,
@@ -441,8 +454,7 @@ def _kmeans_oracle() -> str:
     GROUP BY 1, 2
 """
     parts = [
-        """
-WITH e AS (
+        """e AS (
     SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
            generate_subscripts(embedding, 1) AS pos
     FROM embeddings
@@ -455,13 +467,179 @@ assign0 AS (""" + assign.format(cent="cent0") + ")"
         parts.append(
             f"assign{i + 1} AS ({assign.format(cent=f'cent{i + 1}')})"
         )
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT vec_id, cell FROM assign{KMEANS_ITER}"
-    )
+    return ",\n".join(parts)
 
 
 KMEANS_CELLS_ORACLE = _kmeans_oracle()
+
+
+def cluster_purity(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-cell label purity of the trained coarse quantizer — the
+    external-validation diagnostic (purity, Manning/Raghavan/Schütze
+    IR ch.16) read next to :func:`ivf_cell_balance`: balance says the
+    cells are USABLE (even occupancy), purity says they are
+    MEANINGFUL (a cell concentrates one label).  A pure, balanced
+    quantizer is what makes per-cell operations (semdedup pruning, D4
+    diversification, IVF probing) semantically safe; purity collapsing
+    toward 1/|labels| means the embedding space ignores the label.
+
+    Integer-exact by construction: every output is a ratio of counts
+    (no logs, no distance sums), so both engines agree bit-for-bit.
+
+    Scale shape: the trainer's assignment (one broadcast-centroid map
+    pass per Lloyd round) plus ONE (cell, label) aggregation —
+    |cells| × |labels| rows into the final rollup, constant-size
+    output at any corpus size.
+    """
+    cells = kmeans_cells(t)
+    lab = fan_out(t["embeddings"]).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    per = (
+        cells.join(lab, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # majority label via struct max: highest count, tie → lowest label
+    return (
+        per.groupBy("cell")
+        .agg(
+            F.sum("c").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.max(
+                F.struct(F.col("c"), (-F.col("label")).alias("neg"))
+            ).alias("m"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "n_labels",
+            (-F.col("m.neg")).cast("long").alias("top_label"),
+            F.round(F.col("m.c") / F.col("n_vecs"), 6).alias("purity"),
+        )
+    )
+
+
+CLUSTER_PURITY_ORACLE = f"""
+WITH {_kmeans_parts()},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+per AS (
+    SELECT a.cell, l.label, count(*) AS c
+    FROM assign{KMEANS_ITER} a JOIN lab l ON a.vec_id = l.vec_id
+    GROUP BY 1, 2
+),
+maj AS (
+    SELECT cell, c, label,
+           row_number() OVER (
+               PARTITION BY cell ORDER BY c DESC, label
+           ) AS rn
+    FROM per
+),
+n AS (
+    SELECT cell, CAST(sum(c) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_labels
+    FROM per GROUP BY 1
+)
+SELECT n.cell, n.n_vecs, n.n_labels,
+       CAST(m.label AS BIGINT) AS top_label,
+       round(m.c / n.n_vecs, 6) AS purity
+FROM n JOIN maj m ON m.cell = n.cell AND m.rn = 1
+"""
+
+
+def silhouette_simplified(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-cell SIMPLIFIED silhouette of the trained quantizer
+    (Vendramin, Campello & Hruschka 2010's centroid-based variant of
+    Rousseeuw 1987): for every vector, a = distance to its own
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a) / max(a, b) — the internal-validation companion to
+    :func:`cluster_purity` (purity needs labels; silhouette judges
+    the geometry alone).  Mean s per cell near 0 means the cell's
+    members sit as close to a neighboring centroid as their own —
+    exactly the cells whose IVF probes must widen and whose semdedup
+    prunes are risky.
+
+    The full silhouette is O(N²) pairwise; the simplified form is the
+    one a 100 TB corpus can afford — one broadcast-centroid scan
+    (k unrolled codegen distances per row), zero pairwise work, one
+    per-cell rollup.  Distances round at 6 before the ratio and the
+    per-cell mean sums rounded terms as exact DECIMAL, so the one
+    table is order-independent across engines.
+    """
+    assign, cent = kmeans_model(t)
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    dists = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.sqrt(sqdist_unrolled(F.col("v"), F.col("cv"), DIM)), 6).alias(
+                "dist"
+            ),
+        )
+    )
+    ab = (
+        dists.join(assign.withColumnRenamed("cell", "own"), "vec_id")
+        .groupBy("vec_id", "own")
+        .agg(
+            F.max(F.when(F.col("cell") == F.col("own"), F.col("dist"))).alias("a"),
+            F.min(F.when(F.col("cell") != F.col("own"), F.col("dist"))).alias("b"),
+        )
+    )
+    s = ab.select(
+        F.col("own").alias("cell"),
+        F.when(F.greatest("a", "b") <= 0.0, F.lit(0.0))
+        .otherwise(
+            F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
+        )
+        .alias("s"),
+    )
+    return (
+        s.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_s"),
+            F.round(F.min("s"), 6).alias("min_s"),
+            F.round(F.max("s"), 6).alias("max_s"),
+        )
+    )
+
+
+SILHOUETTE_SIMPLIFIED_ORACLE = f"""
+WITH {_kmeans_parts()},
+dists AS (
+    SELECT e.vec_id, c.cell,
+           round(sqrt(sum((e.x - c.c) * (e.x - c.c))), 6) AS dist
+    FROM e JOIN cent{KMEANS_ITER} c ON e.pos = c.pos
+    GROUP BY 1, 2
+),
+ab AS (
+    SELECT d.vec_id, a.cell AS own,
+           max(CASE WHEN d.cell = a.cell THEN d.dist END) AS a,
+           min(CASE WHEN d.cell != a.cell THEN d.dist END) AS b
+    FROM dists d JOIN assign{KMEANS_ITER} a ON d.vec_id = a.vec_id
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT own AS cell,
+           CASE WHEN greatest(a, b) <= 0.0 THEN 0.0
+                ELSE round((b - a) / greatest(a, b), 6) END AS s
+    FROM ab
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS mean_s,
+       round(min(s), 6) AS min_s,
+       round(max(s), 6) AS max_s
+FROM s
+GROUP BY 1
+"""
 
 
 # --- Arrow-vectorized brute force (the 100 TB scan path) -------------------
@@ -3683,3 +3861,254 @@ FROM hist
 
 
 KCENTER_COVERAGE_ORACLE = _kcenter_coverage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20   # relevance shortlist per query feeding the greedy loop
+MMR_K = 5       # diversified picks per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
+
+
+def mmr_rerank(t: dict[str, DataFrame]) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    1998) of each query's brute-force shortlist: greedily pick the
+    candidate maximizing ``λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)``
+    — the diversification stage between retrieval and a training batch
+    (or a RAG context window), where the plain top-k returns five
+    paraphrases of one document and MMR returns one of each.  The
+    query-level complement of the corpus-level :func:`kcenter_select`
+    (both greedy 2-approx diversifiers; this one is per-query and
+    relevance-anchored).
+
+    Scale shape: the only corpus-sized work is the shortlist scan
+    (the budgeted bounded-query brute pass, :func:`_ann_qcap`); the
+    greedy loop then runs over |Q|·MMR_POOL rows with |Q|·MMR_POOL²
+    pairwise sims — ALL queries advance together each round, so the
+    loop costs MMR_K bounded joins, not a per-query driver loop; pool
+    and pair frames localCheckpoint so the round plans stay flat (the
+    ``kmeans_cells`` lineage discipline).  The MMR score is computed
+    in EXACT integer arithmetic (rel/sim carry 6 decimals, so
+    score·1e7 = 7·rel·1e6 − 3·pen·1e6 is a BIGINT) — no floating
+    rounding step for the two engines to disagree on; ties to the
+    lowest cand_id.
+    """
+    emb = _corpus(t)
+    q = _queries(emb, _ann_qcap(t))
+    rel_c = F.round(
+        dot_unrolled(F.col("qv"), F.col("v"), DIM) / (F.col("qn") * F.col("nrm")),
+        6,
+    ).alias("rel")
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    pool = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), rel_c)
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("query_id", "cand_id", "rel")
+        .localCheckpoint(eager=False)
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv_a"),
+        F.col("nrm").alias("cn_a"),
+    )
+    sim_c = F.round(
+        dot_unrolled(F.col("cv_a"), F.col("cv_b"), DIM)
+        / (F.col("cn_a") * F.col("cn_b")),
+        6,
+    ).alias("sim")
+    pairs = (
+        pool.join(cv, "cand_id")
+        .join(
+            pool.select(
+                "query_id", F.col("cand_id").alias("b")
+            ).join(
+                cv.select(
+                    F.col("cand_id").alias("b"),
+                    F.col("cv_a").alias("cv_b"),
+                    F.col("cn_a").alias("cn_b"),
+                ),
+                "b",
+            ),
+            "query_id",
+        )
+        .filter(F.col("cand_id") != F.col("b"))
+        .select("query_id", F.col("cand_id").alias("a"), "b", sim_c)
+        .localCheckpoint(eager=False)
+    )
+    # EXACT integer score law (engine-portable with no score rounding
+    # at all): rel/sim carry 6 decimals, so score·1e7 = 7·(rel·1e6) −
+    # 3·(pen·1e6) is integer arithmetic — a plain round(λ·rel−(1−λ)·pen,
+    # 6) landed on a .5 boundary at sf0.01 and the two engines' last
+    # digits disagreed
+    def _scaled(col: F.Column) -> F.Column:
+        return F.round(col * 1_000_000, 0).cast("long")
+
+    def _score(rel_col: F.Column, pen_col: F.Column) -> F.Column:
+        num = (
+            F.lit(int(MMR_LAMBDA * 10)) * _scaled(rel_col)
+            - F.lit(int(round((1 - MMR_LAMBDA) * 10))) * _scaled(pen_col)
+        )
+        return (num.cast("double") / F.lit(10_000_000.0))
+
+    first = (
+        pool.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            _score(F.col("rel"), F.lit(0.0)).alias("mmr_score"),
+            F.lit(1).cast("long").alias("mmr_rank"),
+        )
+    )
+    picks = [first]
+    sel = first.select("query_id", "cand_id")
+    for r in range(2, MMR_K + 1):
+        pen = (
+            pairs.join(
+                sel.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        score = _score(F.col("rel"), F.col("pen"))
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("cand_id")
+        )
+        pick = (
+            pool.join(sel, ["query_id", "cand_id"], "left_anti")
+            .join(pen, ["query_id", "cand_id"])
+            .select("query_id", "cand_id", "rel", score.alias("mmr_score"))
+            .withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                "mmr_score",
+                F.lit(r).cast("long").alias("mmr_rank"),
+            )
+        )
+        picks.append(pick)
+        sel = sel.unionByName(pick.select("query_id", "cand_id")).localCheckpoint(
+            eager=False
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("query_id", "mmr_rank", "cand_id", "rel", "mmr_score")
+
+
+def _mmr_oracle() -> str:
+    # greedy loop unrolled to MMR_K rounds; every CTE that later rounds
+    # reference twice is MATERIALIZED (the _kcenter_oracle lesson:
+    # DuckDB re-inlines unhinted CTEs per reference — ~3^k blowup)
+    # the exact integer score law (see mmr_rerank): score·1e7 =
+    # lam10·rel·1e6 − mu10·pen·1e6, all BIGINT, then ONE double divide
+    lam10 = int(MMR_LAMBDA * 10)
+    mu10 = int(round((1 - MMR_LAMBDA) * 10))
+
+    def score_sql(rel: str, pen: str) -> str:
+        return (
+            f"CAST({lam10} * CAST(round({rel} * 1000000, 0) AS BIGINT) "
+            f"- {mu10} * CAST(round({pen} * 1000000, 0) AS BIGINT) "
+            f"AS DOUBLE) / 10000000.0"
+        )
+
+    parts = [
+        """e AS MATERIALIZED (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)""",
+        "norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm"
+        " FROM e GROUP BY 1)",
+        f"q AS MATERIALIZED (SELECT * FROM e WHERE vec_id IN ({_QCAP_SQL}))",
+        f"""pool AS MATERIALIZED (
+    SELECT query_id, cand_id, rel FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+                   round(sum(q.x * e.x) / (nq.nrm * nc.nrm), 6) AS rel
+            FROM q
+            JOIN e ON q.pos = e.pos AND q.vec_id != e.vec_id
+            JOIN norms nq ON q.vec_id = nq.vec_id
+            JOIN norms nc ON e.vec_id = nc.vec_id
+            GROUP BY 1, 2, nq.nrm, nc.nrm
+        )
+    ) WHERE rn <= {MMR_POOL}
+)""",
+        """pairs AS MATERIALIZED (
+    SELECT pa.query_id, pa.cand_id AS a, pb.cand_id AS b,
+           round(sum(ea.x * eb.x) / (na.nrm * nb.nrm), 6) AS sim
+    FROM pool pa
+    JOIN pool pb ON pa.query_id = pb.query_id AND pa.cand_id != pb.cand_id
+    JOIN e ea ON ea.vec_id = pa.cand_id
+    JOIN e eb ON eb.vec_id = pb.cand_id AND ea.pos = eb.pos
+    JOIN norms na ON na.vec_id = pa.cand_id
+    JOIN norms nb ON nb.vec_id = pb.cand_id
+    GROUP BY 1, 2, 3, na.nrm, nb.nrm
+)""",
+        f"""p1 AS MATERIALIZED (
+    SELECT query_id, cand_id, rel, {score_sql("rel", "0.0")} AS mmr_score,
+           CAST(1 AS BIGINT) AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS rn FROM pool
+    ) WHERE rn = 1
+)""",
+        "sel1 AS MATERIALIZED (SELECT query_id, cand_id FROM p1)",
+    ]
+    for r in range(2, MMR_K + 1):
+        parts.append(f"""pen{r} AS MATERIALIZED (
+    SELECT pr.query_id, pr.a AS cand_id, max(pr.sim) AS pen
+    FROM pairs pr
+    JOIN sel{r - 1} s ON pr.query_id = s.query_id AND pr.b = s.cand_id
+    GROUP BY 1, 2
+)""")
+        parts.append(f"""p{r} AS MATERIALIZED (
+    SELECT query_id, cand_id, rel, mmr_score,
+           CAST({r} AS BIGINT) AS mmr_rank
+    FROM (
+        SELECT po.query_id, po.cand_id, po.rel,
+               {score_sql("po.rel", "pe.pen")} AS mmr_score,
+               row_number() OVER (
+                   PARTITION BY po.query_id
+                   ORDER BY {score_sql("po.rel", "pe.pen")} DESC,
+                            po.cand_id
+               ) AS rn
+        FROM pool po
+        JOIN pen{r} pe
+          ON pe.query_id = po.query_id AND pe.cand_id = po.cand_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sel{r - 1} s
+            WHERE s.query_id = po.query_id AND s.cand_id = po.cand_id
+        )
+    ) WHERE rn = 1
+)""")
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} "
+            f"UNION ALL SELECT query_id, cand_id FROM p{r})"
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT * FROM p{r}" for r in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, mmr_rank, cand_id, rel, mmr_score FROM ({legs})"
+    )
+
+
+MMR_RERANK_ORACLE = _mmr_oracle()

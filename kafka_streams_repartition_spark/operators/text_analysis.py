@@ -11,7 +11,7 @@ embarrassingly parallel (no shuffle except final display).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import word_ngrams, words
@@ -2346,3 +2346,122 @@ FROM per_lang
 
 
 TOKENIZER_FERTILITY_ORACLE = _tokenizer_fertility_oracle()
+
+
+# --------------------------------------------------------------------------
+# Top-k n-gram cumulative coverage curve (vocabulary-budget design table)
+# --------------------------------------------------------------------------
+
+NGRAM_COVERAGE_KS = (10, 100, 1000, 10000)
+
+
+def ngram_coverage_curve(t: dict[str, DataFrame]) -> DataFrame:
+    """Cumulative token-mass coverage of the top-k corpus trigrams at
+    the configured k budgets — the vocabulary-truncation design table
+    (the Zipf law :func:`zipf_fit` FITS, priced: how much of the
+    corpus's gram mass does a k-entry vocabulary actually explain?).
+    Read next to the BPE trainer: a coverage elbow at small k means a
+    tiny merge table already compresses most of the corpus; a flat
+    curve means the corpus is gram-diverse and the tokenizer budget
+    must grow.  Same gram law as :func:`ngram_counts`.
+
+    Scale shape: corpus gram counts aggregate map-side per doc before
+    the gram-keyed exchange (the ``ngram_counts`` shape, no top-N cut);
+    the curve then needs only the top ``max(ks)`` grams — a distributed
+    ``TakeOrderedAndProject``, never a global sort — so the ranking
+    window runs over ≤ 10k rows regardless of corpus size; the total
+    mass is one separate scalar aggregate.  Output is |ks| rows at any
+    corpus size.
+    """
+    docs = t["documents"]
+    grams = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(word_ngrams(words(F.col("text")), NGRAM_N)).alias(
+                "gram"
+            ),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    corpus = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("gram")
+        .agg(F.sum("n").alias("occurrences"))
+    )
+    total = corpus.agg(
+        F.sum("occurrences").cast("long").alias("total_occurrences")
+    )
+    top = (
+        corpus.orderBy(F.col("occurrences").desc(), "gram")
+        .limit(max(NGRAM_COVERAGE_KS))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("occurrences").desc(), "gram")
+            ),
+        )
+    )
+    spark = docs.sparkSession
+    ks = spark.createDataFrame(
+        [(k,) for k in NGRAM_COVERAGE_KS], "top_k long"
+    )
+    return (
+        top.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("top_k"))
+        .groupBy("top_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams_used"),
+            F.sum("occurrences").cast("long").alias("covered_occurrences"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "top_k",
+            "n_grams_used",
+            "covered_occurrences",
+            "total_occurrences",
+            F.round(
+                F.col("covered_occurrences") / F.col("total_occurrences"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+NGRAM_COVERAGE_CURVE_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           array_to_string(w[i : i + {NGRAM_N - 1}], ' ') AS gram
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS i
+        FROM w
+        WHERE len(w) >= {NGRAM_N}
+    )
+),
+corpus AS (
+    SELECT gram, sum(n) AS occurrences
+    FROM (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+    GROUP BY 1
+),
+total AS (SELECT CAST(sum(occurrences) AS BIGINT) AS tot FROM corpus),
+ranked AS (
+    SELECT occurrences,
+           row_number() OVER (ORDER BY occurrences DESC, gram) AS rank
+    FROM corpus
+),
+ks(top_k) AS (VALUES {", ".join(f"({k})" for k in NGRAM_COVERAGE_KS)})
+SELECT CAST(k.top_k AS BIGINT) AS top_k,
+       CAST(count(*) AS BIGINT) AS n_grams_used,
+       CAST(sum(r.occurrences) AS BIGINT) AS covered_occurrences,
+       t.tot AS total_occurrences,
+       round(sum(r.occurrences) / t.tot, 6) AS coverage
+FROM ks k
+JOIN ranked r ON r.rank <= k.top_k
+CROSS JOIN total t
+GROUP BY 1, t.tot
+"""

@@ -1609,3 +1609,150 @@ def test_tokenizer_fertility_consistent_with_bpe_encode(t):
         "n_ws_tokens"
     ].sum()
     assert abs(wmean - 1.0) < 1e-3
+
+
+def test_cluster_purity_accounts_every_vector(t):
+    """Purity is an exact rollup of the trainer's own assignment: cell
+    populations sum to the corpus, every purity is the majority-label
+    share (≥ 1/n_labels, ≤ 1), and the majority label reproduces a
+    pandas recount of kmeans_cells ⋈ labels with the count-desc /
+    label-asc tie-break."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    pur = sim.cluster_purity(t).toPandas().set_index("cell")
+    cells = sim.kmeans_cells(t).toPandas()
+    labs = (
+        t["embeddings"].select("vec_id", "label").toPandas()
+    )
+    j = cells.merge(labs, on="vec_id")
+    assert pur["n_vecs"].sum() == len(j)
+    for cell, grp in j.groupby("cell"):
+        counts = (
+            grp.groupby("label").size().reset_index(name="c")
+            .sort_values(["c", "label"], ascending=[False, True])
+        )
+        top = counts.iloc[0]
+        r = pur.loc[cell]
+        assert r["n_vecs"] == len(grp)
+        assert r["n_labels"] == len(counts)
+        assert r["top_label"] == top["label"]
+        assert abs(r["purity"] - round(top["c"] / len(grp), 6)) < 1e-9
+        assert 1.0 / r["n_labels"] - 1e-9 <= r["purity"] <= 1.0
+
+
+def test_silhouette_range_and_accounting(t):
+    """The simplified silhouette table covers every vector exactly
+    once and every statistic is a genuine silhouette: s ∈ [-1, 1],
+    min ≤ mean ≤ max per cell, and cells agree with the trainer's
+    assignment populations."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    sil = sim.silhouette_simplified(t).toPandas()
+    want = (
+        sim.kmeans_cells(t).groupBy("cell").count().toPandas()
+        .set_index("cell")["count"]
+    )
+    assert set(sil["cell"]) == set(want.index)
+    assert sil["n_vecs"].sum() == want.sum()
+    for _, r in sil.iterrows():
+        assert r["n_vecs"] == want[r["cell"]]
+        assert -1.0 <= r["min_s"] <= r["mean_s"] + 1e-4
+        assert r["mean_s"] - 1e-4 <= r["max_s"] <= 1.0
+
+
+def test_ngram_coverage_curve_monotone_and_consistent(t):
+    """The coverage curve is a genuine cumulative distribution: one
+    row per configured k, coverage nondecreasing in k, grams-used =
+    min(k, vocabulary), covered ≤ total, and the k=10 row equals the
+    mass of ngram_counts' top 10 rows (same gram law, same
+    tie-break)."""
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+
+    cur = (
+        tx.ngram_coverage_curve(t).toPandas().sort_values("top_k")
+        .reset_index(drop=True)
+    )
+    assert list(cur["top_k"]) == sorted(tx.NGRAM_COVERAGE_KS)
+    assert (cur["coverage"].diff().dropna() >= 0).all()
+    assert (cur["covered_occurrences"] <= cur["total_occurrences"]).all()
+    assert (cur["n_grams_used"] <= cur["top_k"]).all()
+    top = tx.ngram_counts(t).toPandas()
+    want10 = top.sort_values(
+        ["occurrences", "gram"], ascending=[False, True]
+    ).head(10)["occurrences"].sum()
+    assert cur.iloc[0]["covered_occurrences"] == want10
+
+
+def test_dedup_inflation_consistent_with_dedup_exact(t):
+    """The one-row inflation table is exactly dedup_exact weighted by
+    token_count: dup docs = Σ (n_dups − 1) over the exact groups,
+    total tokens = token_count's whitespace column summed, and the
+    inflation multiplier is total / kept."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+
+    [r] = dd.dedup_inflation(t).collect()
+    groups = dd.dedup_exact(t).toPandas()
+    toks = tx.token_count(t).toPandas()
+    assert r["n_docs"] == groups["n_dups"].sum()
+    assert r["n_dup_docs"] == (groups["n_dups"] - 1).sum()
+    assert r["tokens_total"] == toks["n_ws_tokens"].sum()
+    assert 0 <= r["tokens_dup"] < r["tokens_total"]
+    assert r["inflation"] >= 1.0
+    kept = r["tokens_total"] - r["tokens_dup"]
+    assert abs(r["inflation"] - round(r["tokens_total"] / kept, 6)) < 1e-9
+
+
+def test_mmr_rerank_replays_greedy_in_numpy(t):
+    """The MMR table IS the greedy loop: a numpy replay (cosines
+    rounded at 6, the exact integer score law, count-desc/cand-asc
+    tie-breaks) over every capped query's top-MMR_POOL shortlist
+    reproduces every (rank, pick, score) row bit-for-bit."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    out = sim.mmr_rerank(t).toPandas()
+    vecs = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in t["embeddings"].select("vec_id", "embedding").collect()
+    )
+    ids = np.array([v[0] for v in vecs])
+    X = np.array([v[1] for v in vecs], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    cos = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    n = len(ids)
+    qcap = sim.derived_ann_query_cap(n)
+    q_idx = [i for i in range(n) if ids[i] % sim.QUERY_MOD == 0][:qcap]
+    want = []
+    lam10 = int(sim.MMR_LAMBDA * 10)
+    mu10 = 10 - lam10
+    for qi in q_idx:
+        rel = [(cos[qi, ci], ids[ci], ci) for ci in range(n) if ci != qi]
+        pool = sorted(rel, key=lambda x: (-x[0], x[1]))[: sim.MMR_POOL]
+        sel = []
+        for rank in range(1, sim.MMR_K + 1):
+            best = None
+            for relv, cid, ci in pool:
+                if any(cid == s[1] for s in sel):
+                    continue
+                pen = max((cos[ci, sj] for _, _, sj in sel), default=0.0)
+                score = (
+                    lam10 * round(relv * 1e6) - mu10 * round(pen * 1e6)
+                ) / 1e7
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, ci, relv, score)
+            if best is None:
+                break
+            sel.append((best[0], best[1], best[2]))
+            want.append(
+                (ids[qi], rank, best[1], round(best[3], 6), best[4])
+            )
+    got = sorted(
+        map(
+            tuple,
+            out[["query_id", "mmr_rank", "cand_id", "rel", "mmr_score"]].values,
+        )
+    )
+    assert got == sorted(want) and got
