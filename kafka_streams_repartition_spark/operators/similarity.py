@@ -4112,3 +4112,99 @@ def _mmr_oracle() -> str:
 
 
 MMR_RERANK_ORACLE = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension clip bounds for scalar quantization (exact order stats)
+# ---------------------------------------------------------------------------
+
+
+def embedding_clip_bounds(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension p1/p99 clip bounds vs the raw min/max — the
+    design table behind OUTLIER-ROBUST scalar quantization: ``sq_codes``
+    spreads its 256 levels over [lo, hi], and a single outlier
+    coordinate stretches a min/max range so the bulk of the mass lands
+    in a handful of levels (the classic SQ failure; FAISS ships
+    ``QT_*_uniform`` vs rangestat-trimmed variants for exactly this).
+    ``clip_span_ratio`` = (p99 − p1)/(max − min) per dimension: a
+    dimension far below 1.0 wastes most of its quantization range on
+    tail mass and should be clipped before encoding.
+
+    Percentiles are EXACT order statistics at integer rank positions
+    (value at rank ``ceil(q·n)`` under the deterministic (x, vec_id)
+    order) — no interpolation semantics to disagree on.  Scale shape:
+    the (pos, x) explode is one map pass; the ranking window
+    partitions by dimension (DIM independent sorts — the design-time
+    exact gate; the runtime path at 100 TB samples first); output is
+    DIM rows at any corpus size.
+    """
+    e = (
+        fan_out(t["embeddings"])
+        .select(
+            "vec_id",
+            F.posexplode(to_double_array("embedding")).alias("pos", "x"),
+        )
+        .select("vec_id", (F.col("pos") + 1).alias("d"), F.round("x", 6).alias("x"))
+    )
+    w = Window.partitionBy("d").orderBy("x", "vec_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    n = e.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = r.join(n, "d")
+
+    def at(pos_expr) -> F.Column:
+        return F.max(F.when(F.col("rn") == pos_expr, F.col("x")))
+
+    def cdiv(num: F.Column, den: int) -> F.Column:
+        return ((num + F.lit(den - 1)) / F.lit(den)).cast("long")
+
+    nn = F.col("n")
+    agg = j.groupBy("d").agg(
+        F.max("n").alias("n_vecs"),
+        F.round(F.min("x"), 6).alias("x_min"),
+        F.round(at(cdiv(nn * 1, 100)), 6).alias("p1"),
+        F.round(at(cdiv(nn * 99, 100)), 6).alias("p99"),
+        F.round(F.max("x"), 6).alias("x_max"),
+    )
+    span = F.col("x_max") - F.col("x_min")
+    return agg.select(
+        F.col("d").cast("long").alias("d"),
+        "n_vecs",
+        "x_min",
+        "p1",
+        "p99",
+        "x_max",
+        F.when(span <= 0.0, F.lit(1.0))
+        .otherwise(F.round((F.col("p99") - F.col("p1")) / span, 6))
+        .alias("clip_span_ratio"),
+    )
+
+
+EMBEDDING_CLIP_BOUNDS_ORACLE = """
+WITH e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+    FROM embeddings
+),
+r AS (
+    SELECT d, x,
+           row_number() OVER (PARTITION BY d ORDER BY x, vec_id) AS rn
+    FROM e
+),
+n AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+agg AS (
+    SELECT r.d, max(n.n) AS n_vecs,
+           round(min(r.x), 6) AS x_min,
+           round(max(CASE WHEN r.rn = (n.n * 1 + 99) // 100
+                          THEN r.x END), 6) AS p1,
+           round(max(CASE WHEN r.rn = (n.n * 99 + 99) // 100
+                          THEN r.x END), 6) AS p99,
+           round(max(r.x), 6) AS x_max
+    FROM r JOIN n ON r.d = n.d
+    GROUP BY 1
+)
+SELECT CAST(d AS BIGINT) AS d, n_vecs, x_min, p1, p99, x_max,
+       CASE WHEN x_max - x_min <= 0.0 THEN 1.0
+            ELSE round((p99 - p1) / (x_max - x_min), 6) END
+           AS clip_span_ratio
+FROM agg
+"""

@@ -2465,3 +2465,74 @@ JOIN ranked r ON r.rank <= k.top_k
 CROSS JOIN total t
 GROUP BY 1, t.tot
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source document-length profile (exact order statistics)
+# --------------------------------------------------------------------------
+
+
+def doc_length_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source exact length percentiles (p10/p50/p90 of ``n_chars``)
+    — the mixture-audit companion to :func:`text_stats`: corpus mixes
+    go wrong per SOURCE (one crawl slice full of boilerplate stubs,
+    one of concatenated books), and mean lengths hide exactly that.
+    Percentiles are EXACT order statistics at integer rank positions
+    (value at rank ``ceil(q·n)`` under the deterministic
+    (n_chars, doc_id) order) — no interpolation, so the two engines
+    cannot disagree on fractional-rank semantics.
+
+    Scale shape: one ranking window per source partition plus one
+    count aggregate — the sort is per-source and distributes across
+    sources; output is |sources| rows.  (At 100 TB the same question
+    is usually asked of ``table_profile_approx``'s sketch first; this
+    is the exact gate.)
+    """
+    d = t["documents"].select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = r.join(n, "source")
+
+    def at(pos_expr) -> F.Column:
+        return F.max(F.when(F.col("rn") == pos_expr, F.col("n_chars")))
+
+    def cdiv(num: F.Column, den: int) -> F.Column:
+        return ((num + F.lit(den - 1)) / F.lit(den)).cast("long")
+
+    nn = F.col("n_docs")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            at(cdiv(nn * 1, 10)).cast("long").alias("p10_chars"),
+            at(cdiv(nn * 5, 10)).cast("long").alias("p50_chars"),
+            at(cdiv(nn * 9, 10)).cast("long").alias("p90_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+DOC_LENGTH_PROFILE_ORACLE = """
+WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+r AS (
+    SELECT source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS rn
+    FROM d
+),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1)
+SELECT r.source, max(n.n_docs) AS n_docs,
+       CAST(min(r.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(CASE WHEN r.rn = (n.n_docs * 1 + 9) // 10
+                     THEN r.n_chars END) AS BIGINT) AS p10_chars,
+       CAST(max(CASE WHEN r.rn = (n.n_docs * 5 + 9) // 10
+                     THEN r.n_chars END) AS BIGINT) AS p50_chars,
+       CAST(max(CASE WHEN r.rn = (n.n_docs * 9 + 9) // 10
+                     THEN r.n_chars END) AS BIGINT) AS p90_chars,
+       CAST(max(r.n_chars) AS BIGINT) AS max_chars
+FROM r JOIN n ON r.source = n.source
+GROUP BY 1
+"""

@@ -1756,3 +1756,54 @@ def test_mmr_rerank_replays_greedy_in_numpy(t):
         )
     )
     assert got == sorted(want) and got
+
+
+def test_doc_length_profile_exact_order_stats(t):
+    """The per-source percentiles are the exact order statistics a
+    pandas replay produces (value at rank ceil(q·n) under the
+    (n_chars, doc_id) order), monotone p10 ≤ p50 ≤ p90 within
+    [min, max], populations summing to the corpus."""
+    from kafka_streams_repartition_spark.operators import text_analysis as tx
+
+    prof = tx.doc_length_profile(t).toPandas().set_index("source")
+    docs = t["documents"].select("source", "doc_id", "n_chars").toPandas()
+    assert prof["n_docs"].sum() == len(docs)
+    for src, grp in docs.groupby("source"):
+        g = grp.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        r = prof.loc[src]
+        assert r["n_docs"] == n
+        for q, col in ((1, "p10_chars"), (5, "p50_chars"), (9, "p90_chars")):
+            pos = -(-(n * q) // 10)  # ceil
+            assert r[col] == g["n_chars"].iloc[pos - 1], (src, col)
+        assert (
+            r["min_chars"] <= r["p10_chars"] <= r["p50_chars"]
+            <= r["p90_chars"] <= r["max_chars"]
+        )
+
+
+def test_embedding_clip_bounds_exact_order_stats(t):
+    """One row per dimension; p1/p99 reproduce a numpy replay of the
+    integer-rank order statistics over the rounded coordinates; the
+    clip ratio is in (0, 1] and equals (p99−p1)/(max−min)."""
+    import numpy as np
+
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    out = sim.embedding_clip_bounds(t).toPandas().set_index("d")
+    vecs = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in t["embeddings"].select("vec_id", "embedding").collect()
+    )
+    X = np.round(np.array([v[1] for v in vecs], dtype=np.float64), 6)
+    n = X.shape[0]
+    assert set(out.index) == set(range(1, sim.DIM + 1))
+    for d in (1, 2, 32, 64):
+        xs = np.sort(X[:, d - 1])  # vec_id tiebreak irrelevant: values sort
+        r = out.loc[d]
+        assert r["n_vecs"] == n
+        assert r["x_min"] == round(float(xs[0]), 6)
+        assert r["x_max"] == round(float(xs[-1]), 6)
+        assert r["p1"] == round(float(xs[-(-n // 100) - 1]), 6)
+        assert r["p99"] == round(float(xs[-(-(99 * n) // 100) - 1]), 6)
+        assert 0.0 < r["clip_span_ratio"] <= 1.0

@@ -22,8 +22,9 @@ Three families, each its own committed artifact:
    langid_confusion, tokenizer_fertility (text probe, one bench
    process per query so a slow leg cannot starve the others).
 3. BENCH_sf10_r12_newops.json — this round's additions at 100×:
-   mmr_rerank, cluster_purity, silhouette_simplified (mm probe);
-   ngram_coverage_curve, dedup_inflation (text probe).
+   mmr_rerank, cluster_purity, silhouette_simplified,
+   embedding_clip_bounds (mm probe); ngram_coverage_curve,
+   dedup_inflation, doc_length_profile (text probe).
 
 Run from the repo root with NOTHING else on the machine (bench.py
 measures external CPU and flags the artifact otherwise):
@@ -156,8 +157,11 @@ def family_probes(
 def family_newops(
     sf1_dir: str, sf10_dir: str, sf10_text: str, scratch: str
 ) -> None:
-    mm = ["mmr_rerank", "cluster_purity", "silhouette_simplified"]
-    tx = ["ngram_coverage_curve", "dedup_inflation"]
+    mm = [
+        "mmr_rerank", "cluster_purity", "silhouette_simplified",
+        "embedding_clip_bounds",
+    ]
+    tx = ["ngram_coverage_curve", "dedup_inflation", "doc_length_profile"]
     sf1_mm = run_bench(sf1_dir, mm, os.path.join(scratch, "r12n_sf1_mm.json"))
     sf10_mm = run_bench(sf10_dir, mm, os.path.join(scratch, "r12n_sf10_mm.json"))
     sf1_tx = run_bench(sf1_dir, tx, os.path.join(scratch, "r12n_sf1_tx.json"))
