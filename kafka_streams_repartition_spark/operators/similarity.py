@@ -3872,29 +3872,11 @@ MMR_K = 5       # diversified picks per query
 MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
 
 
-def mmr_rerank(t: dict[str, DataFrame]) -> DataFrame:
-    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
-    1998) of each query's brute-force shortlist: greedily pick the
-    candidate maximizing ``λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)``
-    — the diversification stage between retrieval and a training batch
-    (or a RAG context window), where the plain top-k returns five
-    paraphrases of one document and MMR returns one of each.  The
-    query-level complement of the corpus-level :func:`kcenter_select`
-    (both greedy 2-approx diversifiers; this one is per-query and
-    relevance-anchored).
-
-    Scale shape: the only corpus-sized work is the shortlist scan
-    (the budgeted bounded-query brute pass, :func:`_ann_qcap`); the
-    greedy loop then runs over |Q|·MMR_POOL rows with |Q|·MMR_POOL²
-    pairwise sims — ALL queries advance together each round, so the
-    loop costs MMR_K bounded joins, not a per-query driver loop; pool
-    and pair frames localCheckpoint so the round plans stay flat (the
-    ``kmeans_cells`` lineage discipline).  The MMR score is computed
-    in EXACT integer arithmetic (rel/sim carry 6 decimals, so
-    score·1e7 = 7·rel·1e6 − 3·pen·1e6 is a BIGINT) — no floating
-    rounding step for the two engines to disagree on; ties to the
-    lowest cand_id.
-    """
+def _mmr_pool_pairs(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """(pool, pairs) shared by :func:`mmr_rerank` and its gate: each
+    capped query's top-``MMR_POOL`` relevance shortlist, and the
+    within-pool pairwise candidate cosines (|Q|·POOL² bounded rows).
+    Both localCheckpoint so the greedy rounds' plans stay flat."""
     emb = _corpus(t)
     q = _queries(emb, _ann_qcap(t))
     rel_c = F.round(
@@ -3941,6 +3923,36 @@ def mmr_rerank(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("cand_id") != F.col("b"))
         .select("query_id", F.col("cand_id").alias("a"), "b", sim_c)
         .localCheckpoint(eager=False)
+    )
+    return pool, pairs
+
+
+def mmr_rerank(t: dict[str, DataFrame]) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    1998) of each query's brute-force shortlist: greedily pick the
+    candidate maximizing ``λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)``
+    — the diversification stage between retrieval and a training batch
+    (or a RAG context window), where the plain top-k returns five
+    paraphrases of one document and MMR returns one of each.  The
+    query-level complement of the corpus-level :func:`kcenter_select`
+    (both greedy 2-approx diversifiers; this one is per-query and
+    relevance-anchored).
+
+    Scale shape: the only corpus-sized work is the shortlist scan
+    (the budgeted bounded-query brute pass, :func:`_ann_qcap`); the
+    greedy loop then runs over |Q|·MMR_POOL rows with |Q|·MMR_POOL²
+    pairwise sims — ALL queries advance together each round, so the
+    loop costs MMR_K bounded joins, not a per-query driver loop; pool
+    and pair frames localCheckpoint so the round plans stay flat (the
+    ``kmeans_cells`` lineage discipline).  The MMR score is computed
+    in EXACT integer arithmetic (rel/sim carry 6 decimals, so
+    score·1e7 = 7·rel·1e6 − 3·pen·1e6 is a BIGINT) — no floating
+    rounding step for the two engines to disagree on; ties to the
+    lowest cand_id.
+    """
+    pool, pairs = _mmr_pool_pairs(t)
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
     )
     # EXACT integer score law (engine-portable with no score rounding
     # at all): rel/sim carry 6 decimals, so score·1e7 = 7·(rel·1e6) −
@@ -4007,10 +4019,12 @@ def mmr_rerank(t: dict[str, DataFrame]) -> DataFrame:
     return out.select("query_id", "mmr_rank", "cand_id", "rel", "mmr_score")
 
 
-def _mmr_oracle() -> str:
+def _mmr_parts() -> str:
     # greedy loop unrolled to MMR_K rounds; every CTE that later rounds
     # reference twice is MATERIALIZED (the _kcenter_oracle lesson:
-    # DuckDB re-inlines unhinted CTEs per reference — ~3^k blowup)
+    # DuckDB re-inlines unhinted CTEs per reference — ~3^k blowup).
+    # Shared (pool/pairs/picks) by the rerank oracle and its
+    # diversity gate.
     # the exact integer score law (see mmr_rerank): score·1e7 =
     # lam10·rel·1e6 − mu10·pen·1e6, all BIGINT, then ONE double divide
     lam10 = int(MMR_LAMBDA * 10)
@@ -4104,10 +4118,15 @@ def _mmr_oracle() -> str:
     legs = " UNION ALL ".join(
         f"SELECT * FROM p{r}" for r in range(1, MMR_K + 1)
     )
+    parts.append(f"picks AS MATERIALIZED (SELECT * FROM ({legs}))")
+    return ",\n".join(parts)
+
+
+def _mmr_oracle() -> str:  # noqa: F811 — parts builder + final select
     return (
         "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT query_id, mmr_rank, cand_id, rel, mmr_score FROM ({legs})"
+        + _mmr_parts()
+        + "\nSELECT query_id, mmr_rank, cand_id, rel, mmr_score FROM picks"
     )
 
 
@@ -4207,4 +4226,134 @@ SELECT CAST(d AS BIGINT) AS d, n_vecs, x_min, p1, p99, x_max,
             ELSE round((p99 - p1) / (x_max - x_min), 6) END
            AS clip_span_ratio
 FROM agg
+"""
+
+
+def mmr_diversity_gain(t: dict[str, DataFrame]) -> DataFrame:
+    """The MMR deployment's acceptance gate (the module's design-table
+    discipline: every production rerank ships with its measured
+    forfeit): plain top-``MMR_K``-by-relevance vs :func:`mmr_rerank`'s
+    picks over the SAME pools — mean relevance of each (the forfeit
+    MMR pays) against mean within-pick pairwise cosine of each (the
+    redundancy it removes).  ``diversity_gain`` > 0 with a small
+    ``rel_forfeit`` is the go signal; a corpus where the gate reads ~0
+    has no redundancy for MMR to trade against and the plain top-k
+    should ship instead.
+
+    One row; both means sum rounded-6 terms as exact DECIMAL over
+    unordered (a < b) pick pairs — order-independent across engines.
+    Scale shape: reuses the rerank's bounded pool/pairs frames; the
+    gate itself aggregates |Q|·K pick rows and |Q|·K² pair rows.
+    """
+    pool, pairs = _mmr_pool_pairs(t)
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    top = (
+        pool.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_K)
+        .select("query_id", "cand_id", "rel")
+    )
+    mmr = mmr_rerank(t).select("query_id", "cand_id", "rel")
+
+    def rel_mean(picks: DataFrame) -> F.Column:
+        return F.round(
+            F.sum(F.col("rel").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        )
+
+    def pairsim(picks: DataFrame) -> DataFrame:
+        return (
+            pairs.join(
+                picks.select("query_id", F.col("cand_id").alias("a")),
+                ["query_id", "a"],
+            )
+            .join(
+                picks.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .agg(
+                F.round(
+                    F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("avg_pairsim")
+            )
+        )
+
+    stats_top = top.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        rel_mean(top).alias("avg_rel_topk"),
+    ).crossJoin(
+        F.broadcast(
+            pairsim(top).select(F.col("avg_pairsim").alias("avg_pairsim_topk"))
+        )
+    )
+    stats_mmr = mmr.agg(rel_mean(mmr).alias("avg_rel_mmr")).crossJoin(
+        F.broadcast(
+            pairsim(mmr).select(F.col("avg_pairsim").alias("avg_pairsim_mmr"))
+        )
+    )
+    return (
+        stats_top.crossJoin(F.broadcast(stats_mmr))
+        .select(
+            "n_queries",
+            "avg_rel_topk",
+            "avg_rel_mmr",
+            F.round(F.col("avg_rel_topk") - F.col("avg_rel_mmr"), 4).alias(
+                "rel_forfeit"
+            ),
+            "avg_pairsim_topk",
+            "avg_pairsim_mmr",
+            F.round(
+                F.col("avg_pairsim_topk") - F.col("avg_pairsim_mmr"), 4
+            ).alias("diversity_gain"),
+        )
+    )
+
+
+MMR_DIVERSITY_GAIN_ORACLE = f"""
+WITH {_mmr_parts()},
+top AS MATERIALIZED (
+    SELECT query_id, cand_id, rel FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS rn FROM pool
+    ) WHERE rn <= {MMR_K}
+),
+ps_top AS (
+    SELECT round(CAST(sum(CAST(pr.sim AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_pairsim_topk
+    FROM pairs pr
+    JOIN top a ON pr.query_id = a.query_id AND pr.a = a.cand_id
+    JOIN top b ON pr.query_id = b.query_id AND pr.b = b.cand_id
+    WHERE pr.a < pr.b
+),
+ps_mmr AS (
+    SELECT round(CAST(sum(CAST(pr.sim AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_pairsim_mmr
+    FROM pairs pr
+    JOIN picks a ON pr.query_id = a.query_id AND pr.a = a.cand_id
+    JOIN picks b ON pr.query_id = b.query_id AND pr.b = b.cand_id
+    WHERE pr.a < pr.b
+),
+r_top AS (
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(rel AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_rel_topk
+    FROM top
+),
+r_mmr AS (
+    SELECT round(CAST(sum(CAST(rel AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_rel_mmr
+    FROM picks
+)
+SELECT r_top.n_queries, r_top.avg_rel_topk, r_mmr.avg_rel_mmr,
+       round(r_top.avg_rel_topk - r_mmr.avg_rel_mmr, 4) AS rel_forfeit,
+       ps_top.avg_pairsim_topk, ps_mmr.avg_pairsim_mmr,
+       round(ps_top.avg_pairsim_topk - ps_mmr.avg_pairsim_mmr, 4)
+           AS diversity_gain
+FROM r_top, r_mmr, ps_top, ps_mmr
 """

@@ -1807,3 +1807,25 @@ def test_embedding_clip_bounds_exact_order_stats(t):
         assert r["p1"] == round(float(xs[-(-n // 100) - 1]), 6)
         assert r["p99"] == round(float(xs[-(-(99 * n) // 100) - 1]), 6)
         assert 0.0 < r["clip_span_ratio"] <= 1.0
+
+
+def test_mmr_diversity_gain_is_real(t):
+    """The gate's numbers decompose correctly: relevance means are in
+    [-1, 1] with plain-top-k ≥ MMR on average (greedy can only forfeit
+    relevance), the diversity gain equals the pair-sim difference, and
+    on the fixture (which contains near-dup embeddings) the gain is
+    strictly positive."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    [r] = sim.mmr_diversity_gain(t).collect()
+    assert r["n_queries"] > 0
+    assert -1.0 <= r["avg_rel_mmr"] <= r["avg_rel_topk"] <= 1.0
+    assert abs(
+        r["rel_forfeit"] - round(r["avg_rel_topk"] - r["avg_rel_mmr"], 4)
+    ) < 1e-9
+    assert abs(
+        r["diversity_gain"]
+        - round(r["avg_pairsim_topk"] - r["avg_pairsim_mmr"], 4)
+    ) < 1e-9
+    assert r["rel_forfeit"] >= 0.0
+    assert r["diversity_gain"] > 0.0

@@ -158,8 +158,8 @@ def family_newops(
     sf1_dir: str, sf10_dir: str, sf10_text: str, scratch: str
 ) -> None:
     mm = [
-        "mmr_rerank", "cluster_purity", "silhouette_simplified",
-        "embedding_clip_bounds",
+        "mmr_rerank", "mmr_diversity_gain", "cluster_purity",
+        "silhouette_simplified", "embedding_clip_bounds",
     ]
     tx = ["ngram_coverage_curve", "dedup_inflation", "doc_length_profile"]
     sf1_mm = run_bench(sf1_dir, mm, os.path.join(scratch, "r12n_sf1_mm.json"))
