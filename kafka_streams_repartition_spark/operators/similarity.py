@@ -3872,11 +3872,37 @@ MMR_K = 5       # diversified picks per query
 MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
 
 
+# identity-keyed memo on the loader-memoized embeddings frame (the
+# _kcenter_centers discipline): the gate calls mmr_rerank on the same
+# corpus it builds its own pool for — without the memo the bounded
+# shortlist scan and the |Q|·POOL² pair build ran TWICE per gate
+# invocation (isolated sf0.1 median 27.9 s pre-memo)
+_MMR_MEMO: "_OrderedDict[int, tuple[DataFrame, tuple]]" = _OrderedDict()
+
+
 def _mmr_pool_pairs(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
     """(pool, pairs) shared by :func:`mmr_rerank` and its gate: each
     capped query's top-``MMR_POOL`` relevance shortlist, and the
     within-pool pairwise candidate cosines (|Q|·POOL² bounded rows).
-    Both localCheckpoint so the greedy rounds' plans stay flat."""
+    Both localCheckpoint so the greedy rounds' plans stay flat; the
+    pair memoizes per embeddings frame so the gate's two consumers
+    share one build."""
+    key = t["embeddings"]
+    k = id(key)
+    hit = _MMR_MEMO.get(k)
+    if hit is not None:
+        _MMR_MEMO.move_to_end(k)
+        return hit[1]
+    out = _mmr_pool_pairs_uncached(t)
+    _MMR_MEMO[k] = (key, out)
+    while len(_MMR_MEMO) > 2:
+        _MMR_MEMO.popitem(last=False)
+    return out
+
+
+def _mmr_pool_pairs_uncached(
+    t: dict[str, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
     emb = _corpus(t)
     q = _queries(emb, _ann_qcap(t))
     rel_c = F.round(

@@ -32,13 +32,23 @@ OUT = "BENCH_isolated_r12.json"
 
 
 def newest_driver_bench() -> tuple[str, dict]:
+    """Per-query medians of the newest driver bench.  The driver's
+    BENCH_r{N}.json wraps a parsed one-liner whose per-query map lives
+    in bench_results.json (written by the same run); fall back to any
+    artifact that carries a queries dict directly."""
     cands = sorted(
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     path = cands[-1]
     with open(path) as fh:
-        return os.path.basename(path), json.load(fh)
+        d = json.load(fh)
+    if "queries" not in d:
+        side = os.path.join(REPO, "bench_results.json")
+        with open(side) as fh:
+            d = json.load(fh)
+        path = side
+    return os.path.basename(path), d
 
 
 def main() -> None:
