@@ -1418,3 +1418,52 @@ def test_rho_loss_select_vocab_never_broadcasts(t):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_plans_broadcast_and_bound(t):
+    """The MMR family's physical plans carry the scale contract: the
+    shortlist scan broadcasts the bounded query set (gated on the
+    UNCACHED pool build — the localCheckpoint that keeps the greedy
+    rounds' plans flat truncates the final explain above it), the
+    full plan never degrades to a shuffled cartesian, and the
+    per-query ranks are WindowGroupLimit-prunable so exchanges carry
+    pool-sized rows, not the corpus."""
+    emb = sim._corpus(t)
+    shortlist = emb.crossJoin(F.broadcast(sim._queries(emb, sim._ann_qcap(t))))
+    # explicit bounded query×corpus product → BroadcastNestedLoopJoin
+    # (no equi-key), the ann_topk_bruteforce shape
+    assert "BroadcastNestedLoopJoin" in explain_str(shortlist)
+    plan = explain_str(sim.mmr_rerank(t))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_coverage_curve_ranks_topk_not_corpus(t):
+    """The coverage curve's ranking window must run AFTER a
+    TakeOrderedAndProject cut to the top-max(ks) grams — a global sort
+    of the vocabulary would not survive 100 TB."""
+    plan = explain_str(tx.ngram_coverage_curve(t))
+    assert "TakeOrderedAndProject" in plan
+    assert_read_schema_pruned(
+        tx.ngram_coverage_curve(t), "documents", "lang"
+    )
+
+
+def test_order_statistics_profiles_prune_scans(t):
+    """doc_length_profile reads only (source, doc_id, n_chars) — the
+    text column never leaves the parquet scan; embedding_clip_bounds
+    is join-free (explode + window + one rollup)."""
+    assert_read_schema_pruned(
+        tx.doc_length_profile(t), "documents", "text"
+    )
+    plan = explain_str(sim.embedding_clip_bounds(t))
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_validation_broadcasts_centroids(t):
+    """Both quantizer-validation ops assign/score via broadcast
+    centroid state — no corpus-sized join for the label or distance
+    side beyond the keyed purity rollup."""
+    assert_broadcast_join(sim.silhouette_simplified(t), at_least=1)
+    plan = explain_str(sim.cluster_purity(t))
+    assert "CartesianProduct" not in plan
