@@ -3179,3 +3179,132 @@ def stream_hamming_neighbors(
     if pairs_dir is None:
         return spark.createDataFrame([], _HM_PAIR_SCHEMA)
     return spark.read.schema(_HM_PAIR_SCHEMA).parquet(pairs_dir)
+
+
+# --- streaming dedup-inflation accounting --------------------------------------
+
+_DI_HSTAT_SCHEMA = "h string, n_docs long, sum_tok long"
+_DI_ID_SCHEMA = "doc_id long"
+_DI_SNAP_SCHEMA = (
+    "n_docs long, n_dup_docs long, dup_doc_frac double, tokens_total long,"
+    " tokens_dup long, dup_token_frac double, inflation double"
+)
+
+
+def stream_dedup_inflation(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.dedup_inflation`` — the
+    token-weighted duplication dashboard maintained continuously as
+    the corpus streams in (the number an ingest pipeline watches to
+    decide WHEN the next dedup pass pays for itself).
+
+    The fold is pure per-hash sums, the cheapest state in the
+    streaming family: every member of a content-hash group carries
+    IDENTICAL text, hence an identical token count t_h, so the group's
+    duplicate tokens are (n_h − 1)·t_h = sum_tok − sum_tok/n_h —
+    keeper IDENTITY never matters for the accounting, only the counts
+    (contrast ``stream_span_dedup``, whose ownership rule forces
+    dethroned-owner rescores).  Per batch: new docs (re-ingested ids
+    dropped against the committed id set) contribute (h, n_docs,
+    sum_tok) rows that SUM-fold across batches; the one-row snapshot
+    derives from the folded table.
+
+    State: per-batch ``hstats`` + ``ids`` contributions (append-only;
+    text never persists), cumulative ``snap`` (superseded copies
+    pruned).  Equivalence contract (tested): after every commit the
+    snapshot equals one-shot ``dedup_inflation`` over exactly the
+    documents ingested so far, under arbitrary arrival order including
+    re-ingested ids.  Returns the latest committed snapshot.
+    """
+    from ..functions.text import words
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(root, checkpoint_dir, batch_id, "inflation fold"):
+            return
+        new = (
+            batch_df.select(
+                "doc_id",
+                F.md5("text").alias("h"),
+                F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+            )
+            .dropDuplicates(["doc_id"])
+        )
+        id_dirs = _committed_dirs(root, "ids")
+        if id_dirs:
+            old_ids = spark.read.schema(_DI_ID_SCHEMA).parquet(*id_dirs)
+            new = new.join(old_ids, "doc_id", "left_anti")
+        new = new.localCheckpoint(eager=False)
+        contrib = new.groupBy("h").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+        out = os.path.join(root, f"batch={batch_id}")
+        contrib.write.mode("overwrite").parquet(os.path.join(out, "hstats"))
+        new.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(out, "ids")
+        )
+        hs_dirs = _committed_dirs(root, "hstats") + [
+            os.path.join(out, "hstats")
+        ]
+        folded = (
+            spark.read.schema(_DI_HSTAT_SCHEMA)
+            .parquet(*hs_dirs)
+            .groupBy("h")
+            .agg(
+                F.sum("n_docs").alias("n"),
+                F.sum("sum_tok").alias("tok"),
+            )
+        )
+        snap = folded.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+            F.sum("tok").cast("long").alias("tokens_total"),
+            # per group: dup tokens = tok - tok/n (tok/n is exact: every
+            # member's token count is identical)
+            F.sum(F.col("tok") - (F.col("tok") / F.col("n")).cast("long"))
+            .cast("long")
+            .alias("tokens_dup"),
+        ).select(
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_doc_frac"
+            ),
+            "tokens_total",
+            "tokens_dup",
+            F.round(F.col("tokens_dup") / F.col("tokens_total"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(
+                F.col("tokens_total")
+                / (F.col("tokens_total") - F.col("tokens_dup")),
+                6,
+            ).alias("inflation"),
+        )
+        snap.write.mode("overwrite").parquet(os.path.join(out, "snap"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "snap")
+        from ..functions.caching import release_local_checkpoint
+
+        release_local_checkpoint(new)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    snap_dir = _latest_committed_dir(root, "snap")
+    if snap_dir is None:
+        return spark.createDataFrame([], _DI_SNAP_SCHEMA)
+    return spark.read.schema(_DI_SNAP_SCHEMA).parquet(snap_dir)

@@ -3031,3 +3031,64 @@ def test_stream_hamming_neighbors_every_snapshot_equals_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "batch=2", "pairs"))
     assert os.path.isdir(os.path.join(root, "batch=0", "codes"))
     assert os.path.isdir(os.path.join(root, "batch=1", "codes"))
+
+
+def test_stream_dedup_inflation_every_snapshot_equals_batch(spark, tmp_path):
+    """The streaming inflation dashboard's snapshot equals one-shot
+    dedup_inflation over exactly the documents ingested so far — at
+    EVERY cut, under id-DESCENDING arrival and under re-ingestion (a
+    replayed batch drops against the committed id set) — and
+    superseded snapshots prune while the per-batch hstat/id
+    contributions stay append-only."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming.embindex import (
+        stream_dedup_inflation,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    base = t["documents"].select("doc_id", "text")
+    # the sf0.001 fixture has no exact dups — inject verbatim copies
+    # under fresh ids (a dup in EACH half plus one spanning the cut)
+    copies = base.orderBy("doc_id").limit(6).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    late = docs.filter(F.col("doc_id") > cut)
+    early = docs.filter(F.col("doc_id") <= cut)
+    src = str(tmp_path / "src")
+    late.coalesce(1).write.mode("append").parquet(src)    # batch 0
+    early.coalesce(1).write.mode("append").parquet(src)   # batch 1
+    late.coalesce(1).write.mode("append").parquet(src)    # batch 2: replay
+    root = str(tmp_path / "index")
+    cuts: dict[int, tuple] = {}
+
+    def grab(batch_id: int) -> None:
+        [row] = spark.read.parquet(
+            os.path.join(root, f"batch={batch_id}", "snap")
+        ).collect()
+        cuts[batch_id] = tuple(row)
+
+    folded = stream_dedup_inflation(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+        on_batch=grab,
+    )
+    [want_late] = dd.dedup_inflation({"documents": late}).collect()
+    [want_full] = dd.dedup_inflation({"documents": docs}).collect()
+    assert cuts[0] == tuple(want_late)
+    assert cuts[1] == tuple(want_full)
+    assert cuts[2] == tuple(want_full)  # re-ingest is a no-op
+    assert [tuple(r) for r in folded.collect()] == [tuple(want_full)]
+    assert want_full["n_dup_docs"] > 0  # the fixture genuinely dedups
+    assert not os.path.isdir(os.path.join(root, "batch=0", "snap"))
+    assert os.path.isdir(os.path.join(root, "batch=2", "snap"))
+    assert os.path.isdir(os.path.join(root, "batch=0", "hstats"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "ids"))
