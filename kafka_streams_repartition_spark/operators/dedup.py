@@ -3686,18 +3686,27 @@ def dedup_inflation(t: dict[str, DataFrame]) -> DataFrame:
     ).select(
         "n_docs",
         "n_dup_docs",
-        F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
-            "dup_doc_frac"
-        ),
+        # every ratio is NULL by contract when its denominator is not
+        # positive (empty corpus / all-zero-token keepers) — an explicit
+        # guard on both engines, like embedding_clip_bounds's span<=0,
+        # instead of engine-dependent division-by-zero semantics
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6),
+        ).alias("dup_doc_frac"),
         "tokens_total",
         "tokens_dup",
-        F.round(F.col("tokens_dup") / F.col("tokens_total"), 6).alias(
-            "dup_token_frac"
-        ),
-        F.round(
-            F.col("tokens_total")
-            / (F.col("tokens_total") - F.col("tokens_dup")),
-            6,
+        F.when(
+            F.col("tokens_total") > 0,
+            F.round(F.col("tokens_dup") / F.col("tokens_total"), 6),
+        ).alias("dup_token_frac"),
+        F.when(
+            (F.col("tokens_total") - F.col("tokens_dup")) > 0,
+            F.round(
+                F.col("tokens_total")
+                / (F.col("tokens_total") - F.col("tokens_dup")),
+                6,
+            ),
         ).alias("inflation"),
     )
 
@@ -3724,9 +3733,13 @@ agg AS (
     FROM j
 )
 SELECT n_docs, n_dup_docs,
-       round(n_dup_docs / n_docs, 6) AS dup_doc_frac,
+       CASE WHEN n_docs > 0
+            THEN round(n_dup_docs / n_docs, 6) END AS dup_doc_frac,
        tokens_total, tokens_dup,
-       round(tokens_dup / tokens_total, 6) AS dup_token_frac,
-       round(tokens_total / (tokens_total - tokens_dup), 6) AS inflation
+       CASE WHEN tokens_total > 0
+            THEN round(tokens_dup / tokens_total, 6) END AS dup_token_frac,
+       CASE WHEN tokens_total - tokens_dup > 0
+            THEN round(tokens_total / (tokens_total - tokens_dup), 6)
+       END AS inflation
 FROM agg
 """

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.caching import count_memo, release_local_checkpoint
 from ..functions.hashing import hex_sign
 # hot scan paths use ONLY the unrolled forms: the HOF dot/norm evaluate
 # interpreted per row (per-row array allocation), the flat sums compile
@@ -64,7 +65,10 @@ N_PLANES = 8
 # Manual ``ANN_QUERY_CAP`` env override wins when set (the measured
 # deploy knob — production ANN serves a FIXED query list; the decade
 # probes' capped legs pin it to isolate per-query scaling).  Tests
-# monkeypatch the module attribute directly for the same effect.
+# monkeypatch the module attribute directly for the same effect; the
+# override reaches BOTH engines at any time because the oracle strings
+# late-bind the scalar via :func:`render_oracle` (``oracle_sql()``
+# renders on every call — nothing is frozen at import).
 ANN_QCAP_MIN = 64
 ANN_QCAP_MAX = 4096
 ANN_WORK_BUDGET = 12_800_000
@@ -111,8 +115,10 @@ def _n_vecs(emb_raw: DataFrame) -> int:
     k = id(emb_raw)
     hit = _NVEC_MEMO.get(k)
     if hit is not None:
+        count_memo(True)
         _NVEC_MEMO.move_to_end(k)
         return hit[1]
+    count_memo(False)
     n = emb_raw.count()
     _NVEC_MEMO[k] = (emb_raw, n)
     while len(_NVEC_MEMO) > 8:
@@ -170,13 +176,29 @@ def _qcap_ids(emb: DataFrame, qcap: int) -> DataFrame:
 # this module restricts with ``vec_id IN (_QCAP_SQL)`` so both engines
 # serve exactly the same bounded query set; the cap itself is the
 # corpus-derived scalar (:func:`_ann_qcap_sql`), computed IN SQL so the
-# module-level oracle strings stay corpus-size-agnostic
+# module-level oracle strings stay corpus-size-agnostic.  The scalar is
+# LATE-BOUND: the module-level oracle constants embed the placeholder
+# token below, and :func:`render_oracle` substitutes the current
+# ``_ann_qcap_sql()`` at ``oracle_sql()`` call time — so a runtime
+# ``ANN_QUERY_CAP`` override (env-after-import or monkeypatched module
+# attribute) reaches the ORACLE side exactly as it reaches the Spark
+# side, instead of freezing whatever the cap was at import.
+# bare identifier: an UN-rendered oracle fails fast in the binder
+# instead of silently comparing against an empty query set
+_QCAP_TOKEN = "__ANN_QCAP_SCALAR__"
 _QCAP_SQL = (
     f"SELECT vec_id FROM ("
     f"SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS qrn "
     f"FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) qz "
-    f"WHERE qz.qrn <= {_ann_qcap_sql()}"
+    f"WHERE qz.qrn <= {_QCAP_TOKEN}"
 )
+
+
+def render_oracle(sql: str) -> str:
+    """Late-bind the corpus-derived ANN query-cap scalar into an oracle
+    string built from :data:`_QCAP_SQL`.  A no-op for oracles that don't
+    reference the cap, so ``oracle_sql()`` applies it uniformly."""
+    return sql.replace(_QCAP_TOKEN, f"({_ann_qcap_sql()})")
 
 
 def ann_topk_bruteforce(t: dict[str, DataFrame]) -> DataFrame:
@@ -3558,8 +3580,10 @@ def _kcenter_centers(
     k = id(key)
     hit = _KCENTER_MEMO.get(k)
     if hit is not None:
+        count_memo(True)
         _KCENTER_MEMO.move_to_end(k)
         return hit[1]
+    count_memo(False)
     out = _kcenter_centers_uncached(t)
     _KCENTER_MEMO[k] = (key, out)
     while len(_KCENTER_MEMO) > 4:
@@ -3570,8 +3594,6 @@ def _kcenter_centers(
 def _kcenter_centers_uncached(
     t: dict[str, DataFrame],
 ) -> list[tuple[int, int, float, list[float], float]]:
-    from ..functions.caching import release_local_checkpoint
-
     emb = _corpus(t)  # vec_id, v, nrm
     seed = emb.orderBy("vec_id").limit(1).collect()[0]
     out = [(1, seed["vec_id"], 0.0, list(seed["v"]), float(seed["nrm"]))]
@@ -3891,12 +3913,18 @@ def _mmr_pool_pairs(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
     k = id(key)
     hit = _MMR_MEMO.get(k)
     if hit is not None:
+        count_memo(True)
         _MMR_MEMO.move_to_end(k)
         return hit[1]
+    count_memo(False)
     out = _mmr_pool_pairs_uncached(t)
     _MMR_MEMO[k] = (key, out)
     while len(_MMR_MEMO) > 2:
-        _MMR_MEMO.popitem(last=False)
+        # release the evicted entry's checkpoint blocks eagerly (the
+        # MemoSlots discipline) instead of waiting for JVM-side GC
+        _, (_, evicted) = _MMR_MEMO.popitem(last=False)
+        for frame in evicted:
+            release_local_checkpoint(frame)
     return out
 
 

@@ -2365,33 +2365,43 @@ def ngram_coverage_curve(t: dict[str, DataFrame]) -> DataFrame:
     curve means the corpus is gram-diverse and the tokenizer budget
     must grow.  Same gram law as :func:`ngram_counts`.
 
-    Scale shape: corpus gram counts aggregate map-side per doc before
-    the gram-keyed exchange (the ``ngram_counts`` shape, no top-N cut);
-    the curve then needs only the top ``max(ks)`` grams — a distributed
-    ``TakeOrderedAndProject``, never a global sort — so the ranking
-    window runs over ≤ 10k rows regardless of corpus size; the total
-    mass is one separate scalar aggregate.  Output is |ks| rows at any
-    corpus size.
+    Scale shape (round 13, was the thinnest decade margin at 8.11×):
+    ONE gram-keyed exchange total.  The total gram mass never touches
+    the gram table — it is pure per-doc arithmetic (Σ max(|w|−N+1, 0)
+    over the token-list scan), so the old second full aggregation
+    branch is gone; and the corpus counts are a single
+    ``groupBy(gram)`` — the old (doc_id, gram) pre-aggregation bought
+    nothing because every instance of a (doc, gram) pair is already
+    partition-local (docs never split), so Catalyst's map-side partial
+    aggregation collapses them identically, and the two-level shape
+    paid a second full-size exchange for it.  Map-side SINGLETON
+    pruning (considered, rejected): a per-partition count-1 gram can
+    recur in another partition, and even a top gram can carry count-1
+    partition tails — any such prune under- counts exactly-ranked
+    grams, so it cannot be hash-exact.  The curve needs only the top
+    ``max(ks)`` grams — a distributed ``TakeOrderedAndProject``, never
+    a global sort — so the ranking window runs over ≤ 10k rows
+    regardless of corpus size.  Output is |ks| rows at any corpus
+    size.
     """
     docs = t["documents"]
-    grams = (
-        fan_out(docs)
-        .select(
-            "doc_id",
-            F.explode_outer(word_ngrams(words(F.col("text")), NGRAM_N)).alias(
-                "gram"
-            ),
+    toks = fan_out(docs).select(
+        "doc_id", words(F.col("text")).alias("w")
+    )
+    # exact identity: the corpus-wide gram mass is Σ_doc max(|w|−N+1,0)
+    # (size() is −1 on NULL, so the >= guard routes null/short docs to 0)
+    total = toks.select(
+        F.when(
+            F.size("w") >= NGRAM_N, F.size("w") - (NGRAM_N - 1)
         )
-        .filter(F.col("gram").isNotNull())
-    )
-    corpus = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("gram")
-        .agg(F.sum("n").alias("occurrences"))
-    )
-    total = corpus.agg(
-        F.sum("occurrences").cast("long").alias("total_occurrences")
+        .otherwise(0)
+        .alias("k")
+    ).agg(F.sum("k").cast("long").alias("total_occurrences"))
+    grams = toks.select(
+        F.explode_outer(word_ngrams(F.col("w"), NGRAM_N)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    corpus = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("occurrences")
     )
     top = (
         corpus.orderBy(F.col("occurrences").desc(), "gram")

@@ -3016,7 +3016,14 @@ def stream_hard_negatives(
 
 # --- streaming Hamming/MIH radius index ---------------------------------------
 
-_HM_CODE_SCHEMA = "doc_id long, c0 long, c1 long, c2 long, c3 long"
+# derived from HAMMING_CHUNKS so the committed state layout tracks the
+# constant — a chunk-count change fails fast at schema definition time
+# instead of silently schema-on-read-dropping the extra chunk columns
+from ..operators.dedup import HAMMING_CHUNKS as _HM_CHUNKS
+
+_HM_CODE_SCHEMA = "doc_id long, " + ", ".join(
+    f"c{c} long" for c in range(_HM_CHUNKS)
+)
 _HM_QID_SCHEMA = "query_id long"
 _HM_PAIR_SCHEMA = "query_id long, cand_id long, hamming long"
 
@@ -3274,18 +3281,25 @@ def stream_dedup_inflation(
         ).select(
             "n_docs",
             "n_dup_docs",
-            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
-                "dup_doc_frac"
-            ),
+            # NULL-by-contract on non-positive denominators, matching
+            # the batch face (dedup_inflation) guard exactly
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("n_dup_docs") / F.col("n_docs"), 6),
+            ).alias("dup_doc_frac"),
             "tokens_total",
             "tokens_dup",
-            F.round(F.col("tokens_dup") / F.col("tokens_total"), 6).alias(
-                "dup_token_frac"
-            ),
-            F.round(
-                F.col("tokens_total")
-                / (F.col("tokens_total") - F.col("tokens_dup")),
-                6,
+            F.when(
+                F.col("tokens_total") > 0,
+                F.round(F.col("tokens_dup") / F.col("tokens_total"), 6),
+            ).alias("dup_token_frac"),
+            F.when(
+                (F.col("tokens_total") - F.col("tokens_dup")) > 0,
+                F.round(
+                    F.col("tokens_total")
+                    / (F.col("tokens_total") - F.col("tokens_dup")),
+                    6,
+                ),
             ).alias("inflation"),
         )
         snap.write.mode("overwrite").parquet(os.path.join(out, "snap"))

@@ -1315,6 +1315,25 @@ def test_derived_ann_query_cap_rule_and_sql_mirror(monkeypatch):
     assert sim.derived_ann_query_cap(1) == 7
     assert sim.derived_ann_query_cap(10**9) == 7
     assert sim._ann_qcap_sql() == "7"
+    # round-13: the ORACLE strings late-bind the scalar too — a runtime
+    # override (monkeypatched attribute / env-after-import) reaches the
+    # SQL side at oracle_sql() call time, not whatever was frozen at
+    # import (the r12 advisor divergence).  The raw module constants
+    # carry an un-renderable bare token so a path that skips
+    # render_oracle fails fast in the binder instead of silently
+    # comparing against an empty query set.
+    assert sim._QCAP_TOKEN in sim.ANN_TOPK_MRL_ORACLE
+    rendered = sim.render_oracle(sim.ANN_TOPK_MRL_ORACLE)
+    assert sim._QCAP_TOKEN not in rendered
+    assert "qrn <= (7)" in rendered
+    monkeypatch.setattr(sim, "ANN_QUERY_CAP", None)
+    rendered_derived = sim.render_oracle(sim.ANN_TOPK_MRL_ORACLE)
+    assert "count(*)" in rendered_derived  # corpus-derived scalar subquery
+    import __spark_entry__ as entrymod
+
+    assert all(
+        sim._QCAP_TOKEN not in v for v in entrymod.oracle_sql().values()
+    )
 
 
 def test_ivf_cell_balance_consistent_with_trainer(t):
@@ -1701,6 +1720,77 @@ def test_dedup_inflation_consistent_with_dedup_exact(t):
     assert r["inflation"] >= 1.0
     kept = r["tokens_total"] - r["tokens_dup"]
     assert abs(r["inflation"] - round(r["tokens_total"] / kept, 6)) < 1e-9
+
+
+def test_dedup_inflation_zero_denominator_contract(spark):
+    """Round-13 advisor guard: ratios are NULL by contract (not a
+    division-by-zero artifact) when their denominator is not positive
+    — a corpus whose keepers all carry 0 tokens yields NULL
+    dup_token_frac/inflation, and Spark and DuckDB agree on it."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, " ", "a"), (2, " ", "a"), (3, "", "b")],
+        "doc_id long, text string, source string",
+    )
+    [r] = dd.dedup_inflation({"documents": docs}).collect()
+    assert r["n_docs"] == 3 and r["n_dup_docs"] == 1
+    assert r["tokens_total"] == 0 and r["tokens_dup"] == 0
+    assert r["dup_token_frac"] is None and r["inflation"] is None
+    assert abs(r["dup_doc_frac"] - round(1 / 3, 6)) < 1e-9
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [" ", " ", ""],
+             "source": ["a", "a", "b"]}
+        ),
+    )
+    [o] = con.execute(dd.DEDUP_INFLATION_ORACLE).fetchall()
+    cols = [d[0] for d in con.description]
+    o = dict(zip(cols, o))
+    assert o["dup_token_frac"] is None and o["inflation"] is None
+    assert o["n_dup_docs"] == 1 and o["tokens_total"] == 0
+
+
+def test_mmr_memo_eviction_releases_checkpoints(spark, monkeypatch):
+    """Round-13 advisor guard: _MMR_MEMO eviction releases BOTH of the
+    evicted entry's localCheckpoint frames eagerly (the MemoSlots
+    discipline) instead of leaving the blocks to JVM-side GC."""
+    from kafka_streams_repartition_spark.operators import similarity as sim
+
+    released = []
+    monkeypatch.setattr(
+        sim, "release_local_checkpoint", lambda df: released.append(df)
+    )
+    monkeypatch.setattr(sim, "_MMR_MEMO", type(sim._MMR_MEMO)())
+
+    def frames(seed):
+        return {
+            "embeddings": spark.createDataFrame(
+                [
+                    (
+                        i * 10,
+                        [float((i + seed + d) % 7) + 0.5 for d in range(64)],
+                    )
+                    for i in range(8)
+                ],
+                "vec_id long, embedding array<double>",
+            )
+        }
+
+    ts = [frames(s) for s in range(3)]
+    outs = [sim._mmr_pool_pairs(tt) for tt in ts]
+    assert len(sim._MMR_MEMO) == 2
+    # the first entry was evicted; both its frames were released
+    assert set(map(id, released)) == set(map(id, outs[0]))
+    # resident entries still hit without a rebuild or release
+    n_rel = len(released)
+    assert sim._mmr_pool_pairs(ts[2]) is not None
+    assert len(released) == n_rel
 
 
 def test_mmr_rerank_replays_greedy_in_numpy(t):
