@@ -1078,6 +1078,100 @@ def _hash_bucket(col: F.Column) -> F.Column:
     )
 
 
+RNS_NGRAM = 13  # the GPT-3 appendix-C decontamination gram order
+
+
+def repeated_ngram_scan(t: dict[str, DataFrame]) -> DataFrame:
+    """Intra-corpus repeated high-order n-gram scan — the memorization
+    audit complementing :func:`decontaminate` (round 13): where
+    decontaminate checks the corpus against a held-out EVAL set,
+    this scans for 13-grams (the GPT-3 appendix-C order) shared
+    between two or more TRAINING documents — the long verbatim
+    repeats Lee et al. 2022 showed models preferentially memorize
+    even when the documents are not whole-text duplicates (licence
+    headers, boilerplate, syndicated passages that exact/near dedup
+    keeps).  Per qualifying doc: its distinct 13-gram count, how many
+    of those recur in at least one other doc, and the repeated share.
+
+    Scale shape: grams are md5'd INSIDE the per-doc array (one
+    ``transform``/``array_distinct`` over the scan — text never
+    reaches an exchange, the ``dedup_exact`` hash discipline, and the
+    law is over hashes on BOTH engines so the oracle mirrors even a
+    collision); cross-doc recurrence is ``min(doc) != max(doc)`` on
+    the hash-keyed rollup — never a countDistinct, never pairwise; the
+    verdict join back is hash-keyed.  Output is one row per doc with
+    ≥ ``RNS_NGRAM`` tokens.
+    """
+    ga = fan_out(t["documents"]).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                word_ngrams(words(F.col("text")), RNS_NGRAM),
+                lambda g: F.md5(g),
+            )
+        ).alias("ghs"),
+    )
+    dg = (
+        ga.select("doc_id", F.explode_outer("ghs").alias("gh"))
+        .filter(F.col("gh").isNotNull())
+    )
+    rep = (
+        dg.groupBy("gh")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gh")
+    )
+    pd_ = (
+        dg.join(rep, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_repeated"))
+    )
+    base = ga.select(
+        "doc_id", F.size("ghs").cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    return base.join(pd_, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_repeated"), F.lit(0)).cast("long").alias(
+            "n_repeated"
+        ),
+        F.round(
+            F.coalesce(F.col("n_repeated"), F.lit(0)) / F.col("n_grams"), 6
+        ).alias("repeated_frac"),
+    )
+
+
+REPEATED_NGRAM_SCAN_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(w[i : i + {RNS_NGRAM - 1}], ' ')) AS gh
+    FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {RNS_NGRAM - 1})) AS i
+        FROM w
+        WHERE len(w) >= {RNS_NGRAM}
+    )
+),
+rep AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+base AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+pd AS (
+    SELECT g.doc_id, count(*) AS n_repeated
+    FROM g JOIN rep USING (gh)
+    GROUP BY 1
+)
+SELECT base.doc_id,
+       CAST(base.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(pd.n_repeated, 0) AS BIGINT) AS n_repeated,
+       round(coalesce(pd.n_repeated, 0) / base.n_grams, 6) AS repeated_frac
+FROM base LEFT JOIN pd USING (doc_id)
+"""
+
+
 def decontaminate(t: dict[str, DataFrame]) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share any
     word 4-gram with a held-out eval set (a deterministic ~5% of docs by

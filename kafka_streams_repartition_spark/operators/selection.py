@@ -1410,6 +1410,100 @@ GROUP BY 1
 """
 
 
+def domain_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source unigram Shannon entropy — :func:`domain_kl`'s
+    companion diagnostic (round 13): KL says how far a source's
+    distribution sits from the pooled corpus; entropy says how
+    DIVERSE the source is on its own.  A source with low entropy
+    (boilerplate, templated spam, log dumps) is a down-weight
+    candidate even when its KL is small, which is why mixture
+    dashboards read the two side by side (the per-source face of
+    ``corpus_token_entropy``, same c·ln(c/n) law).
+
+    Scale shape: identical to :func:`domain_kl` — one tokenize pass;
+    per-(source, term) counts partial-combine map-side before the ONE
+    corpus-sized exchange; per-source totals (≤ n_sources rows)
+    broadcast back; contributions sum as DECIMAL(28,10) so
+    shuffle-order double addition cannot diverge from the oracle's
+    sequential sum.  ``entropy_ratio`` (H/ln V) is NULL by contract
+    when a source has a single-term vocabulary (ln 1 = 0).  Final
+    state is n_sources rows at any corpus size.
+    """
+    docs = t["documents"]
+    st = (
+        fan_out(docs)
+        .select("source", F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        # vocabulary-sized; feeds BOTH the totals branch and the
+        # entropy reduction — checkpoint so text tokenizes once (the
+        # domain_kl discipline)
+        .localCheckpoint()
+    )
+    return _entropy_from_counts(st)
+
+
+def _entropy_from_counts(st: DataFrame) -> DataFrame:
+    """Per-source entropy from a (source, term, c_st) rollup — the
+    math half of :func:`domain_entropy`, shared with the streaming
+    monitor so the two faces can never diverge (the
+    :func:`_kl_from_counts` discipline)."""
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    contrib = (
+        F.col("c_st").cast("double")
+        * F.log(F.col("c_st").cast("double") / F.col("n_s").cast("double"))
+    ).cast("decimal(28,10)")
+    agg = (
+        st.join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.sum(contrib).cast("double").alias("s"),
+        )
+    )
+    h = -F.col("s") / F.col("n_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_terms",
+        "n_tokens",
+        F.round(h, 4).alias("entropy_nats"),
+        F.when(
+            F.col("n_terms") > 1,
+            F.round(h / F.log(F.col("n_terms").cast("double")), 4),
+        ).alias("entropy_ratio"),
+    )
+
+
+DOMAIN_ENTROPY_ORACLE = """
+WITH toks AS (
+    SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents
+),
+st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+agg AS (
+    SELECT st.source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(max(ns.n_s) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(CAST(st.c_st AS DOUBLE)
+                * ln(CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                AS DECIMAL(28,10))) AS DOUBLE) AS s
+    FROM st JOIN ns USING (source)
+    GROUP BY 1
+)
+SELECT source, n_terms, n_tokens,
+       round(-s / CAST(n_tokens AS DOUBLE), 4) AS entropy_nats,
+       CASE WHEN n_terms > 1
+            THEN round((-s / CAST(n_tokens AS DOUBLE))
+                       / ln(CAST(n_terms AS DOUBLE)), 4)
+       END AS entropy_ratio
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Token budget: UniMax water-filling mixture allocation
 # ---------------------------------------------------------------------------

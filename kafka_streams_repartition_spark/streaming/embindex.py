@@ -1289,6 +1289,96 @@ def stream_domain_kl(
     return allr.filter(F.col("batch") == last).drop("batch")
 
 
+_DE_SNAP_SCHEMA = (
+    "source string, n_terms long, n_tokens long, entropy_nats double,"
+    " entropy_ratio double, batch long"
+)
+
+
+def stream_domain_entropy(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    on_batch=None,
+) -> DataFrame:
+    """Streaming face of ``operators.selection.domain_entropy`` —
+    per-source unigram Shannon entropy maintained continuously, the
+    diversity companion the mixture dashboard reads NEXT TO
+    ``stream_domain_kl`` (round 13): a source whose entropy decays as
+    it streams is collapsing into boilerplate even if its KL to the
+    pooled corpus stays put.  Entropy is a per-source functional of
+    the cumulative counts, so each snapshot derives from the same
+    folded vocabulary rollup ``stream_domain_kl`` keeps — identical
+    state layout, fold, commit protocol, and pruning; the snapshot
+    math is ``_entropy_from_counts``, the SAME function the batch op
+    runs, so the two faces cannot diverge.
+
+    Equivalence contract (tested): every batch's snapshot equals the
+    one-shot ``domain_entropy`` over exactly the documents ingested so
+    far — at EVERY cut.  Returns the latest committed snapshot.
+    """
+    from ..functions.text import words
+    from ..operators.selection import _entropy_from_counts
+
+    os.makedirs(root, exist_ok=True)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not _begin_batch(
+            root, checkpoint_dir, batch_id, "domain-entropy monitor"
+        ):
+            return
+        bc = (
+            batch_df.select(
+                "source",
+                F.explode_outer(words(F.col("text"))).alias("term"),
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+            .localCheckpoint(eager=False)
+        )
+        latest = _latest_committed_dir(root, "counts")
+        if latest is not None:
+            cum = (
+                spark.read.schema(_KL_CNT_SCHEMA)
+                .parquet(latest)
+                .unionByName(bc)
+                .groupBy("source", "term")
+                .agg(F.sum("c_st").alias("c_st"))
+            )
+        else:
+            cum = bc
+        cum = cum.localCheckpoint(eager=False)
+        snap = _entropy_from_counts(cum)
+        out = os.path.join(root, f"batch={batch_id}")
+        snap.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "entropy"))
+        cum.write.mode("overwrite").parquet(os.path.join(out, "counts"))
+        _commit_batch(root, batch_id)
+        _prune_superseded(root, "counts")
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    e_dirs = _committed_dirs(root, "entropy")
+    if not e_dirs:
+        return spark.createDataFrame(
+            [], _DE_SNAP_SCHEMA.replace(", batch long", "")
+        )
+    allr = spark.read.schema(_DE_SNAP_SCHEMA).parquet(*e_dirs)
+    last = allr.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    return allr.filter(F.col("batch") == last).drop("batch")
+
+
 # --- streaming DoReMi reweighting ------------------------------------------
 
 _DOREMI_SNAP_SCHEMA = (

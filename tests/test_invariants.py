@@ -1756,6 +1756,104 @@ def test_dedup_inflation_zero_denominator_contract(spark):
     assert o["n_dup_docs"] == 1 and o["tokens_total"] == 0
 
 
+def test_domain_entropy_replays_in_python(t, spark):
+    """The per-source entropy table IS the c·ln(c/n) law: a pure-Python
+    Counter replay over the fixture docs (same whitespace tokenizer,
+    decimal-quantized contributions) reproduces every row, and the
+    single-term-vocabulary NULL contract holds for entropy_ratio."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from kafka_streams_repartition_spark.operators import selection as sl
+
+    out = {
+        r["source"]: r
+        for r in sl.domain_entropy(t).collect()
+    }
+    counts: dict[str, Counter] = {}
+    for r in t["documents"].select("source", "text").collect():
+        toks = [w for w in (r["text"] or "").lower().split(" ") if w]
+        counts.setdefault(r["source"], Counter()).update(toks)
+    assert set(out) == {s for s, c in counts.items() if c}
+    q = Decimal("0.0000000001")
+    for s, c in counts.items():
+        if not c:
+            continue
+        n = sum(c.values())
+        sm = float(
+            sum(
+                Decimal(v * math.log(v / n)).quantize(q)
+                for v in c.values()
+            )
+        )
+        r = out[s]
+        assert r["n_terms"] == len(c)
+        assert r["n_tokens"] == n
+        assert abs(r["entropy_nats"] - round(-sm / n, 4)) < 1e-9
+        if len(c) > 1:
+            assert (
+                abs(r["entropy_ratio"] - round((-sm / n) / math.log(len(c)), 4))
+                < 1e-9
+            )
+    # single-term vocabulary: entropy 0, ratio NULL by contract
+    one = spark.createDataFrame(
+        [(1, "spam spam spam", "mono")],
+        "doc_id long, text string, source string",
+    )
+    [r1] = sl.domain_entropy({"documents": one}).collect()
+    assert r1["n_terms"] == 1 and r1["entropy_nats"] == 0.0
+    assert r1["entropy_ratio"] is None
+
+
+def test_repeated_ngram_scan_consistent_with_dedup_exact(t, spark):
+    """Exact whole-text duplicates are the scan's floor: every member
+    of a dedup_exact group with >=RNS_NGRAM tokens must show
+    repeated_frac == 1.0 (all its 13-grams recur verbatim in its
+    twin), and a hand-built fixture pins the partial-overlap law."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    out = dd.repeated_ngram_scan(t).toPandas().set_index("doc_id")
+    docs = t["documents"].select("doc_id", "text").toPandas()
+    by_text = docs.groupby("text")["doc_id"].agg(list)
+    for ids in by_text[by_text.str.len() > 1]:
+        # sf0.001 carries no exact dups; if a fixture ever does, every
+        # member with >= RNS_NGRAM tokens must read as fully repeated
+        for i in ids:
+            if i in out.index:
+                assert out.loc[i, "repeated_frac"] == 1.0
+    # partial overlap: docs 1/2 share exactly one 13-gram window;
+    # docs 4/5 are verbatim twins (the dedup_exact floor: frac 1.0)
+    shared = " ".join(f"s{i}" for i in range(13))
+    twin = " ".join(f"t{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " a1 a2 a3", "x"),
+            (2, "b1 b2 " + shared, "x"),
+            (3, " ".join(f"c{i}" for i in range(20)), "x"),
+            (4, twin, "x"),
+            (5, twin, "y"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = (
+        dd.repeated_ngram_scan({"documents": docs})
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc1: 16 tokens -> 4 grams, only the leading one is shared
+    assert got.loc[1, "n_grams"] == 4 and got.loc[1, "n_repeated"] == 1
+    # doc2: 15 tokens -> 3 grams, only the trailing one is shared
+    assert got.loc[2, "n_grams"] == 3 and got.loc[2, "n_repeated"] == 1
+    assert got.loc[3, "n_repeated"] == 0
+    assert got.loc[1, "repeated_frac"] == 0.25
+    # verbatim twins: every gram recurs -> fully repeated, both copies
+    assert got.loc[4, "repeated_frac"] == 1.0
+    assert got.loc[5, "repeated_frac"] == 1.0
+    assert got.loc[4, "n_grams"] == 3
+
+
 def test_mmr_memo_eviction_releases_checkpoints(spark, monkeypatch):
     """Round-13 advisor guard: _MMR_MEMO eviction releases BOTH of the
     evicted entry's localCheckpoint frames eagerly (the MemoSlots

@@ -1242,6 +1242,42 @@ def test_domain_kl_vocab_sized_exchanges(t):
             assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
 
 
+def test_domain_entropy_vocab_sized_exchanges(t):
+    """domain_entropy mirrors domain_kl's shape: one tokenize pass into
+    the (source, term) rollup, per-source totals broadcast back, no
+    cartesian, and text in NO exchange."""
+    from kafka_streams_repartition_spark.operators import selection as sl
+    from kafka_streams_repartition_spark.plans import (
+        assert_broadcast_join,
+        count_key_exchanges,
+    )
+
+    df = sl.domain_entropy(t)
+    assert count_key_exchanges(df) <= 3
+    assert_broadcast_join(df, 1)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+
+
+def test_repeated_ngram_scan_hash_keyed_no_text_exchange(t):
+    """repeated_ngram_scan md5s grams inside the per-doc array: every
+    exchange is hash- or doc-keyed, raw text/grams never shuffle, and
+    there is no cartesian/broadcast-nested-loop anywhere (the
+    recurrence rollup is min!=max, never pairwise)."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    df = dd.repeated_ngram_scan(t)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+
+
 def test_token_budget_one_exchange_constant_state(t):
     """The corpus-sized work is ONE keyed exchange to n_sources rows;
     the water-fill windows run single-partition over those few rows

@@ -1975,6 +1975,54 @@ def test_stream_domain_kl_every_snapshot_equals_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
 
 
+def test_stream_domain_entropy_every_snapshot_equals_batch(spark, tmp_path):
+    """The per-source entropy monitor's snapshot equals one-shot
+    domain_entropy over exactly the documents ingested so far — at
+    EVERY cut (same folded vocabulary rollup as stream_domain_kl, and
+    the snapshot math IS the batch op's _entropy_from_counts) — and
+    superseded cumulative rollups are pruned."""
+    import os
+
+    from kafka_streams_repartition_spark.operators import selection as sel
+    from kafka_streams_repartition_spark.sources.tables import load_tables
+    from kafka_streams_repartition_spark.streaming import (
+        stream_domain_entropy,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text", "source")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    first_half = docs.filter(F.col("doc_id") <= cut)
+    first_half.coalesce(1).write.mode("append").parquet(src)
+    # arrival order stress: the second file carries the LOWER-id docs'
+    # complement, including sources already seen in batch 0
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = str(tmp_path / "index")
+    folded = stream_domain_entropy(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    want = {tuple(r) for r in sel.domain_entropy(t).collect()}
+    assert {tuple(r) for r in folded.collect()} == want and want
+    snap0 = spark.read.parquet(
+        os.path.join(root, "batch=0", "entropy")
+    ).drop("batch")
+    want0 = {
+        tuple(r)
+        for r in sel.domain_entropy({"documents": first_half}).collect()
+    }
+    assert {tuple(r) for r in snap0.collect()} == want0 and want0
+    assert not os.path.isdir(os.path.join(root, "batch=0", "counts"))
+    assert os.path.isdir(os.path.join(root, "batch=1", "counts"))
+
+
 def test_stream_doremi_weights_every_snapshot_equals_batch(spark, tmp_path):
     """The streaming DoReMi monitor's weight table equals one-shot
     doremi_weights over exactly the documents ingested so far — at
