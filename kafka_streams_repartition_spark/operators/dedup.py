@@ -1172,6 +1172,142 @@ FROM base LEFT JOIN pd USING (doc_id)
 """
 
 
+def repeated_ngram_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """One-row corpus accounting over :func:`repeated_ngram_scan`'s
+    law — the headline a 100 TB ingest reads before paying for a
+    passage-level scrub (the :func:`dedup_inflation` precedent: the
+    per-doc table is the work list, this row is the decision): how
+    many distinct 13-grams exist, what share recur across documents,
+    how many documents carry at least one cross-doc repeat, and the
+    repeated share of the corpus's gram INSTANCES (the token-mass
+    proxy — a handful of hot boilerplate grams can dominate instances
+    while being a sliver of the distinct vocabulary).
+
+    Scale shape: the per-doc distinct (doc, gh) pairs roll up
+    hash-keyed ONCE into (n_docs_with, n_instances) per gram; every
+    output number is an unconditional aggregate of that vocabulary-
+    sized table — no verdict join back, no per-doc state, one row out.
+    """
+    ga = fan_out(t["documents"]).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                word_ngrams(words(F.col("text")), RNS_NGRAM),
+                lambda g: F.md5(g),
+            )
+        ).alias("ghs"),
+    )
+    dg = (
+        ga.select("doc_id", F.explode_outer("ghs").alias("gh"))
+        .filter(F.col("gh").isNotNull())
+    )
+    per_gram = dg.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    rep = F.col("lo") != F.col("hi")
+    agg = per_gram.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams_distinct"),
+        F.sum(F.when(rep, 1).otherwise(0)).cast("long").alias(
+            "n_grams_repeated"
+        ),
+        F.sum("nd").cast("long").alias("n_instances"),
+        F.sum(F.when(rep, F.col("nd")).otherwise(0)).cast("long").alias(
+            "n_instances_repeated"
+        ),
+    )
+    docs_tot = dg.select(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    docs_hit = (
+        dg.join(
+            per_gram.filter(rep).select("gh"), "gh"
+        )
+        .select(
+            F.count_distinct("doc_id").cast("long").alias("n_docs_affected")
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(docs_tot))
+        .crossJoin(F.broadcast(docs_hit))
+        .select(
+            "n_docs",
+            "n_docs_affected",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("n_docs_affected") / F.col("n_docs"), 6),
+            ).alias("affected_doc_frac"),
+            "n_grams_distinct",
+            "n_grams_repeated",
+            F.when(
+                F.col("n_grams_distinct") > 0,
+                F.round(
+                    F.col("n_grams_repeated") / F.col("n_grams_distinct"), 6
+                ),
+            ).alias("repeated_gram_frac"),
+            "n_instances",
+            "n_instances_repeated",
+            F.when(
+                F.col("n_instances") > 0,
+                F.round(
+                    F.col("n_instances_repeated") / F.col("n_instances"), 6
+                ),
+            ).alias("repeated_instance_frac"),
+        )
+    )
+
+
+REPEATED_NGRAM_SUMMARY_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS w
+    FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(w[i : i + {RNS_NGRAM - 1}], ' ')) AS gh
+    FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {RNS_NGRAM - 1})) AS i
+        FROM w
+        WHERE len(w) >= {RNS_NGRAM}
+    )
+),
+pg AS (
+    SELECT gh, count(*) AS nd, min(doc_id) != max(doc_id) AS rep
+    FROM g GROUP BY 1
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_grams_distinct,
+           CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_grams_repeated,
+           CAST(sum(nd) AS BIGINT) AS n_instances,
+           CAST(sum(CASE WHEN rep THEN nd ELSE 0 END) AS BIGINT)
+               AS n_instances_repeated
+    FROM pg
+),
+dt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM g),
+dh AS (
+    SELECT CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs_affected
+    FROM g JOIN pg USING (gh) WHERE pg.rep
+)
+SELECT dt.n_docs, dh.n_docs_affected,
+       CASE WHEN dt.n_docs > 0
+            THEN round(dh.n_docs_affected / dt.n_docs, 6)
+       END AS affected_doc_frac,
+       agg.n_grams_distinct, agg.n_grams_repeated,
+       CASE WHEN agg.n_grams_distinct > 0
+            THEN round(agg.n_grams_repeated / agg.n_grams_distinct, 6)
+       END AS repeated_gram_frac,
+       agg.n_instances, agg.n_instances_repeated,
+       CASE WHEN agg.n_instances > 0
+            THEN round(agg.n_instances_repeated / agg.n_instances, 6)
+       END AS repeated_instance_frac
+FROM agg CROSS JOIN dt CROSS JOIN dh
+"""
+
+
 def decontaminate(t: dict[str, DataFrame]) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share any
     word 4-gram with a held-out eval set (a deterministic ~5% of docs by

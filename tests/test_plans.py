@@ -1269,13 +1269,13 @@ def test_repeated_ngram_scan_hash_keyed_no_text_exchange(t):
     recurrence rollup is min!=max, never pairwise)."""
     from kafka_streams_repartition_spark.operators import dedup as dd
 
-    df = dd.repeated_ngram_scan(t)
-    assert_no_cartesian(df)
-    plan = explain_str(df)
-    assert "CartesianProduct" not in plan
-    for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln and "Arguments" in ln:
-            assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
+    for df in (dd.repeated_ngram_scan(t), dd.repeated_ngram_summary(t)):
+        assert_no_cartesian(df)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln and "Arguments" in ln:
+                assert "text" not in ln, f"text crosses a shuffle:\n{ln}"
 
 
 def test_token_budget_one_exchange_constant_state(t):
