@@ -174,6 +174,26 @@ def _disk_bytes(dirs: list[str]) -> int | None:
     return total
 
 
+def _jvm_gc_ms(spark) -> int | None:
+    """Cumulative JVM GC time (ms) across all collectors — per-repeat
+    DELTAS separate 'the query got slower' from 'a stop-the-world GC
+    landed inside the timed region' (the remaining suspect for flat-
+    storage repeat spikes like r13-baseline minhash_band_tuning
+    1.4s→14.1s with identical storage/disk/memo state)."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total = 0
+        it = beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return int(total)
+    except Exception:
+        return None
+
+
 def _meminfo() -> dict[str, int] | None:
     """MemAvailable/Cached/Dirty (kB): /tmp is where the block manager
     lives, so host page-cache pressure is the remaining suspect for
@@ -257,14 +277,20 @@ def main() -> None:
         samples: list[float] = []
         rep_storage: list[int | None] = []
         rep_disk: list[int | None] = []
+        rep_gc: list[int | None] = []
         memo0 = memo_counters()
         try:
             # median-of-N: robust to one lucky/unlucky run in either
             # direction (best-of-N let a single outlier set the record).
             for _ in range(repeats):
+                gc0 = _jvm_gc_ms(spark)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 samples.append(time.perf_counter() - t0)
+                gc1 = _jvm_gc_ms(spark)
+                rep_gc.append(
+                    None if None in (gc0, gc1) else gc1 - gc0
+                )
                 # drop THIS repeat's Python frames before the next one:
                 # without it repeats accumulate `repeats` copies of
                 # every scratch checkpoint (the r12 monotone-rise
@@ -288,6 +314,8 @@ def main() -> None:
             ],
             "memo_hits": memo1[0] - memo0[0],
             "memo_misses": memo1[1] - memo0[1],
+            # in-region JVM GC ms per repeat (None if JMX unreadable)
+            "gc_ms": rep_gc,
         }
         if verbose:
             print(f"# {name}: {timings[name]}s", file=sys.stderr)

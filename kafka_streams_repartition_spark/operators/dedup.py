@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections import OrderedDict
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
@@ -466,7 +467,7 @@ def dedup_clusters(t: dict[str, DataFrame]) -> DataFrame:
     no extra package is required, and large-diameter graphs (not dup
     clusters) are where GraphFrames' alternating-algorithm would win.
     """
-    return _connected_components(dedup_minhash_lsh(t).select("doc_a", "doc_b"))
+    return _connected_components(_minhash_pairs(t).select("doc_a", "doc_b"))
 
 
 # round count of the most recent _connected_components call — a test
@@ -645,12 +646,12 @@ def crossmodal_clusters(t: dict[str, DataFrame]) -> DataFrame:
     not.
     """
     tp = (
-        dedup_minhash_lsh(t)
+        _minhash_pairs(t)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
     ep = (
-        dedup_embedding_lsh(t)
+        _emblsh_pairs(t)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -859,7 +860,7 @@ def leakage_split(t: dict[str, DataFrame]) -> DataFrame:
         "doc_id",
         (_hash_bucket(F.col("doc_id")) < VAL_PCT).alias("is_val"),
     )
-    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(t).select("doc_a", "doc_b")
     sa = split.select(F.col("doc_id").alias("doc_a"), F.col("is_val").alias("va"))
     sb = split.select(F.col("doc_id").alias("doc_b"), F.col("is_val").alias("vb"))
     tagged = pairs.join(sa, "doc_a").join(sb, "doc_b").localCheckpoint(
@@ -997,7 +998,7 @@ def minhash_band_tuning(t: dict[str, DataFrame]) -> DataFrame:
         aggs.append(
             F.sum(F.round(p, 6).cast("decimal(18,6)")).alias(f"s_{b}")
         )
-    one = dedup_minhash_lsh(t).agg(*aggs)
+    one = _minhash_pairs(t).agg(*aggs)
     layout_rows = F.explode(
         F.array(
             *[
@@ -1968,6 +1969,103 @@ def _derived_planes_sql() -> str:
 # keeps this trade-off visible instead of silently assumed.
 
 
+# the exact bounded (lo, hi) >=-threshold truth pair set shared by the
+# three embedding-dedup acceptance gates (dedup_embedding_recall,
+# semdedup_recall, dedup_stacked_recall): identical construction in all
+# three, each previously re-running the capped query-vs-corpus scan to
+# rebuild it.  Cached + LRU-unpersisted (the MemoSlots discipline,
+# hand-rolled because the key must carry the EFFECTIVE cap/threshold so
+# a monkeypatched EMBDUP_QUERY_CAP can never serve a stale truth set)
+# rather than a collected list: the pair count is data-dependent
+# (threshold survivors), not k-bounded.  The declared dedup_embedding
+# query itself never consults the memo — it always computes fresh.
+_EMBDUP_TRUTH_CACHE: "OrderedDict[tuple, tuple[DataFrame, DataFrame]]" = (
+    OrderedDict()
+)
+
+
+def _embdup_truth_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    from ..functions.caching import count_memo
+
+    key = t["embeddings"]
+    k = (id(key), EMBDUP_QUERY_CAP, EMBED_COSINE_THRESHOLD)
+    hit = _EMBDUP_TRUTH_CACHE.get(k)
+    if hit is not None:
+        count_memo(True)
+        _EMBDUP_TRUTH_CACHE.move_to_end(k)
+        return hit[1]
+    count_memo(False)
+    val = (
+        dedup_embedding(t)
+        .select(
+            F.least("query_id", "cand_id").alias("lo"),
+            F.greatest("query_id", "cand_id").alias("hi"),
+        )
+        .distinct()
+        .cache()
+    )
+    _EMBDUP_TRUTH_CACHE[k] = (key, val)
+    while len(_EMBDUP_TRUTH_CACHE) > 2:
+        _, (_, old) = _EMBDUP_TRUTH_CACHE.popitem(last=False)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    return val
+
+
+# The two verified near-dup PAIR FAMILIES are consumed all over the
+# module (clusters/CC, quality-aware keepers, stacking, the recall
+# gates, the selection/text pipelines' loser sets) and each consumer
+# previously re-ran the full banded index build.  Shared-intermediate
+# memos (cache + LRU-unpersist, keys carry the plan-shaping knobs so a
+# monkeypatched constant can never serve a stale frame); the declared
+# dedup_minhash_lsh / dedup_embedding_lsh queries never consult them.
+_MINHASH_PAIRS_CACHE = MemoSlots(capacity=2)
+
+
+def _minhash_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    return _MINHASH_PAIRS_CACHE.get_or_build(
+        t["documents"], lambda: dedup_minhash_lsh(t)
+    )
+
+
+_EMBLSH_PAIRS_CACHE: "OrderedDict[tuple, tuple[DataFrame, DataFrame]]" = (
+    OrderedDict()
+)
+
+
+def _emblsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    from ..functions.caching import count_memo
+
+    key = t["embeddings"]
+    k = (id(key), derived_band_planes(_emb_n_vecs(t)), EMBDUP_BUCKET_CAP)
+    hit = _EMBLSH_PAIRS_CACHE.get(k)
+    if hit is not None:
+        count_memo(True)
+        _EMBLSH_PAIRS_CACHE.move_to_end(k)
+        return hit[1]
+    count_memo(False)
+    val = dedup_embedding_lsh(t).cache()
+    _EMBLSH_PAIRS_CACHE[k] = (key, val)
+    while len(_EMBLSH_PAIRS_CACHE) > 2:
+        _, (_, old) = _EMBLSH_PAIRS_CACHE.popitem(last=False)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    return val
+
+
+def _emb_n_vecs(t: dict[str, DataFrame]) -> int:
+    """Corpus vector count via similarity's identity-keyed memo (one
+    parquet metadata-count per embeddings frame per session instead of
+    one per banded-index consumer)."""
+    from .similarity import _n_vecs
+
+    return _n_vecs(t["embeddings"])
+
+
 def _embdup_band_structs(planes: int) -> list[F.Column]:
     """(band, sig) structs for one vector column ``v`` — the banded
     OR-construction of random-hyperplane LSH (Indyk-Motwani; same
@@ -2107,7 +2205,7 @@ def dedup_embedding_lsh(
     # the plane count SHAPES THE PLAN (a Python loop builds the band
     # structs), so the corpus size is read up front — one parquet
     # metadata-count job, O(footers) at any scale
-    planes = band_planes or derived_band_planes(t["embeddings"].count())
+    planes = band_planes or derived_band_planes(_emb_n_vecs(t))
     emb = fan_out(t["embeddings"]).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -2288,7 +2386,7 @@ def embdup_plane_tuning(t: dict[str, DataFrame]) -> DataFrame:
         aggs.append(
             F.sum(F.round(catch, 6).cast("decimal(18,6)")).alias(f"s_{b}_{r}")
         )
-    one = dedup_embedding_lsh(t).agg(*aggs)
+    one = _emblsh_pairs(t).agg(*aggs)
     layout_rows = F.explode(
         F.array(
             *[
@@ -2366,21 +2464,13 @@ def dedup_embedding_recall(t: dict[str, DataFrame]) -> DataFrame:
     makes the measured trade-off above a monitored contract rather
     than a hope (mirrors ``dedup_recall_eval`` / ``ann_recall_eval``).
     """
-    truth = (
-        dedup_embedding(t)
-        .select(
-            F.least("query_id", "cand_id").alias("lo"),
-            F.greatest("query_id", "cand_id").alias("hi"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds the count AND the semi-join
-    )
+    truth = _embdup_truth_pairs(t)
     # The measured side is THE ACTUAL index output restricted to pairs
     # touching the query subset — same computation the production path
     # runs (including its BLAS rounding), so the gate measures the real
     # artifact, not a lookalike.
     lsh_in_scope = (
-        dedup_embedding_lsh(t)
+        _emblsh_pairs(t)
         .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
         .filter(
             ((F.col("lo") % QUERY_MOD) == 0) | ((F.col("hi") % QUERY_MOD) == 0)
@@ -2446,7 +2536,7 @@ def dedup_edit_distance(t: dict[str, DataFrame]) -> DataFrame:
     a JVM built-in on both engines — no Python in the loop.
     """
     docs = t["documents"].select("doc_id", "text")
-    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(t).select("doc_a", "doc_b")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     lev = F.levenshtein("ta", "tb")
@@ -2671,7 +2761,7 @@ def dedup_recall_eval(t: dict[str, DataFrame]) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds the count AND the semi-join
     )
     lsh_in_scope = (
-        dedup_minhash_lsh(t)
+        _minhash_pairs(t)
         .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
         .filter(
             ((F.col("lo") % QUERY_MOD) == 0) | ((F.col("hi") % QUERY_MOD) == 0)
@@ -3113,15 +3203,7 @@ def semdedup_recall(t: dict[str, DataFrame]) -> DataFrame:
     """
     from .similarity import kmeans_cells
 
-    truth = (
-        dedup_embedding(t)
-        .select(
-            F.least("query_id", "cand_id").alias("lo"),
-            F.greatest("query_id", "cand_id").alias("hi"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    truth = _embdup_truth_pairs(t)
     cells = kmeans_cells(t).localCheckpoint(eager=False)
     co = (
         truth.join(
@@ -3200,7 +3282,7 @@ def dedup_stacked(t: dict[str, DataFrame]) -> DataFrame:
     sd = semdedup(t).localCheckpoint(eager=False)
     cc = sd.select("vec_id", "cent_cos")
     pairs = (
-        dedup_embedding_lsh(t)
+        _emblsh_pairs(t)
         .join(
             cc.select(
                 F.col("vec_id").alias("doc_a"), F.col("cent_cos").alias("cca")
@@ -3321,17 +3403,9 @@ def dedup_stacked_recall(t: dict[str, DataFrame]) -> DataFrame:
     """
     from .similarity import kmeans_cells
 
-    truth = (
-        dedup_embedding(t)
-        .select(
-            F.least("query_id", "cand_id").alias("lo"),
-            F.greatest("query_id", "cand_id").alias("hi"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds count + both hit sets
-    )
+    truth = _embdup_truth_pairs(t)
     lsh_hit = truth.join(
-        dedup_embedding_lsh(t).select(
+        _emblsh_pairs(t).select(
             F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
         ),
         ["lo", "hi"],
@@ -3675,7 +3749,7 @@ def dedup_threshold_curve(t: dict[str, DataFrame]) -> DataFrame:
     rolls up per threshold — |thresholds| output rows at any corpus
     size.
     """
-    pairs = dedup_minhash_lsh(t).localCheckpoint(eager=False)
+    pairs = _minhash_pairs(t).localCheckpoint(eager=False)
     exp = pairs.select(
         F.explode(
             F.array(*[F.lit(float(x)) for x in DEDUP_CURVE_THRESHOLDS])

@@ -907,9 +907,9 @@ def pair_mining(t: dict[str, DataFrame]) -> DataFrame:
     lands; with sparse ids the inner join to the gram table simply
     drops misses (both engines identically).
     """
-    from .dedup import _doc_gram_arrays, dedup_minhash_lsh
+    from .dedup import _doc_gram_arrays, _minhash_pairs
 
-    pos = dedup_minhash_lsh(t).select(
+    pos = _minhash_pairs(t).select(
         F.col("doc_a").alias("anchor"),
         F.col("doc_b").alias("partner"),
         "jaccard",
@@ -2385,7 +2385,7 @@ def _gate_flags(t: dict[str, DataFrame]) -> DataFrame:
     the shared frame behind :func:`filter_attribution` and
     :func:`token_yield` (and the per-batch scoring of
     ``streaming.embindex.stream_filter_attribution``)."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import _minhash_pairs
     from .text_analysis import QUALITY_THRESHOLD, text_stats
 
     docs = t["documents"]
@@ -2404,7 +2404,7 @@ def _gate_flags(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("doc_id") != F.col("keeper_id")).alias("r_exact"),
     )
     near = (
-        dedup_minhash_lsh(t)
+        _minhash_pairs(t)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("r_near", F.lit(True))

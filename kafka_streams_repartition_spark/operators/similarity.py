@@ -427,19 +427,79 @@ def kmeans_model(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
     """(assignment, trained centroids) — :func:`kmeans_cells` plus the
     final Lloyd centroid table, so a consumer can FREEZE the quantizer
     (e.g. ``streaming.stream_semdedup`` assigns streamed vectors with
-    exactly the centroids the batch trainer converged to)."""
+    exactly the centroids the batch trainer converged to).
+
+    The TRAINED centroid table memoizes per embeddings frame as plain
+    collected rows (the ``_kcenter_centers`` discipline — k × DIM
+    doubles, kilobytes at any corpus size, no checkpoint blocks to
+    release): ~10 registry queries consume the same quantizer
+    (purity/silhouette/balance diagnostics, semdedup and its gates,
+    D4, cluster_sample), and retraining the identical Lloyd loop per
+    consumer was 2 full corpus passes each that the frozen-model
+    artifact makes one map-side assignment instead.  Assignment is
+    recomputed from the memoized centroids on every call — a
+    deterministic zero-shuffle map pass — so the output is
+    bit-identical to training in-line."""
     emb_raw = fan_out(t["embeddings"])
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
-    cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
+    schema, rows = _kmeans_cent_rows(t)
+    cent = emb.sparkSession.createDataFrame(rows, schema)
     assign = _assign_cells(emb, cent)
+    return assign.select("vec_id", "cell"), cent
+
+
+_KMEANS_MEMO: "_OrderedDict[int, tuple[DataFrame, tuple]]" = _OrderedDict()
+
+
+def _kmeans_cent_rows(t: dict[str, DataFrame]):
+    """(schema, rows) of the trained Lloyd centroid table, memoized
+    identity-keyed on the loader-memoized embeddings frame."""
+    key = t["embeddings"]
+    k = id(key)
+    hit = _KMEANS_MEMO.get(k)
+    if hit is not None:
+        count_memo(True)
+        _KMEANS_MEMO.move_to_end(k)
+        return hit[1]
+    count_memo(False)
+    out = _kmeans_train_uncached(t)
+    _KMEANS_MEMO[k] = (key, out)
+    while len(_KMEANS_MEMO) > 4:
+        _KMEANS_MEMO.popitem(last=False)
+    return out
+
+
+def _kmeans_train_uncached(t: dict[str, DataFrame]):
+    """Run the Lloyd loop and collect the final centroid table.
+
+    Lineage control: each round's centroid table (k tiny rows) lands
+    on the DRIVER (collect + createDataFrame) instead of a
+    localCheckpoint — same truncation of the exponentially-composed
+    assignment subtree, but no executor storage blocks to leak between
+    bench repeats (the r12 within-sweep storage-growth pathology), and
+    the values are the identical doubles either way.  On a real
+    cluster prefer a reliable ``checkpoint`` only if k stops being
+    tiny."""
+    emb_raw = fan_out(t["embeddings"])
+    emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
+    spark = emb.sparkSession
+    cent = _label_centroids(t).select(F.col("label").alias("cell"), "cv")
+    assign = _assign_cells(emb, cent)
+    schema = None
+    rows: list = []
     for _ in range(KMEANS_ITER):
         cent = assign.groupBy("cell").agg(
             F.array(
                 *[F.avg(F.element_at("v", i)) for i in range(1, DIM + 1)]
             ).alias("cv")
-        ).localCheckpoint()
+        )
+        schema = cent.schema
+        rows = cent.collect()
+        cent = spark.createDataFrame(rows, schema)
         assign = _assign_cells(emb, cent)
-    return assign.select("vec_id", "cell"), cent
+    if schema is None:  # KMEANS_ITER == 0: the seed table IS the model
+        schema, rows = cent.schema, cent.collect()
+    return schema, rows
 
 
 def _kmeans_oracle() -> str:
@@ -773,6 +833,32 @@ def _centroids(emb_raw: DataFrame) -> DataFrame:
     )
 
 
+_LCENT_MEMO: "_OrderedDict[int, tuple[DataFrame, tuple]]" = _OrderedDict()
+
+
+def _label_centroids(t: dict[str, DataFrame]) -> DataFrame:
+    """:func:`_centroids` as a driver-local relation, memoized per
+    embeddings frame as plain collected rows (k × DIM doubles — the
+    "pre-trained coarse quantizer a production IVF index would LOAD"):
+    six index ops consume the identical table and each previously
+    re-ran the corpus aggregation to rebuild it."""
+    key = t["embeddings"]
+    k = id(key)
+    hit = _LCENT_MEMO.get(k)
+    if hit is not None:
+        count_memo(True)
+        _LCENT_MEMO.move_to_end(k)
+        schema, rows = hit[1]
+    else:
+        count_memo(False)
+        cent = _centroids(fan_out(key))
+        schema, rows = cent.schema, cent.collect()
+        _LCENT_MEMO[k] = (key, (schema, rows))
+        while len(_LCENT_MEMO) > 4:
+            _LCENT_MEMO.popitem(last=False)
+    return key.sparkSession.createDataFrame(rows, schema)
+
+
 def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid cell
     (euclidean, deterministic tie-break on label), then top-k by cosine
@@ -786,7 +872,7 @@ def ann_topk_ivf(t: dict[str, DataFrame]) -> DataFrame:
     different quantizer.
     """
     emb_raw = fan_out(t["embeddings"])
-    cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
+    cent = _label_centroids(t).select(F.col("label").alias("cell"), "cv")
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
     cells = _assign_cells(emb, cent).withColumn("nrm", norm_unrolled(F.col("v"), DIM))
 
@@ -847,7 +933,7 @@ def pq_codes(t: dict[str, DataFrame]) -> DataFrame:
     float32 vectors into a 16-byte-per-vector index at 100 TB.
     """
     emb_raw = fan_out(t["embeddings"])
-    cent = _centroids(emb_raw)
+    cent = _label_centroids(t)
     sub_c = cent.select(
         "label",
         F.posexplode(
@@ -1007,7 +1093,7 @@ def ann_topk_ivfpq(t: dict[str, DataFrame]) -> DataFrame:
     engines; per-query top-k is a WindowGroupLimit-prunable rank.
     """
     emb_raw = fan_out(t["embeddings"])
-    cent = _centroids(emb_raw)
+    cent = _label_centroids(t)
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
     cells = _assign_cells(
         emb, cent.select(F.col("label").alias("cell"), "cv")
@@ -1212,7 +1298,7 @@ def _rpq_shared(t: dict[str, DataFrame]):
     :func:`ivfpq_design_table` computes this once and shares it across
     every grid leg."""
     emb_raw = fan_out(t["embeddings"])
-    cent = _centroids(emb_raw).select(F.col("label").alias("cell"), "cv")
+    cent = _label_centroids(t).select(F.col("label").alias("cell"), "cv")
     emb = emb_raw.select("vec_id", to_double_array("embedding").alias("v"))
     cells = _assign_cells(emb, cent)  # (vec_id, v, cell)
     rsub = (
@@ -1270,7 +1356,7 @@ def _rpq_codebook(rsub: DataFrame, rpq_k: int) -> tuple[DataFrame, DataFrame]:
     return cb1, codes
 
 
-def _rpq_topk(
+def _rpq_adc(
     emb: DataFrame,
     cent: DataFrame,
     cells: DataFrame,
@@ -1279,9 +1365,16 @@ def _rpq_topk(
     n_probe: int,
     qcap: int,
 ) -> DataFrame:
-    """Query side of the residual pipeline: probe ``n_probe`` coarse
-    cells, rebuild the per-(query, cell) residual ADC table against
-    ``cb1``, score the probed cells' codes, rank top-k."""
+    """Scored ADC candidates of the residual pipeline: probe
+    ``n_probe`` coarse cells, rebuild the per-(query, cell) residual
+    ADC table against ``cb1``, score the probed cells' codes.  Each
+    row carries ``prn`` — the probe rank of the candidate's cell for
+    that query — so ``filter(prn <= p)`` for any ``p <= n_probe``
+    yields EXACTLY the p-probe candidate set (every candidate lives in
+    one cell, and a cell's ADC contribution is independent of which
+    other cells were probed): :func:`ivfpq_design_table` scores the
+    max-probe superset once per codebook and derives every smaller
+    probe budget by the filter instead of re-running this chain."""
     qids = _qcap_ids(emb, qcap)
     cdist = F.round(
         F.aggregate(
@@ -1305,11 +1398,12 @@ def _rpq_topk(
     probed = (
         qd.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "cell", "qr")
+        .select("query_id", "cell", "qr", "rn")
     )
     qrsub = probed.select(
         "query_id",
         "cell",
+        "rn",
         F.posexplode(
             F.array(*[F.slice("qr", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
         ).alias("m", "rsub"),
@@ -1317,6 +1411,7 @@ def _rpq_topk(
     qtab = qrsub.join(F.broadcast(cb1), "m").select(
         F.col("query_id").alias("qq"),
         F.col("cell").alias("qcell"),
+        F.col("rn").alias("qrn"),
         F.col("m").alias("qm"),
         F.col("k").alias("qk"),
         _rpq_sdist().cast("decimal(18,6)").alias("qdist"),
@@ -1328,7 +1423,7 @@ def _rpq_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "cell", "vec_id")
     )
-    adc = (
+    return (
         cand.join(codes, "vec_id")
         .join(
             F.broadcast(qtab),
@@ -1338,8 +1433,16 @@ def _rpq_topk(
             & (F.col("code") == F.col("qk")),
         )
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sqrt(F.sum("qdist").cast("double")), 6).alias("adc"))
+        .agg(
+            F.round(F.sqrt(F.sum("qdist").cast("double")), 6).alias("adc"),
+            # the candidate's cell has ONE probe rank per query
+            F.min("qrn").alias("prn"),
+        )
     )
+
+
+def _rpq_rank(adc: DataFrame) -> DataFrame:
+    """Rank an ADC candidate frame to the top-k output contract."""
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     return (
         adc.withColumn("rank", F.row_number().over(w))
@@ -1351,6 +1454,20 @@ def _rpq_topk(
             "adc",
         )
     )
+
+
+def _rpq_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    cells: DataFrame,
+    cb1: DataFrame,
+    codes: DataFrame,
+    n_probe: int,
+    qcap: int,
+) -> DataFrame:
+    """Query side of the residual pipeline: probe ``n_probe`` coarse
+    cells, score their codes (:func:`_rpq_adc`), rank top-k."""
+    return _rpq_rank(_rpq_adc(emb, cent, cells, cb1, codes, n_probe, qcap))
 
 
 def ann_topk_ivfpq_residual(
@@ -1527,6 +1644,39 @@ WHERE rank <= {TOP_K}
 ANN_TOPK_IVFPQ_RESIDUAL_ORACLE = _ivfpq_residual_oracle(N_PROBE, RPQ_K)
 
 
+_BF_TRUTH_MEMO: "_OrderedDict[int, tuple[DataFrame, tuple]]" = _OrderedDict()
+
+
+def _bf_truth(t: dict[str, DataFrame]) -> DataFrame:
+    """The brute-force (query_id, cand_id) truth ranking every ANN
+    acceptance gate in this module scores against, memoized per
+    embeddings frame as plain collected rows (the ``_kcenter_centers``
+    / ``_mmr_pool_pairs`` discipline): the truth set is ≤ cap × TOP_K
+    id pairs (a k-bounded collect at any corpus size, ~40k rows worst
+    case), and SEVEN gates (lsh/pq/sq/ivfpq/residual recalls, the
+    recall eval, the MRL gate) plus the design table each re-ran the
+    full Q·N brute scan to rebuild the identical artifact.  The
+    declared ``ann_topk_bruteforce`` query itself never consults the
+    memo — it always computes fresh from the scan.  The key carries
+    the EFFECTIVE query cap so a runtime ``ANN_QUERY_CAP`` override
+    (monkeypatched or env) can never serve a stale truth set."""
+    key = t["embeddings"]
+    k = (id(key), _ann_qcap(t))
+    hit = _BF_TRUTH_MEMO.get(k)
+    if hit is not None:
+        count_memo(True)
+        _BF_TRUTH_MEMO.move_to_end(k)
+        schema, rows = hit[1]
+    else:
+        count_memo(False)
+        truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+        schema, rows = truth.schema, truth.collect()
+        _BF_TRUTH_MEMO[k] = (key, (schema, rows))
+        while len(_BF_TRUTH_MEMO) > 4:
+            _BF_TRUTH_MEMO.popitem(last=False)
+    return key.sparkSession.createDataFrame(rows, schema)
+
+
 def _recall_one_row(truth: DataFrame, approx: DataFrame) -> DataFrame:
     """(n_truth, n_approx, n_hits, recall) — the shared one-row recall
     reduction behind every ANN acceptance gate in this module."""
@@ -1554,7 +1704,7 @@ def lsh_recall(t: dict[str, DataFrame]) -> DataFrame:
     (IVF: ``ann_recall_eval``; IVF-PQ: ``ivfpq_recall``; PQ:
     ``pq_recall``; SQ: ``sq_recall``)."""
     return _recall_one_row(
-        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        _bf_truth(t),
         ann_topk_lsh(t).select("query_id", "cand_id"),
     )
 
@@ -1567,7 +1717,7 @@ def pq_recall(t: dict[str, DataFrame]) -> DataFrame:
     ``ivfpq_recall`` decomposes the composed index's forfeit into its
     cell-blocking and code-quantization parts."""
     return _recall_one_row(
-        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        _bf_truth(t),
         ann_topk_pq(t).select("query_id", "cand_id"),
     )
 
@@ -1581,7 +1731,7 @@ def ivfpq_residual_recall(t: dict[str, DataFrame]) -> DataFrame:
     residual-encoding gain, because everything else in the two
     pipelines is held equal."""
     return _recall_one_row(
-        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        _bf_truth(t),
         ann_topk_ivfpq_residual(t).select("query_id", "cand_id"),
     )
 
@@ -1616,11 +1766,7 @@ def ivfpq_design_table(t: dict[str, DataFrame]) -> DataFrame:
     fixed codebook size (more probed cells only ADD candidates), an
     invariant the test suite pins.
     """
-    truth = (
-        ann_topk_bruteforce(t)
-        .select("query_id", "cand_id")
-        .localCheckpoint(eager=False)
-    )
+    truth = _bf_truth(t)
     emb, cent, cells, rsub = _rpq_shared(t)
     cells = cells.localCheckpoint(eager=False)
     rsub = rsub.localCheckpoint(eager=False)
@@ -1628,12 +1774,16 @@ def ivfpq_design_table(t: dict[str, DataFrame]) -> DataFrame:
     for k in sorted({kk for _, kk in IVFPQ_GRID}):
         cb1, codes = _rpq_codebook(rsub, k)
         codes = codes.localCheckpoint(eager=False)
-        for np_, kk in IVFPQ_GRID:
-            if kk != k:
-                continue
-            approx = _rpq_topk(
-                emb, cent, cells, cb1, codes, np_, _ann_qcap(t)
-            ).select(
+        probes = sorted({np_ for np_, kk in IVFPQ_GRID if kk == k})
+        # score the max-probe candidate superset ONCE per codebook;
+        # each smaller probe budget is exactly the prn <= n_probe cut
+        # of it (see _rpq_adc) — 3 probe legs share one ADC chain
+        # instead of re-running the join/aggregate per leg
+        adc = _rpq_adc(
+            emb, cent, cells, cb1, codes, max(probes), _ann_qcap(t)
+        ).localCheckpoint(eager=False)
+        for np_ in probes:
+            approx = _rpq_rank(adc.filter(F.col("prn") <= np_)).select(
                 "query_id", "cand_id"
             )
             legs.append(
@@ -1712,7 +1862,7 @@ def ivfpq_recall(t: dict[str, DataFrame]) -> DataFrame:
 
     Pure composition of two oracle-gated queries, reduced to one row.
     """
-    truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+    truth = _bf_truth(t)
     approx = ann_topk_ivfpq(t).select("query_id", "cand_id")
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
@@ -2086,7 +2236,7 @@ def ann_recall_eval(t: dict[str, DataFrame]) -> DataFrame:
     which is exactly why the recall number must be known before the
     exact path is retired.
     """
-    truth = ann_topk_bruteforce(t).select("query_id", "cand_id")
+    truth = _bf_truth(t)
     approx = ann_topk_ivf(t).select("query_id", "cand_id")
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
@@ -2262,7 +2412,7 @@ def ann_topk_pq(t: dict[str, DataFrame]) -> DataFrame:
     is bit-identical to the per-vector scan the oracle replays.
     """
     emb_raw = fan_out(t["embeddings"])
-    cent = _centroids(emb_raw)
+    cent = _label_centroids(t)
     sub_c = cent.select(
         "label",
         F.posexplode(
@@ -2944,7 +3094,7 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
         .select("query_id", "cand_id")
     )
     truth = (
-        ann_topk_bruteforce(t)
+        _bf_truth(t)
         .join(F.broadcast(q.select("query_id")), "query_id", "left_semi")
         .select("query_id", "cand_id")
     )
@@ -3206,7 +3356,7 @@ def mrl_recall_curve(t: dict[str, DataFrame]) -> DataFrame:
     place where DuckDB's float summation order could have rounded a
     boundary cosine differently in two independent CTEs).
     """
-    qcap = derived_mrl_query_cap(t["embeddings"].count())
+    qcap = derived_mrl_query_cap(_n_vecs(t["embeddings"]))
     truth = (
         _truncated_topk(t, DIM, qcap)
         .localCheckpoint(eager=False)
@@ -3496,7 +3646,7 @@ def mrl_shortlist_recall(t: dict[str, DataFrame]) -> DataFrame:
     falling outside the prefix index's top-MRL_SHORTLIST_N shortlist —
     the curve's d=MRL_SHORTLIST_DIM row bounds it."""
     return _recall_one_row(
-        ann_topk_bruteforce(t).select("query_id", "cand_id"),
+        _bf_truth(t),
         ann_topk_mrl(t).select("query_id", "cand_id"),
     )
 
@@ -3728,7 +3878,7 @@ def hard_negative_mining(t: dict[str, DataFrame]) -> DataFrame:
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
     emb = emb.withColumn("nrm", norm_unrolled(F.col("v"), DIM))
-    qcap = derived_mrl_query_cap(t["embeddings"].count())
+    qcap = derived_mrl_query_cap(_n_vecs(t["embeddings"]))
     q = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")

@@ -199,7 +199,7 @@ def corpus_curation(t: dict[str, DataFrame]) -> DataFrame:
     losers are a large fraction of a dup-heavy crawl, so AQE picks
     broadcast vs shuffle by the frame's measured size.
     """
-    from .dedup import dedup_minhash_lsh
+    from .dedup import _minhash_pairs
 
     stats = text_stats(t).select("doc_id", "n_tokens", "quality_score")
     survivors = stats.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
@@ -213,7 +213,7 @@ def corpus_curation(t: dict[str, DataFrame]) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    near_dup_losers = dedup_minhash_lsh(t).select(F.col("doc_b").alias("doc_id"))
+    near_dup_losers = _minhash_pairs(t).select(F.col("doc_b").alias("doc_id"))
     return (
         hashed.join(keepers, ["h", "doc_id"])  # semi: keeper rows only
         .join(near_dup_losers, "doc_id", "left_anti")
@@ -1026,6 +1026,38 @@ _BPE_O = "\x1e"
 _BPE_C = "\x1f"
 
 
+# the collected (lhs, rhs) merge list of the trained BPE tokenizer,
+# memoized per documents frame (the frozen-model discipline of
+# similarity._kcenter_centers: K tiny driver rows): bpe_encode and
+# tokenizer_fertility each re-ran the full K-round trainer to rebuild
+# the identical table.  The declared bpe_train_merges query itself
+# never consults the memo.
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+_BPE_MERGES_MEMO: "_OrderedDict[int, tuple[DataFrame, list]]" = _OrderedDict()
+
+
+def _bpe_merges(t: dict[str, DataFrame]) -> list[tuple[str, str]]:
+    from ..functions.caching import count_memo
+
+    key = t["documents"]
+    k = id(key)
+    hit = _BPE_MERGES_MEMO.get(k)
+    if hit is not None:
+        count_memo(True)
+        _BPE_MERGES_MEMO.move_to_end(k)
+        return hit[1]
+    count_memo(False)
+    out = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(t).orderBy("round").collect()
+    ]
+    _BPE_MERGES_MEMO[k] = (key, out)
+    while len(_BPE_MERGES_MEMO) > 4:
+        _BPE_MERGES_MEMO.popitem(last=False)
+    return out
+
+
 def bpe_train_merges(t: dict[str, DataFrame]) -> DataFrame:
     """Greedy BPE merge training (Sennrich et al. 2016, learn_bpe):
     iterate :func:`bpe_pair_stats`'s statistic into an actual merge
@@ -1188,10 +1220,7 @@ def bpe_encode(t: dict[str, DataFrame]) -> DataFrame:
     applies them identically.
     """
     docs = t["documents"]
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_train_merges(t).orderBy("round").collect()
-    ]
+    merges = _bpe_merges(t)
     enc_tok = F.array_join(
         F.transform(
             words(F.col("text")),
@@ -2259,10 +2288,7 @@ def tokenizer_fertility(t: dict[str, DataFrame]) -> DataFrame:
     corpus-total window over the |langs| rows.
     """
     docs = t["documents"]
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_train_merges(t).orderBy("round").collect()
-    ]
+    merges = _bpe_merges(t)
     enc_tok = F.array_join(
         F.transform(
             words(F.col("text")),
