@@ -84,6 +84,36 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return _unrolled_expr(sql, chain)
 
 
+def dot_literal(a: Column, vals: list[float]) -> Column:
+    """Dot product of a column vector with a LITERAL vector, unrolled
+    with the literal inlined as one scalar per term.
+
+    ``dot_unrolled(a, F.array(*lits), dim)`` renders the whole
+    64-literal array expression once PER TERM (``element_at(array(...),
+    i)``), a ~dim²-literal SQL string and expression tree — measured as
+    multi-second driver-side parse/analyze cost per plan build for the
+    k-center coverage scan (8 centers) and the LSH signature (8
+    planes).  Inlining the scalar keeps the tree at dim terms.  Same
+    left-associated addition from 0.0 and identical IEEE doubles
+    (``repr`` round-trips exactly), so results are bit-identical to
+    ``dot_unrolled`` against the same literal vector."""
+
+    def sql() -> str:
+        sa = f"({_sql_of(a)})"
+        return "0.0D" + "".join(
+            f" + (element_at({sa}, {i + 1}) * CAST('{float(v)!r}' AS DOUBLE))"
+            for i, v in enumerate(vals)
+        )
+
+    def chain() -> Column:
+        acc = F.lit(0.0)
+        for i, v in enumerate(vals):
+            acc = acc + F.element_at(a, i + 1) * F.lit(float(v))
+        return acc
+
+    return _unrolled_expr(sql, chain)
+
+
 def norm_unrolled(a: Column, dim: int) -> Column:
     return F.sqrt(dot_unrolled(a, a, dim))
 

@@ -33,6 +33,7 @@ from ..functions.hashing import hex_sign
 # into whole-stage codegen — same left-associated addition order, so
 # results are bit-identical (functions/vectors docstring)
 from ..functions.vectors import (
+    dot_literal,
     dot_unrolled,
     norm_unrolled,
     sqdist_unrolled,
@@ -262,8 +263,9 @@ def _signature(vec_col) -> F.Column:
     """8-char '0'/'1' signature string of a double-array column."""
     bits = []
     for row in _sign_matrix():
-        lit_row = F.array(*[F.lit(float(s)) for s in row])
-        proj = dot_unrolled(vec_col, lit_row, DIM)
+        # scalar-literal unroll: the array-literal form re-rendered the
+        # 64-entry plane per term (dim² literals × 8 planes per plan)
+        proj = dot_literal(vec_col, [float(s) for s in row])
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -1281,14 +1283,16 @@ RPQ_K = 32
 
 def _rpq_sdist() -> "F.Column":
     """Rounded residual-subvector squared distance — the shared
-    argmin/ADC metric of the residual pipeline."""
+    argmin/ADC metric of the residual pipeline.  Unrolled to a flat
+    PQ_SUB-term codegen expression (``sqdist_unrolled`` — left-
+    associated from 0.0, bit-identical to the interpreted
+    ``zip_with``/``aggregate`` fold it replaces): the residual family
+    scores N·M·K candidate rows with this metric per codebook pass,
+    and the fold ran row-at-a-time in the interpreter while the
+    non-residual PQ path already compiled (guide §4.1 — built-ins
+    with codegen over HOFs on hot paths)."""
     return F.round(
-        F.aggregate(
-            F.zip_with("rsub", "csub", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+        sqdist_unrolled(F.col("rsub"), F.col("csub"), PQ_SUB), 6
     ).alias("dist")
 
 
@@ -1679,7 +1683,16 @@ def _bf_truth(t: dict[str, DataFrame]) -> DataFrame:
 
 def _recall_one_row(truth: DataFrame, approx: DataFrame) -> DataFrame:
     """(n_truth, n_approx, n_hits, recall) — the shared one-row recall
-    reduction behind every ANN acceptance gate in this module."""
+    reduction behind every ANN acceptance gate in this module.
+
+    The approx side is referenced TWICE (its own count + the hit
+    semi-join) and is the gate's whole approximate-index pipeline;
+    without a checkpoint Spark evaluates that pipeline once per
+    reference (measured: lsh_recall 6.1 s vs ann_topk_lsh 3.6 s in the
+    same sweep with the truth side already memoized — the extra cost
+    was the second full index build).  localCheckpoint materializes
+    the ≤ cap × TOP_K id pairs once; both consumers read the blocks."""
+    approx = approx.localCheckpoint(eager=False)
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
@@ -1863,7 +1876,12 @@ def ivfpq_recall(t: dict[str, DataFrame]) -> DataFrame:
     Pure composition of two oracle-gated queries, reduced to one row.
     """
     truth = _bf_truth(t)
-    approx = ann_topk_ivfpq(t).select("query_id", "cand_id")
+    # checkpoint: the approx pipeline is referenced twice (count + hits)
+    approx = (
+        ann_topk_ivfpq(t)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
@@ -2237,7 +2255,12 @@ def ann_recall_eval(t: dict[str, DataFrame]) -> DataFrame:
     exact path is retired.
     """
     truth = _bf_truth(t)
-    approx = ann_topk_ivf(t).select("query_id", "cand_id")
+    # checkpoint: the approx pipeline is referenced twice (count + hits)
+    approx = (
+        ann_topk_ivf(t)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_approx = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
@@ -3092,6 +3115,8 @@ def sq_recall(t: dict[str, DataFrame]) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id")
+        # checkpoint: referenced twice (count + hits)
+        .localCheckpoint(eager=False)
     )
     truth = (
         _bf_truth(t)
@@ -3699,9 +3724,10 @@ def _kc_dist_to(v_lit: list[float], nrm: float) -> F.Column:
     ``nrm``) to one literal center vector — the shared scoring
     expression of the k-center family (selection loop and coverage
     scan must score bit-identically)."""
-    c = F.array(*[F.lit(float(x)) for x in v_lit])
     cos = F.round(
-        dot_unrolled(F.col("v"), c, DIM) / (F.col("nrm") * F.lit(nrm)), 6
+        dot_literal(F.col("v"), [float(x) for x in v_lit])
+        / (F.col("nrm") * F.lit(nrm)),
+        6,
     )
     return F.round(F.lit(1.0) - cos, 6)
 
@@ -4453,12 +4479,20 @@ def mmr_diversity_gain(t: dict[str, DataFrame]) -> DataFrame:
     w_rel = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("cand_id")
     )
+    # both pick frames are referenced twice (rel mean + pairsim) and
+    # mmr's plan is the whole MMR_K-round greedy loop — checkpoint the
+    # ≤ |Q|·K rows once instead of re-running the loop per reference
     top = (
         pool.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= MMR_K)
         .select("query_id", "cand_id", "rel")
+        .localCheckpoint(eager=False)
     )
-    mmr = mmr_rerank(t).select("query_id", "cand_id", "rel")
+    mmr = (
+        mmr_rerank(t)
+        .select("query_id", "cand_id", "rel")
+        .localCheckpoint(eager=False)
+    )
 
     def rel_mean(picks: DataFrame) -> F.Column:
         return F.round(
