@@ -128,15 +128,25 @@ class MemoSlots:
 
     def __init__(self, capacity: int = 2) -> None:
         self._capacity = capacity
-        self._slots: OrderedDict[int, tuple[DataFrame, DataFrame]] = (
+        # key: (id(frame), *shaping-constant parts)
+        self._slots: OrderedDict[tuple, tuple[DataFrame, DataFrame]] = (
             OrderedDict()
         )
 
     def get_or_build(
-        self, key: DataFrame, build: Callable[[], DataFrame]
+        self,
+        key: DataFrame,
+        build: Callable[[], DataFrame],
+        parts: tuple = (),
     ) -> DataFrame:
+        """``parts``: optional plan-shaping constants (gram order,
+        band counts, caps) folded into the slot key next to the frame
+        identity, so a runtime override of a shaping constant can
+        never serve a frame built under the old value (the
+        ``_bf_truth`` key discipline, available to every MemoSlots
+        user)."""
         global _memo_hits, _memo_misses
-        k = id(key)
+        k = (id(key), *parts)
         hit = self._slots.get(k)
         if hit is not None:
             _memo_hits += 1

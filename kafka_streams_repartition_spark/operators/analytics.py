@@ -521,31 +521,30 @@ def table_profile_approx(t: dict[str, DataFrame]) -> DataFrame:
     aggregate yields both the HLL registers (``max`` rho — idempotent,
     so distinct-then-register equals register-over-raw) AND the exact
     count (``Σ`` per-bucket value counts) from the same ≤16-rows-per-
-    column frame — no second scan, no countDistinct Expand.
+    column frame — no second scan, no countDistinct Expand.  The exact
+    Σ n_vals rides the SAME per-column aggregation as the register
+    harmonic sum (``_hll_estimate``'s ``extra`` hook), so the register
+    frame is consumed ONCE — the earlier shape localCheckpointed it
+    and read it twice (estimate + exact) through a broadcast join,
+    one barrier and one pass more than the statistic needs.
     """
     from .sketches import _hll_estimate
 
-    regs = _profile_approx_regs(t).localCheckpoint(
-        eager=False  # <=16 rows/column; feeds est + exact
-    )
-    exact = regs.groupBy("column_name").agg(
-        F.sum("n_vals").alias("n_distinct_exact")
-    )
     rel_err = F.round(
         F.abs(F.col("hll_estimate") - F.col("n_distinct_exact"))
         / F.col("n_distinct_exact"),
         4,
     )
-    return (
-        _hll_estimate(regs, "column_name")
-        .join(exact, "column_name")
-        .select(
-            "column_name",
-            "n_distinct_exact",
-            "hll_estimate",
-            rel_err.alias("rel_err"),
-            (rel_err <= HLL_PROFILE_BOUND).alias("within_bound"),
-        )
+    return _hll_estimate(
+        _profile_approx_regs(t),
+        "column_name",
+        extra=((F.sum("n_vals"), "n_distinct_exact"),),
+    ).select(
+        "column_name",
+        "n_distinct_exact",
+        "hll_estimate",
+        rel_err.alias("rel_err"),
+        (rel_err <= HLL_PROFILE_BOUND).alias("within_bound"),
     )
 
 

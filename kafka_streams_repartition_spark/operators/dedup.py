@@ -1081,6 +1081,36 @@ def _hash_bucket(col: F.Column) -> F.Column:
 
 RNS_NGRAM = 13  # the GPT-3 appendix-C decontamination gram order
 
+# One cached distinct (doc_id, gh) 13-gram pair frame per documents
+# frame (the _GRAMS_CACHE discipline): repeated_ngram_scan references
+# the frame three times (recurrence rollup, per-doc verdict, per-doc
+# totals) and repeated_ngram_summary three more — without the cache
+# each reference re-ran the full tokenize + 13-gram + md5 transform
+# over the corpus text (measured: 6 text passes across the pair at
+# sf0.1 for one logical gram table).  The gram order rides the slot
+# key, so a runtime RNS_NGRAM override can never serve stale pairs.
+_RNS_DG_CACHE = MemoSlots(capacity=2)
+
+
+def _rns_dg(t: dict[str, DataFrame]) -> DataFrame:
+    def build() -> DataFrame:
+        ga = fan_out(t["documents"]).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(words(F.col("text")), RNS_NGRAM),
+                    lambda g: F.md5(g),
+                )
+            ).alias("ghs"),
+        )
+        return ga.select(
+            "doc_id", F.explode_outer("ghs").alias("gh")
+        ).filter(F.col("gh").isNotNull())
+
+    return _RNS_DG_CACHE.get_or_build(
+        t["documents"], build, parts=(RNS_NGRAM,)
+    )
+
 
 def repeated_ngram_scan(t: dict[str, DataFrame]) -> DataFrame:
     """Intra-corpus repeated high-order n-gram scan — the memorization
@@ -1102,43 +1132,40 @@ def repeated_ngram_scan(t: dict[str, DataFrame]) -> DataFrame:
     the hash-keyed rollup — never a countDistinct, never pairwise; the
     verdict join back is hash-keyed.  Output is one row per doc with
     ≥ ``RNS_NGRAM`` tokens.
+
+    One text pass: the distinct (doc, gh) pair frame is the shared
+    cached intermediate (``_rns_dg``); the per-doc totals AND the
+    repeated count ride ONE doc-keyed aggregation over it (a gram is
+    distinct within its doc, so rows-per-doc IS the distinct gram
+    count, and the repeat verdict is a hash-keyed membership flag
+    summed in the same pass) — the earlier shape re-derived the gram
+    arrays from text once per consumer (3 passes) and joined two
+    per-doc frames back together at the end.
     """
-    ga = fan_out(t["documents"]).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                word_ngrams(words(F.col("text")), RNS_NGRAM),
-                lambda g: F.md5(g),
-            )
-        ).alias("ghs"),
-    )
-    dg = (
-        ga.select("doc_id", F.explode_outer("ghs").alias("gh"))
-        .filter(F.col("gh").isNotNull())
-    )
+    dg = _rns_dg(t)
     rep = (
         dg.groupBy("gh")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .filter(F.col("lo") != F.col("hi"))
-        .select("gh")
+        .select("gh", F.lit(1).alias("is_rep"))
     )
-    pd_ = (
-        dg.join(rep, "gh")
+    per_doc = (
+        dg.join(rep, "gh", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_repeated"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0)))
+            .cast("long")
+            .alias("n_repeated"),
+        )
     )
-    base = ga.select(
-        "doc_id", F.size("ghs").cast("long").alias("n_grams")
-    ).filter(F.col("n_grams") > 0)
-    return base.join(pd_, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_grams",
-        F.coalesce(F.col("n_repeated"), F.lit(0)).cast("long").alias(
-            "n_repeated"
+        "n_repeated",
+        F.round(F.col("n_repeated") / F.col("n_grams"), 6).alias(
+            "repeated_frac"
         ),
-        F.round(
-            F.coalesce(F.col("n_repeated"), F.lit(0)) / F.col("n_grams"), 6
-        ).alias("repeated_frac"),
     )
 
 
@@ -1184,24 +1211,14 @@ def repeated_ngram_summary(t: dict[str, DataFrame]) -> DataFrame:
     proxy — a handful of hot boilerplate grams can dominate instances
     while being a sliver of the distinct vocabulary).
 
-    Scale shape: the per-doc distinct (doc, gh) pairs roll up
-    hash-keyed ONCE into (n_docs_with, n_instances) per gram; every
-    output number is an unconditional aggregate of that vocabulary-
-    sized table — no verdict join back, no per-doc state, one row out.
+    Scale shape: the per-doc distinct (doc, gh) pairs (the shared
+    cached ``_rns_dg`` frame — one text pass for this query AND the
+    per-doc scan) roll up hash-keyed ONCE into
+    (n_docs_with, n_instances) per gram; every output number is an
+    unconditional aggregate of that vocabulary-sized table — no
+    verdict join back, no per-doc state, one row out.
     """
-    ga = fan_out(t["documents"]).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                word_ngrams(words(F.col("text")), RNS_NGRAM),
-                lambda g: F.md5(g),
-            )
-        ).alias("ghs"),
-    )
-    dg = (
-        ga.select("doc_id", F.explode_outer("ghs").alias("gh"))
-        .filter(F.col("gh").isNotNull())
-    )
+    dg = _rns_dg(t)
     per_gram = dg.groupBy("gh").agg(
         F.count(F.lit(1)).alias("nd"),
         F.min("doc_id").alias("lo"),
@@ -2026,7 +2043,9 @@ _MINHASH_PAIRS_CACHE = MemoSlots(capacity=2)
 
 def _minhash_pairs(t: dict[str, DataFrame]) -> DataFrame:
     return _MINHASH_PAIRS_CACHE.get_or_build(
-        t["documents"], lambda: dedup_minhash_lsh(t)
+        t["documents"],
+        lambda: dedup_minhash_lsh(t),
+        parts=(NGRAM_N, MINHASH_SEEDS, MINHASH_BANDS, JACCARD_THRESHOLD),
     )
 
 

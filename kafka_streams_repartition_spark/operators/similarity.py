@@ -132,6 +132,31 @@ def _ann_qcap(t: dict[str, DataFrame]) -> int:
     return derived_ann_query_cap(_n_vecs(t["embeddings"]))
 
 
+_QSUBSET_MEMO: "_OrderedDict[int, tuple[DataFrame, int]]" = _OrderedDict()
+
+
+def _qsubset_n(emb_raw: DataFrame) -> int:
+    """Size of the natural ``% QUERY_MOD`` query subset, memoized per
+    raw embeddings frame (the ``_n_vecs`` discipline).  Two capped
+    query lists over the same corpus are IDENTICAL iff
+    ``min(subset_n, cap_a) == min(subset_n, cap_b)`` (both are "the
+    cap lowest vec_ids of the subset"), so this one tiny count is what
+    lets a consumer prove its query list equals the memoized truth
+    set's before sharing it (see :func:`mrl_recall_curve`)."""
+    k = id(emb_raw)
+    hit = _QSUBSET_MEMO.get(k)
+    if hit is not None:
+        count_memo(True)
+        _QSUBSET_MEMO.move_to_end(k)
+        return hit[1]
+    count_memo(False)
+    n = emb_raw.filter(F.col("vec_id") % QUERY_MOD == 0).count()
+    _QSUBSET_MEMO[k] = (emb_raw, n)
+    while len(_QSUBSET_MEMO) > 8:
+        _QSUBSET_MEMO.popitem(last=False)
+    return n
+
+
 def _corpus(t: dict[str, DataFrame]) -> DataFrame:
     emb = fan_out(t["embeddings"]).select("vec_id", to_double_array("embedding").alias("v"))
     return emb.withColumn("nrm", norm_unrolled(F.col("v"), DIM))
@@ -421,8 +446,18 @@ def kmeans_cells(t: dict[str, DataFrame]) -> DataFrame:
 
     ``ann_topk_ivf`` consumes a pretrained quantizer; this is its
     trainer — together they close the IVF index lifecycle.
+
+    As the declared PRODUCER query it always trains fresh
+    (``_kmeans_train_uncached``), never consulting ``_KMEANS_MEMO``:
+    its bench row must measure Lloyd training, not a memo lookup.
+    Consumers share the trained model via :func:`kmeans_model`.
     """
-    return kmeans_model(t)[0]
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    schema, rows = _kmeans_train_uncached(t)
+    cent = emb.sparkSession.createDataFrame(rows, schema)
+    return _assign_cells(emb, cent).select("vec_id", "cell")
 
 
 def kmeans_model(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
@@ -455,9 +490,11 @@ _KMEANS_MEMO: "_OrderedDict[int, tuple[DataFrame, tuple]]" = _OrderedDict()
 
 def _kmeans_cent_rows(t: dict[str, DataFrame]):
     """(schema, rows) of the trained Lloyd centroid table, memoized
-    identity-keyed on the loader-memoized embeddings frame."""
+    identity-keyed on the loader-memoized embeddings frame; the
+    iteration budget and dimensionality ride the key so a runtime
+    override can never serve a model trained under the old values."""
     key = t["embeddings"]
-    k = id(key)
+    k = (id(key), KMEANS_ITER, DIM)
     hit = _KMEANS_MEMO.get(k)
     if hit is not None:
         count_memo(True)
@@ -843,9 +880,10 @@ def _label_centroids(t: dict[str, DataFrame]) -> DataFrame:
     embeddings frame as plain collected rows (k × DIM doubles — the
     "pre-trained coarse quantizer a production IVF index would LOAD"):
     six index ops consume the identical table and each previously
-    re-ran the corpus aggregation to rebuild it."""
+    re-ran the corpus aggregation to rebuild it.  DIM rides the key
+    (the seed table is per-dimension positional averages)."""
     key = t["embeddings"]
-    k = id(key)
+    k = (id(key), DIM)
     hit = _LCENT_MEMO.get(k)
     if hit is not None:
         count_memo(True)
@@ -3381,11 +3419,86 @@ def mrl_recall_curve(t: dict[str, DataFrame]) -> DataFrame:
     place where DuckDB's float summation order could have rounded a
     boundary cosine differently in two independent CTEs).
     """
-    qcap = derived_mrl_query_cap(_n_vecs(t["embeddings"]))
-    truth = (
-        _truncated_topk(t, DIM, qcap)
-        .localCheckpoint(eager=False)
+    n_vecs = _n_vecs(t["embeddings"])
+    qcap = derived_mrl_query_cap(n_vecs)
+    # The d = DIM truth leg IS the brute-force truth ranking the ANN
+    # gates memoize (`_bf_truth`): `_truncated_topk(DIM)` is
+    # bit-identical to `ann_topk_bruteforce`'s scorer (same dot
+    # fold order, rounding, tie order), and the two capped query
+    # lists — "the cap lowest vec_ids of the % QUERY_MOD subset" —
+    # are provably the same list whenever min(subset_n, mrl_cap) ==
+    # min(subset_n, ann_cap) (one memoized tiny count decides it).
+    # When they match, consume the memoized truth instead of
+    # re-spending a full Q·N·DIM brute scan on the identical rows;
+    # when a cap override makes them diverge, train the leg fresh.
+    subset_n = _qsubset_n(t["embeddings"])
+    if min(subset_n, qcap) == min(subset_n, derived_ann_query_cap(n_vecs)):
+        truth = _bf_truth(t)
+    else:
+        truth = (
+            _truncated_topk(t, DIM, qcap)
+            .localCheckpoint(eager=False)
+        )
+    # The reduced-dim legs fuse into ONE corpus pass: every leg scores
+    # the SAME (query, candidate) pairs, only over a different prefix
+    # width, so one crossJoin computes all reduced cosines side by side
+    # (per-pair flops are unchanged — Σ d mults either way — but the
+    # scan, the broadcast build and the Q·N row materialization happen
+    # once instead of once per leg), ONE query_id exchange feeds the
+    # per-leg rank windows (same partition key, per-leg sort), and the
+    # ≤ |legs|·Q·k shortlist union localCheckpoints once for the
+    # per-leg recall reductions.  Each cosine/rank expression is
+    # bit-identical to `_truncated_topk(d)`'s (same element_at range,
+    # fold order, rounding, tie order) — pinned by
+    # tests/test_r14_opts.py against the leg-per-scan construction.
+    red = [d for d in MRL_DIMS if d != DIM]
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id",
+        to_double_array("embedding").alias("v"),
+        *[
+            norm_unrolled(to_double_array("embedding"), d).alias(f"nrm{d}")
+            for d in red
+        ],
     )
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(qcap)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            *[F.col(f"nrm{d}").alias(f"qn{d}") for d in red],
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            *[
+                F.round(
+                    dot_unrolled(F.col("qv"), F.col("v"), d)
+                    / (F.col(f"qn{d}") * F.col(f"nrm{d}")),
+                    6,
+                ).alias(f"cos{d}")
+                for d in red
+            ],
+        )
+    )
+    ranked = scored
+    for d in red:
+        wd = Window.partitionBy("query_id").orderBy(
+            F.col(f"cos{d}").desc(), F.col("cand_id")
+        )
+        ranked = ranked.withColumn(f"rk{d}", F.row_number().over(wd))
+    keep = None
+    for d in red:
+        c = F.col(f"rk{d}") <= TOP_K
+        keep = c if keep is None else (keep | c)
+    shortlist = ranked.filter(keep).select(
+        "query_id", "cand_id", *[f"rk{d}" for d in red]
+    ).localCheckpoint(eager=False)
     legs = []
     for d in MRL_DIMS:
         if d == DIM:
@@ -3400,7 +3513,9 @@ def mrl_recall_curve(t: dict[str, DataFrame]) -> DataFrame:
                 )
             )
             continue
-        approx = _truncated_topk(t, d, qcap)
+        approx = shortlist.filter(F.col(f"rk{d}") <= TOP_K).select(
+            "query_id", "cand_id"
+        )
         legs.append(
             _recall_one_row(truth, approx).select(
                 F.lit(d).cast("long").alias("dims"),

@@ -53,14 +53,24 @@ def _rho() -> F.Column:
     )
 
 
-def _hll_estimate(regs: DataFrame, *dims: str) -> DataFrame:
-    """(dims..., hll_estimate) from a (dims..., bucket, m_j) register
-    table: exact-decimal harmonic sum + linear-counting correction."""
+def _hll_estimate(
+    regs: DataFrame, *dims: str, extra: tuple = ()
+) -> DataFrame:
+    """(dims..., hll_estimate[, extra...]) from a (dims..., bucket, m_j)
+    register table: exact-decimal harmonic sum + linear-counting
+    correction.  ``extra`` is an optional tuple of (aggregate Column,
+    name) pairs that ride the SAME per-dims aggregation and appear
+    after ``hll_estimate`` in the output — so a caller whose sibling
+    statistic derives from the same register frame (e.g.
+    ``table_profile_approx``'s exact Σ n_vals) computes it in the one
+    pass instead of re-scanning + joining the frame."""
+    names = [n for _, n in extra]
     agg = regs.groupBy(*dims).agg(
         F.sum(
             F.expr(f"cast(pow(2.0, {_W_BITS + 1} - m_j) as decimal(24,0))")
         ).alias("s_present"),
         F.count(F.lit(1)).alias("n_regs"),
+        *[e.alias(n) for e, n in extra],
     )
     est = agg.select(
         *dims,
@@ -72,6 +82,7 @@ def _hll_estimate(regs: DataFrame, *dims: str) -> DataFrame:
         .cast("double")
         .alias("s"),
         (HLL_M - F.col("n_regs")).alias("v"),
+        *names,
     )
     e_raw = (
         F.lit(HLL_ALPHA)
@@ -83,7 +94,9 @@ def _hll_estimate(regs: DataFrame, *dims: str) -> DataFrame:
         (e_raw <= 2.5 * HLL_M) & (F.col("v") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
     ).otherwise(e_raw)
-    return est.select(*dims, F.round(corrected, 4).alias("hll_estimate"))
+    return est.select(
+        *dims, F.round(corrected, 4).alias("hll_estimate"), *names
+    )
 
 
 def hll_distinct_users(t: dict[str, DataFrame]) -> DataFrame:

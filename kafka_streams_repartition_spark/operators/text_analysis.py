@@ -1041,7 +1041,9 @@ def _bpe_merges(t: dict[str, DataFrame]) -> list[tuple[str, str]]:
     from ..functions.caching import count_memo
 
     key = t["documents"]
-    k = id(key)
+    # merge budget rides the key: a runtime BPE_MERGE_ROUNDS override
+    # can never serve a tokenizer trained under the old budget
+    k = (id(key), BPE_MERGE_ROUNDS)
     hit = _BPE_MERGES_MEMO.get(k)
     if hit is not None:
         count_memo(True)

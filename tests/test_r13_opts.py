@@ -29,16 +29,21 @@ def _rows(df, cols=None):
 
 
 def test_kmeans_memo_matches_fresh_training(t):
-    """kmeans_model's memoized centroid rows equal a fresh in-line
-    training run (bit-exact doubles), and the derived assignment is
-    identical."""
-    a1 = sim.kmeans_cells(t)
+    """kmeans_model's memoized centroid rows equal the fresh-training
+    producer (bit-exact doubles).  ALL upstream memos are cleared
+    first (r13 advisor: leaving _LCENT_MEMO warm meant the "fresh"
+    run still read memoized seed centroids, so a stale seed would
+    have escaped this test), and since r14 ``kmeans_cells`` IS the
+    always-fresh path (producer discipline), so the comparison is
+    memoized-model vs fresh-training by construction."""
     sim._KMEANS_MEMO.clear()
-    a2 = sim.kmeans_cells(t)
-    assert _rows(a1) == _rows(a2)
-    # second call is a memo hit and still identical
-    a3 = sim.kmeans_cells(t)
-    assert _rows(a2) == _rows(a3)
+    sim._LCENT_MEMO.clear()
+    sim._NVEC_MEMO.clear()
+    a1 = sim.kmeans_model(t)[0]  # trains, populates the memo
+    a2 = sim.kmeans_model(t)[0]  # memo hit
+    fresh = sim.kmeans_cells(t)  # always-fresh producer
+    assert _rows(a1) == _rows(fresh)
+    assert _rows(a2) == _rows(fresh)
 
 
 def test_bf_truth_matches_bruteforce(t):
